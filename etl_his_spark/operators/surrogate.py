@@ -1,0 +1,126 @@
+"""Surrogate key minting + FK resolution (K1/K2).
+
+The reference relies on PostgreSQL SERIAL + ``INSERT ... RETURNING id``
+per row (PostgresSchemaBuilder.php:62,75,96,105; Command.php:139,154,
+188). Ids only need to be consistent within one run — the whole schema
+is dropped and rebuilt every time (Builder.php:51) — so they are FK
+glue, not stable identifiers.
+
+Spark-first forms:
+
+- ``dense_ids`` — gap-free 1..N ids via a two-phase scheme: count rows
+  per partition, broadcast the per-partition offsets, add
+  partition-local row_number. This avoids the classic single-partition
+  global window: the only single-point work is summing a few hundred
+  partition counts on the driver. Requires a deterministic order column
+  when reproducibility matters (dims); implemented with a window
+  partitioned by a salt bucket of the order key.
+- ``unique_ids`` — non-dense but collision-free and fully parallel
+  (``monotonically_increasing_id``), the right choice for 100 TB facts
+  where density is not semantically required.
+- ``resolve_fk`` — join child rows to the minted dim on the natural key
+  (Command.php:156,196-199's cache lookups, set-oriented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[Column],
+    id_col: str = "id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Gap-free sequential ids 1..N ordered by ``order_cols``.
+
+    Two-phase: bucket rows by range of the order key is not available
+    without sampling, so we use ntile-free scheme: a row_number within
+    each of ``buckets`` hash buckets plus broadcast bucket offsets.
+    Deterministic given a total order; the per-bucket window shuffles
+    once on the bucket id, and offsets are computed from bucket counts
+    (tiny driver-side aggregation).
+
+    For dimension-sized inputs this is overkill but free; for large
+    inputs it is the difference between a single-threaded global window
+    and a parallel one.
+    """
+    # Global rank must follow order_cols across buckets, so bucket by the
+    # leading order expression's range via ntile is unsafe without a sort.
+    # Strategy: compute row_number within hash buckets of the FULL order
+    # tuple is wrong for global ordering; instead sort-partition by range:
+    # use repartitionByRange on the order columns, then per-partition
+    # row_number + offsets via spark_partition_id counts.
+    ranged = df.repartitionByRange(buckets, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = (
+        ranged.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # ≤ buckets rows — driver-safe at any data scale
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    offset_df = ranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
+    return out
+
+
+def dense_ids_small(
+    df: DataFrame, order_cols: list[Column], id_col: str = "id"
+) -> DataFrame:
+    """Gap-free ids via one global window — fine for dimension tables.
+
+    Single-partition window: acceptable when the input is a deduped
+    dimension (thousands-to-millions of rows), never for the fact table.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(id_col, F.row_number().over(w).cast("long"))
+
+
+def unique_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Collision-free, non-dense 64-bit ids; fully parallel, no shuffle."""
+    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def resolve_fk(
+    child: DataFrame,
+    dim: DataFrame,
+    natural_key: list[str] | list[tuple[str, str]],
+    fk_col: str,
+    dim_id_col: str = "id",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Attach ``fk_col`` = dim's surrogate id by natural-key equi-join.
+
+    ``natural_key``: list of column names shared by both sides, or
+    (child_col, dim_col) pairs. Referential integrity holds by
+    construction — the dim was derived from the same rows
+    (SURVEY.md §1.3).
+    """
+    pairs = [
+        (k, k) if isinstance(k, str) else k for k in natural_key
+    ]
+    dim_sel = dim.select(
+        *[F.col(d).alias(f"__nk_{i}") for i, (_, d) in enumerate(pairs)],
+        F.col(dim_id_col).alias(fk_col),
+    )
+    if broadcast_dim:
+        dim_sel = F.broadcast(dim_sel)
+    cond = None
+    for i, (c, _) in enumerate(pairs):
+        clause = child[c].eqNullSafe(dim_sel[f"__nk_{i}"])
+        cond = clause if cond is None else (cond & clause)
+    out = child.join(dim_sel, cond, "left")
+    return out.drop(*[f"__nk_{i}" for i in range(len(pairs))])
