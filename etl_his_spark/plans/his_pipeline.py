@@ -1,0 +1,181 @@
+"""HIS transform + load — the full reference pipeline, set-oriented.
+
+The reference's per-row loop (src/Command/EtlHisTurnosCommand.php:
+120-205) becomes four DataFrame derivations and one atomic publish
+(SURVEY.md §3.3):
+
+- ``paciente``  — D1 dedup by trimmed document (survivor = latest
+  FechaAlta, Command.php:121-151 + ORDER BY :321), F1-cleaned names,
+  F3 first token, F4 gender lookup, K1 dense ids.
+- ``turno``     — ONE ROW PER EXTRACTION ROW with a fresh sequential id
+  (the SERIAL insert at Command.php:154-165). If the dead left joins
+  J10-J13 fan out, duplicate extraction rows each get their own turno
+  id — exactly like the reference's loop — so multiplicity is
+  preserved, not deduped away.
+- ``prestacion`` — D2 distinct trimmed names from the U1 unpivot of the
+  extraction rows, K1 ids.
+- ``prestacion_x_turno`` — bridge rows, one per (extraction row ×
+  non-empty slot) (P3 filter, Command.php:172-201), FKs resolved by
+  natural-key joins. Derived from the WIDE rows so fan-out multiplies
+  bridge rows just as the reference's inner loop does.
+
+Output shapes match the target DDL (PostgresSchemaBuilder.php:60-113);
+load is stage-then-publish (S5 atomicity, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.gender import inferir_sexo
+from ..functions.text import limpiar_nombres, nonempty, primer_nombre
+from ..operators.dedup import dedup_first_per_key
+from ..operators.surrogate import dense_ids_small, resolve_fk
+from ..operators.unpivot import unpivot_slots
+from ..schemas import PRESTACION_SLOT_COLUMNS
+from ..sources.writers import publish_atomic
+from .his_extract import extract_unpivoted, extract_wide
+
+_N_SLOTS = len(PRESTACION_SLOT_COLUMNS)
+
+
+def _with_row_ids(wide: DataFrame) -> DataFrame:
+    """Mint the SERIAL turno id: one sequential id per extraction row.
+
+    Fan-out duplicates are bit-identical rows (the dead joins project
+    nothing), so any order among duplicates is equivalent; row_number
+    over turno_id makes ids deterministic up to that equivalence.
+    """
+    return dense_ids_small(wide, [F.col("turno_id")], "turno_uid")
+
+
+def build_paciente(wide: DataFrame) -> DataFrame:
+    """Patient dimension: trim-key dedup → clean → infer sex → ids."""
+    keyed = wide.withColumn(
+        "documento_identidad", F.trim(F.col("paciente_documento"))  # F2
+    )
+    survivors = dedup_first_per_key(
+        keyed,
+        ["documento_identidad"],
+        [F.col("turnos_fecha_alta").desc(), F.col("turno_id").desc()],
+    )
+    cleaned = survivors.select(
+        "documento_identidad",
+        limpiar_nombres("paciente_nombres").alias("nombre"),      # F1
+        limpiar_nombres("paciente_apellido").alias("apellido"),   # F1
+    ).withColumn("primer_nombre", primer_nombre(F.col("nombre")))  # F3
+    sexed = inferir_sexo(cleaned, "primer_nombre")                 # F4
+    return dense_ids_small(
+        sexed, [F.col("documento_identidad")], "id"
+    ).select("id", "nombre", "apellido", "documento_identidad", "sexo_inferido")
+
+
+def build_turno(wide_ids: DataFrame, paciente: DataFrame) -> DataFrame:
+    """Fact table with resolved paciente FK (K2); id = per-row serial."""
+    with_key = wide_ids.withColumn(
+        "documento_identidad", F.trim(F.col("paciente_documento"))
+    )
+    resolved = resolve_fk(
+        with_key,
+        paciente,
+        ["documento_identidad"],
+        "paciente_id",
+        dim_id_col="id",
+        broadcast_dim=False,  # patient dim can be large; let AQE decide
+    )
+    return resolved.select(
+        F.col("turno_uid").alias("id"),
+        "paciente_id",
+        F.col("turno_fecha").alias("fecha"),
+        F.col("turno_hora").alias("hora"),
+        F.col("turno_duracion").alias("duracion_minutos"),
+        F.col("turno_sobreturno").alias("sobreturno"),
+        F.col("turno_estado").alias("estado"),
+        F.col("turnos_fecha_alta").alias("fecha_alta"),
+        F.col("usuario_alta_nombre").alias("usuario_alta"),
+    )
+
+
+def unpivot_wide_slots(wide_ids: DataFrame) -> DataFrame:
+    """U1 over the extraction rows: 11 name columns → (slot, nombre)."""
+    return unpivot_slots(
+        wide_ids,
+        ["turno_uid"],
+        [f"prestacion{i}" for i in range(_N_SLOTS)],
+        slot_name="slot",
+        value_name="prestacion_nombre",
+        drop_null=True,
+    ).filter(nonempty("prestacion_nombre"))  # P3: NULL-or-blank skip
+
+
+def build_prestacion(slot_rows: DataFrame) -> DataFrame:
+    """Procedure dimension: D2 distinct trimmed names + K1 ids."""
+    names = slot_rows.select(
+        F.trim(F.col("prestacion_nombre")).alias("nombre")
+    ).distinct()
+    return dense_ids_small(names, [F.col("nombre")], "id").select("id", "nombre")
+
+
+def build_bridge(slot_rows: DataFrame, prestacion: DataFrame) -> DataFrame:
+    """Bridge: one row per (extraction row, non-empty slot).
+
+    Slot position is not persisted — the reference's bridge has no
+    position column (PostgresSchemaBuilder.php:103-109) — but it is the
+    deterministic tie-break for the bridge's own serial id.
+    """
+    rows = slot_rows.select(
+        "turno_uid", F.trim(F.col("prestacion_nombre")).alias("nombre"), "slot"
+    )
+    resolved = resolve_fk(
+        rows, prestacion, ["nombre"], "prestacion_id", dim_id_col="id"
+    )
+    with_ids = dense_ids_small(
+        resolved, [F.col("turno_uid"), F.col("slot")], "id"
+    )
+    return with_ids.select(
+        "id", F.col("turno_uid").alias("turno_id"), "prestacion_id"
+    )
+
+
+def run_pipeline(
+    tables: dict[str, DataFrame], output_root: str | None = None
+) -> dict[str, DataFrame]:
+    """Full E/T/(L): returns the 4 outputs; optionally publishes them
+    atomically (stage-then-publish) under ``output_root``."""
+    wide_ids = _with_row_ids(extract_wide(tables))
+    # One pass feeds all four outputs; cache the extraction rather than
+    # recompute the 22-table join per derivation.
+    wide_ids = wide_ids.persist()
+    slot_rows = unpivot_wide_slots(wide_ids)
+    paciente = build_paciente(wide_ids)
+    turno = build_turno(wide_ids, paciente)
+    prestacion = build_prestacion(slot_rows)
+    bridge = build_bridge(slot_rows, prestacion)
+    outputs = {
+        "paciente": paciente,
+        "turno": turno,
+        "prestacion": prestacion,
+        "prestacion_x_turno": bridge,
+    }
+    if output_root is not None:
+        publish_atomic(
+            outputs,
+            output_root,
+            # fecha partitioning = the turno(fecha) index analog
+            # (PostgresSchemaBuilder.php:90)
+            partition_by={"turno": ["fecha"]},
+        )
+    return outputs
+
+
+__all__ = [
+    "run_pipeline",
+    "build_paciente",
+    "build_turno",
+    "build_prestacion",
+    "build_bridge",
+    "unpivot_wide_slots",
+    "extract_wide",
+    "extract_unpivoted",
+]
