@@ -23,6 +23,14 @@ HEADLINE = [
     "dedup_first_per_key",
     "agg_pricing_summary",
     "topk_customers",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_simhash",
+    "embedding_neardup",
+    "ann_topk_bruteforce",
+    "events_sessionize",
+    "events_asof_join",
+    "events_window_agg",
 ]
 
 

@@ -1,0 +1,299 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, all deterministic and (except where noted) exactly
+reproducible in ANSI SQL, so each gets a DuckDB oracle:
+
+- exact          — hash-groupBy on normalized text (md5 fingerprint).
+- n-gram Jaccard — exact set similarity via inverted shingle index.
+                   O(sum of posting-list²) — correct but quadratic in
+                   the worst case; the small-data baseline.
+- MinHash + LSH  — the 100 TB path: k independent min-hashes over
+                   shingles, banded into buckets; only same-bucket
+                   pairs are candidates. Linear shuffles, no all-pairs.
+- SimHash        — 60-bit weighted bit-vote signature; near-dups have
+                   small Hamming distance.
+- embedding cosine — near-dup by vector similarity (see similarity.py
+                   for the bucketed scale path).
+
+Hashing discipline: every hash is ``md5`` of a seeded string, with the
+first 15 hex chars parsed as a 60-bit integer — identical in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``), verified bit-equal. No
+engine-private hash (xxhash64, hash()) is used anywhere parity matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+N_MINHASH = 16
+BAND_SIZE = 4
+SIMHASH_BITS = 60
+
+
+def seeded_hash60(col: Column, seed: Column | None = None) -> Column:
+    """60-bit integer hash via md5 — cross-engine stable."""
+    key = col if seed is None else F.concat(seed.cast("string"), F.lit(":"), col)
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of ``split(trim(text), ' ')``.
+
+    Single-space split (not ``\\s+``) so the array matches DuckDB's
+    ``string_split`` exactly; short texts yield an empty array.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.trim(c), " ")
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.when(F.size(words) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc, shingle) pairs — the inverted-index input."""
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group docs by normalized-text fingerprint; keeper = min id.
+
+    One hash-shuffle on the fingerprint — the distributed form of the
+    reference's in-memory dedup cache (SURVEY.md §2.5), applied to
+    document content instead of identity keys.
+    """
+    return (
+        docs.select(
+            F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (baseline; quadratic worst case)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, exactly.
+
+    Inverted-index join: explode shingles, self-join on shingle,
+    count intersections, divide by union size. Exact but scales with
+    posting-list squares — use minhash_lsh_candidates at 100 TB and
+    reserve this for verification of candidate pairs.
+    """
+    sh = shingle_rows(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, seed, minhash) for seeds 0..N_MINHASH-1.
+
+    One explode per (shingle × seed) then a min-aggregate — two narrow
+    shuffles total, linear in corpus size.
+    """
+    sh = shingle_rows(docs, id_col, text_col)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
+        "shingle",
+    )
+    hashed = seeded.withColumn(
+        "h", seeded_hash60(F.col("shingle"), F.col("seed"))
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures: md5 of the band's minhashes joined in seed order."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / BAND_SIZE).cast("int")
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs + estimated similarity.
+
+    Same-bucket join on (band, band_sig) — the only pairwise work is
+    within buckets, which is what makes this the 100 TB strategy; with
+    16 hashes in 4 bands of 4, pairs with Jaccard ≥ ~0.7 are found with
+    high probability. est_sim = fraction of agreeing minhashes.
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    buckets = lsh_band_buckets(sig, id_col)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+    siga = sig.select(
+        F.col(id_col).alias("a_id"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("b_id"), "seed", F.col("minhash").alias("mh_b")
+    )
+    return (
+        cand.join(siga, "a_id")
+        .join(sigb, ["b_id", "seed"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+                ).cast("double")
+                / N_MINHASH
+            ).alias("est_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per doc: term-frequency-weighted bit votes.
+
+    tokens → 60-bit hash → per-bit ±count votes → majority bit →
+    packed signature. All shuffles key on (doc, bit) — linear.
+    """
+    c = F.col(text_col)
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(c), " ")).alias("token")
+    )
+    counted = words.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counted.withColumn("h", seeded_hash60(F.col("token")))
+    bits = hashed.select(
+        id_col,
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "vote",
+        # shiftright/shiftleft builtins need a literal shift amount, so
+        # the per-row shift goes through expr()
+        F.when(
+            F.expr("(h >> j) & 1") == 1,
+            F.col("cnt"),
+        ).otherwise(-F.col("cnt")),
+    )
+    votes = bits.groupBy(id_col, "j").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of their SimHashes.
+
+    All-pairs here (fine at test scale); the scale path blocks on
+    signature prefixes (pigeonhole: distance ≤ k → some k+1-way prefix
+    chunk matches exactly) before the Hamming filter.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,159 @@
+"""Event-time operators over timestamped streams (batch forms).
+
+The reference is strictly batch with no event-time semantics
+(SURVEY.md §2.9), but an analytics engine for event data needs these;
+each has an exact SQL form so the DuckDB oracle gate applies. The
+streaming twins live in etl_his_spark/streaming/.
+
+- ``tumbling_window_agg`` — fixed windows via the builtin ``window``
+  generator (maps to time_bucket in ANSI engines). One shuffle on
+  (window, keys); partial aggregation map-side.
+- ``sessionize`` — gaps-and-islands: lag + cumulative sum over a
+  per-entity window. Two window passes over one shuffle on the entity
+  key; no self-join.
+- ``asof_join`` — "latest right row at or before each left row".
+  Implemented WITHOUT a range join: union the two sides as a tagged
+  event stream, sort within entity, and carry the last right value
+  forward (last_value IGNORE NULLS). One shuffle on the entity key,
+  linear work — this is the shape that survives 100 TB, unlike the
+  naive t1 ≤ t2 theta-join whose worst case is quadratic.
+- ``range_join_count`` — genuine bounded-interval join (count right
+  rows within [t-Δ, t)); equi-join on entity + range predicate, which
+  Spark executes as a hash join with the range as residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Fixed-window aggregation; emits window_start + group keys + aggs."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_minutes: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sessions = maximal event runs with gaps < ``gap_minutes``.
+
+    Returns one row per session: entity, session_id (1-based per
+    entity), session_start, session_end, n_events.
+    """
+    tiebreak = [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), *tiebreak)
+    gap_sec = gap_minutes * 60
+    marked = events.withColumn(
+        "__new_session",
+        F.when(
+            F.col(ts_col).cast("long")
+            - F.lag(F.col(ts_col)).over(w).cast("long")
+            > gap_sec,
+            1,
+        )
+        .otherwise(0),
+    ).withColumn(
+        "session_id",
+        (
+            F.sum("__new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + 1
+        ).cast("long"),
+    )
+    return marked.groupBy(entity_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row: values from the latest right row with
+    right_ts <= left_ts (same ``on`` key); NULLs when none precede.
+
+    Union-and-carry-forward implementation: right rows become tagged
+    markers, a per-key window ordered by (ts, is_left) carries the most
+    recent right values onto each left row. Right rows at exactly
+    left_ts DO match (<=): markers sort before left rows on ties.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(on).alias(on) if c == on else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_left",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    count_name: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows with right_ts in [left_ts - Δ, left_ts) per left row."""
+    lt = F.col(f"l.{left_ts}")
+    rt = F.col(f"r.{right_ts}")
+    joined = left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rt >= lt - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (rt < lt),
+        "left",
+    )
+    return joined.groupBy(*[F.col(f"l.{c}") for c in left.columns]).agg(
+        F.count(F.col(f"r.{right_ts}")).alias(count_name)
+    )

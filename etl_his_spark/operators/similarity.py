@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk`` — exact cosine top-k: the correctness baseline.
+  Cross join pruned only by the query set; at 100 TB this is the wrong
+  shape, but it defines ground truth for the bucketed variant.
+- ``bucketed_topk`` — LSH/IVF-style scale path: a deterministic
+  coarse quantizer (sign_bucket) assigns every vector to a bucket;
+  queries search ONLY their bucket. The pairwise work drops from
+  |Q|×N to |Q|×(N/#buckets); recall is traded for pruning exactly as
+  in IVF with nprobe=1. Both are pure DataFrame ops — the bucket join
+  is a hash join on the bucket id, broadcast when the query set is
+  small.
+- ``embedding_neardup_pairs`` — near-duplicate detection by cosine ≥
+  threshold over all pairs (test scale) — the embedding analog of the
+  Jaccard dedup baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, norm, sign_bucket, to_double_array
+
+
+def _prep(vectors: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return vectors.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        to_double_array(vec_col).alias(f"{prefix}_vec"),
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self excluded).
+
+    Deterministic: cosine is a sequential double fold (bit-stable) and
+    ties break on neighbor id.
+    """
+    q = _prep(queries, id_col, vec_col, "query").withColumn(
+        "q_norm", norm(F.col("query_vec"))
+    )
+    v = _prep(vectors, id_col, vec_col, "cand").withColumn(
+        "c_norm", norm(F.col("cand_vec"))
+    )
+    n_parts = max(vectors.sparkSession.sparkContext.defaultParallelism, 8)
+    scored = (
+        v.repartition(n_parts)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            (
+                dot(F.col("query_vec"), F.col("cand_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style top-k: search only the query's sign bucket.
+
+    The cross join becomes an equi-join on bucket — shuffle-partitioned
+    by bucket id, so a 1000-executor cluster scans each cell locally.
+    """
+    q = (
+        _prep(queries, id_col, vec_col, "query")
+        .withColumn("bucket", sign_bucket(F.col("query_vec"), bits))
+        .withColumn("q_norm", norm(F.col("query_vec")))
+    )
+    v = (
+        _prep(vectors, id_col, vec_col, "cand")
+        .withColumn("bucket", sign_bucket(F.col("cand_vec"), bits))
+        .withColumn("c_norm", norm(F.col("cand_vec")))
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            (
+                dot(F.col("query_vec"), F.col("cand_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, all-pairs baseline).
+
+    Scale path: run sign_bucket blocking first (near-identical vectors
+    share sign patterns with high probability), then this within
+    buckets — same trade as MinHash-LSH for text.
+    """
+    # Precompute each vector's norm ONCE (per-pair recomputation would
+    # triple the dominant cost); dot/(norm_a*norm_b) is the identical
+    # double expression either way, so oracle parity is preserved.
+    a = _prep(vectors, id_col, vec_col, "a").withColumn(
+        "a_norm", norm(F.col("a_vec"))
+    )
+    b = _prep(vectors, id_col, vec_col, "b").withColumn(
+        "b_norm", norm(F.col("b_vec"))
+    )
+    n_parts = max(vectors.sparkSession.sparkContext.defaultParallelism, 8)
+    return (
+        a.repartition(n_parts)
+        .crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,248 @@
+"""General analytics operators — engine completeness beyond the
+reference surface (SURVEY.md §2.9 lists these as absent there; an
+analytics engine still needs them, and each keeps an exact oracle).
+
+Determinism notes: running/ranked windows carry a full tie-break;
+money sums use exact integer cents; the median is positional
+(percentile_disc-style via row_number) rather than interpolated, so no
+cross-engine float interpolation differences exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import read_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey AS cliente_key, o_orderkey AS orden_id,
+           o_orderdate AS fecha,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS total_acumulado
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running total (window agg, ROWS frame, exact cents)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("cliente_key"),
+        F.col("o_orderkey").alias("orden_id"),
+        F.col("o_orderdate").alias("fecha"),
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100).alias(
+            "total_acumulado"
+        ),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey AS cliente_key, o_orderkey AS orden_id,
+           lag(o_orderkey) OVER w AS orden_anterior,
+           lead(o_orderkey) OVER w AS orden_siguiente,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS INT) AS dias_desde_anterior
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation within per-customer order history."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("cliente_key"),
+        F.col("o_orderkey").alias("orden_id"),
+        F.lag("o_orderkey").over(w).alias("orden_anterior"),
+        F.lead("o_orderkey").over(w).alias("orden_siguiente"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("dias_desde_anterior"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT c_nationkey AS nacion_key, c_custkey AS cliente_key,
+           rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS cuartil
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                          c_custkey)
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile over per-nation balance ordering."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        _cents("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        F.col("c_nationkey").alias("nacion_key"),
+        F.col("c_custkey").alias("cliente_key"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("cuartil"),
+    )
+
+
+@register(
+    "set_operations",
+    """
+    SELECT 'both' AS conjunto, o_custkey AS cliente_key FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'any', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct forms) tagged in one result."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f.intersect(op).select(
+        F.lit("both").alias("conjunto"), F.col("o_custkey").alias("cliente_key")
+    )
+    only_f = f.subtract(op).select(
+        F.lit("only_f").alias("conjunto"), F.col("o_custkey").alias("cliente_key")
+    )
+    any_ = f.union(op).distinct().select(
+        F.lit("any").alias("conjunto"), F.col("o_custkey").alias("cliente_key")
+    )
+    return both.unionByName(only_f).unionByName(any_)
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand-total NULL rows)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100).alias("total"),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (all grouping-set combinations)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority AS prioridad,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS st_o,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS st_f,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS st_p
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns (explicit value list — no
+    extra distinct-values pass)."""
+    o = read_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.col("o_orderpriority").alias("prioridad"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+    )
+    return out.select(
+        "prioridad",
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+    )
+
+
+@register(
+    "median_disc",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority AS prioridad, o_totalprice AS mediana
+    FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+)
+def median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional (discrete) median per priority — deterministic, no
+    interpolation, full tie-break; the exact-quantile pattern that
+    also scales (one shuffle + one window pass)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _cents("o_totalprice"), F.col("o_orderkey")
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select(
+        F.col("o_orderpriority").alias("prioridad"),
+        F.col("o_totalprice").alias("mediana"),
+    )

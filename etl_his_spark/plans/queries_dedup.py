@@ -1,0 +1,255 @@
+"""Dedup-family + similarity-search queries (training-data pipeline).
+
+Every strategy from operators/dedup_approx.py and
+operators/similarity.py registered against the driver's
+``documents``/``embeddings`` tables, each with an exact DuckDB oracle —
+including MinHash-LSH and SimHash, which stay cross-engine-exact by
+hashing exclusively through md5 (see dedup_approx module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup_approx import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    embedding_neardup_pairs,
+)
+from ..registry import register
+from ..sources.readers import read_table
+
+# Shared SQL fragments (mirror the Spark operators exactly)
+
+_SHINGLES_CTE = r"""
+words AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+)
+"""
+
+_SIMHASH_CTE = r"""
+toks AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+    FROM documents
+),
+counted AS (
+    SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2
+),
+hashed AS (
+    SELECT doc_id, cnt,
+           CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+    FROM counted
+),
+bitvotes AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+    FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS j)
+    GROUP BY 1, 2
+),
+simsig AS (
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                    ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM bitvotes GROUP BY 1
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content fingerprint."""
+    return exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON a_id = sa.doc_id
+    JOIN sizes sb ON b_id = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.8 via inverted shingle index
+    (quadratic baseline; LSH below is the 100 TB path)."""
+    return jaccard_pairs(read_table(spark, sf_dir, "documents"), 0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+        SELECT doc_id, seed,
+               CAST('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15)
+                    AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_sig
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                AS DOUBLE) / 16 AS est_sim
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) candidate pairs with estimated similarity —
+    the linear-shuffle scale path for near-dup detection."""
+    return minhash_lsh_candidates(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_simhash",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simsig",
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document (tf-weighted bit votes)."""
+    return simhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 of 60 bits)."""
+    return simhash_pairs(read_table(spark, sf_dir, "documents"), 8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_VECS_CTE = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+"""
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH {_VECS_CTE}
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.e, b.e), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ 0.4 (exact all-pairs
+    baseline; sign-bucket blocking is the scale path)."""
+    return embedding_neardup_pairs(read_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH {_VECS_CTE},
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, v.e) AS sim
+        FROM q CROSS JOIN v WHERE q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors (vec_id < 10) — ANN ground
+    truth baseline."""
+    vectors = read_table(spark, sf_dir, "embeddings")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    return brute_force_topk(vectors, queries, 10)
+
+
+@register(
+    "ann_topk_bucketed",
+    f"""
+    WITH {_VECS_CTE},
+    b AS (
+        SELECT vec_id, e,
+               (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM v
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, b.e) AS sim
+        FROM q JOIN b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style top-5: search restricted to the query's sign
+    bucket (16 cells) — the pruned scale path; equi-join on bucket
+    replaces the cross join."""
+    vectors = read_table(spark, sf_dir, "embeddings")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    return bucketed_topk(vectors, queries, 5, bits=4)

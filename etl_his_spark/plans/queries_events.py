@@ -1,0 +1,163 @@
+"""Event-time queries on ``events`` — windowing, sessions, as-of, range.
+
+Batch forms of the streaming operators (streaming twins under
+etl_his_spark/streaming/). Timestamps are compared in exact
+microseconds (``unix_micros`` / ``epoch_us``) so gap logic is
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.event_time import (
+    asof_join,
+    range_join_count,
+    sessionize,
+    tumbling_window_agg,
+)
+from ..registry import register
+from ..sources.readers import read_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+@register(
+    "events_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (count + exact sum).
+
+    The batch twin of the streaming windowed aggregation; map-side
+    partial agg + one shuffle on (window, type)."""
+    e = read_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents("value")).cast("double") / 100).alias("sum_value"),
+        ],
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1 AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: 30-minute inactivity gap per
+    user. Two window passes over ONE shuffle on user_id — no self-join.
+    The batch twin of the stateful streaming sessionizer."""
+    e = read_table(spark, sf_dir, "events")
+    out = sessionize(e, "user_id", "ts", 30, order_tiebreak=["event_id"])
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_events"
+    )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH err AS (
+        SELECT user_id, ts AS ets,
+               max(event_id) AS last_error_event_id,
+               arg_max(value, event_id) AS last_error_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           err.last_error_event_id, err.last_error_value
+    FROM events e
+    ASOF LEFT JOIN err ON e.user_id = err.user_id AND e.ts >= err.ets
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the latest error event of the same
+    user at or before it (self-match included, <= semantics).
+
+    Implemented as union + carry-forward window — ONE shuffle on the
+    key, linear work; no quadratic range join (SURVEY-class engines'
+    asof idiom re-expressed for Spark)."""
+    e = read_table(spark, sf_dir, "events")
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("last_error_event_id"),
+            F.max_by("value", "event_id").alias("last_error_value"),
+        )
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        err,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_error_event_id", "last_error_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "last_error_event_id", "last_error_value"
+    )
+
+
+@register(
+    "events_range_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, count(r.ts) AS n_in_range
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL '3600 seconds'
+     AND r.ts < l.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval join: events of the same user in the hour
+    before each error event (equi-join on user + range residual)."""
+    e = read_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_count(
+        errors, e.select("user_id", "ts"), "user_id", "ts", "ts", 3600
+    )
+    return out.select("event_id", "user_id", "ts", "n_in_range")

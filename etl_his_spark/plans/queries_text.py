@@ -1,0 +1,116 @@
+"""Text-analysis queries on ``documents`` (training-data pipeline ops).
+
+Language ID, quality scoring, token counting, fingerprinting — each a
+pure column-expression pipeline (JVM-side, codegen) with an exact
+DuckDB oracle. These are the per-document scoring passes a 100 TB
+corpus pipeline runs before dedup/filtering: embarrassingly parallel,
+no shuffle at all (verify: the physical plan is scan → project).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    doc_fingerprint,
+    langid_heuristic,
+    quality_score,
+    token_count,
+)
+from ..registry import register
+from ..sources.readers import read_table
+
+
+@register(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@register(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           round((
+             least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+             + CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END
+             + CASE WHEN (
+                   CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                        THEN (CAST(length(text) AS DOUBLE)
+                              - (len(string_split_regex(trim(text), '\s+')) - 1))
+                             / len(string_split_regex(trim(text), '\s+'))
+                        ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+                    THEN 1.0 ELSE 0.5 END
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length + alpha-ratio +
+    mean-word-length sanity, equal thirds (deterministic arithmetic)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "text_langid",
+    r"""
+    SELECT doc_id,
+           CASE
+             WHEN text IS NULL THEN 'unknown'
+             WHEN (len(string_split_regex(lower(text),
+                   '\b(the|and|with|for|that|this|from)\b')) - 1)
+                > (len(string_split_regex(lower(text),
+                   '\b(el|la|los|las|que|para|con|una)\b')) - 1)
+              AND (len(string_split_regex(lower(text),
+                   '\b(the|and|with|for|that|this|from)\b')) - 1) > 0
+             THEN 'en'
+             WHEN (len(string_split_regex(lower(text),
+                   '\b(el|la|los|las|que|para|con|una)\b')) - 1)
+                > (len(string_split_regex(lower(text),
+                   '\b(the|and|with|for|that|this|from)\b')) - 1)
+              AND (len(string_split_regex(lower(text),
+                   '\b(el|la|los|las|que|para|con|una)\b')) - 1) > 0
+             THEN 'es'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (en/es/unknown) — stopword-marker
+    counting with word-boundary regexes."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_heuristic("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))

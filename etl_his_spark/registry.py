@@ -39,3 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Import for side effect: each module registers its queries.
 from .plans import queries_core  # noqa: E402,F401
 from .plans import queries_his_analog  # noqa: E402,F401
+from .plans import queries_text  # noqa: E402,F401
+from .plans import queries_dedup  # noqa: E402,F401
+from .plans import queries_events  # noqa: E402,F401
+from .plans import queries_analytics  # noqa: E402,F401

@@ -22,8 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table (``{sf_dir}/{name}.parquet``) as a DataFrame."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one table (``{sf_dir}/{name}.parquet``) as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark cannot
+    represent; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
+    as nanos-since-epoch and is converted here to a microsecond
+    TimestampType by integer division (same ns→µs truncation DuckDB
+    applies when reading the file).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_tables(

@@ -1,0 +1,92 @@
+"""Tests for the training-data dedup + similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_his_spark.operators.dedup_approx import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_signatures,
+    word_shingles,
+)
+from etl_his_spark.operators.similarity import brute_force_topk, bucketed_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "THE  QUICK  BROWN fox jumps over the lazy dog"),  # exact after norm? no—case+ws differ
+        (5, "the quick brown fox jumps over the lazy dog"),    # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b"), (3, None)],
+                               "doc_id long, text string")
+    out = df.select("doc_id", F.size(word_shingles("text")).alias("n")).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got[1] == 2          # "a b c", "b c d"
+    assert got[2] == 0          # too short
+    assert got[3] == -1 or got[3] == 0  # NULL text → size returns -1 (legacy) or 0
+
+
+def test_exact_dedup_groups(spark):
+    groups = exact_dedup_groups(_docs(spark)).collect()
+    by_keep = {r["keep_doc_id"]: r["n_docs"] for r in groups}
+    # doc 1, 4 and 5 normalize identically (lower + ws collapse) → one group
+    assert by_keep[1] == 3
+    assert by_keep[2] == 1
+    assert by_keep[3] == 1
+
+
+def test_jaccard_and_minhash_agree_on_near_dups(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["a_id"], r["b_id"]) for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    cand = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    # every high-jaccard pair must be an LSH candidate (no false negatives
+    # at this similarity level for 16 hashes / 4 bands)
+    assert exact and exact <= cand
+    assert (1, 5) in cand  # identical docs always collide
+
+
+def test_simhash_identical_docs_same_sig(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+    assert sig[1] == sig[5]
+    assert sig[1] != sig[3]
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.01, 0.01, 0.01]),
+        (2, [0.9, 0.1, 0.01, 0.01]),    # close to 1, same sign bucket
+        (3, [0.01, 1.0, 0.01, 0.01]),   # near-orthogonal, same bucket
+        (4, [-1.0, 0.01, 0.01, 0.01]),  # opposite first dim → other bucket
+        (5, [0.95, 0.05, 0.01, 0.01]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(spark):
+    v = _vectors(spark)
+    q = v.filter(F.col("vec_id") == 1)
+    out = brute_force_topk(v, q, 3).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [5, 2, 3]
+
+
+def test_bucketed_topk_subset_of_bucket(spark):
+    v = _vectors(spark)
+    q = v.filter(F.col("vec_id") == 1)
+    out = bucketed_topk(v, q, 3, bits=4).collect()
+    # vector 4 (negative first dim) is in another bucket → never returned
+    assert all(r["neighbor_id"] != 4 for r in out)
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 5
