@@ -1,0 +1,127 @@
+"""Structured Streaming jobs — streaming twins of the batch event-time
+operators (operators/event_time.py).
+
+The reference is strictly batch (SURVEY.md §2.9: no streaming surface),
+so these are engine extensions: the same event schema processed as an
+unbounded source with correct late-data semantics.
+
+Scale design:
+- Sources are file streams (``readStream.parquet``) here; on a real
+  deployment the same plans run on Kafka sources unchanged — only the
+  ``format`` differs.
+- Watermarks bound state: windowed aggregation state is dropped once
+  the watermark passes the window end; dedup state expires with
+  ``dropDuplicatesWithinWatermark``.
+- ``availableNow`` triggers give incremental batch-like runs (used by
+  tests); continuous micro-batches are the default in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming-side schema: ts arrives as nanos-since-epoch (see
+# sources.readers on the nanosecond parquet issue) and is converted.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Unbounded events source from a parquet directory."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data tolerance.
+
+    The watermark lets state for closed windows be dropped — without it
+    streaming aggregation state grows forever.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100)
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes — the streaming form of the reference's in-memory
+    dedup cache (SURVEY.md §2.5 D1), with explicit state expiry.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Execute with availableNow into an in-memory table (test/dev path).
+
+    Blocks until all currently-available input is processed; results
+    land in ``SELECT * FROM <query_name>``.
+    """
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming sessionization via session windows.
+
+    ``session_window`` merges events within ``gap_minutes`` of each
+    other per user — the streaming counterpart of the batch
+    gaps-and-islands sessionizer (operators/event_time.sessionize),
+    with watermark-bounded state. Emits one row per closed session.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,104 @@
+"""Structured Streaming tests — streaming results must agree with the
+batch twins on the same (finite) input."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_his_spark.sources.readers import read_table
+from etl_his_spark.streaming.events import (
+    dedup_stream,
+    run_to_memory,
+    sessionize_stream,
+    stream_events,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # a parquet DIRECTORY (streaming sources need dirs, not single files)
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long
+    raw.repartition(8).write.parquet(out)  # several files → several triggers
+    return out
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, events_dir):
+    stream = windowed_counts(stream_events(spark, events_dir))
+    run_to_memory(stream, "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = read_table(spark, sf_dir, "events")
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                    / 100
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    # Append mode only emits windows the watermark has CLOSED — the
+    # final ~2h of windows are correctly withheld at end-of-input.
+    assert set(got) <= set(expect)
+    assert all(got[k] == expect[k] for k in got)
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    closed = {
+        k
+        for k in expect
+        if k[0] + dt.timedelta(hours=3) <= max_ts  # window end + watermark
+    }
+    assert closed <= set(got)
+
+
+def test_dedup_stream_bounded_state(spark, events_dir):
+    stream = dedup_stream(stream_events(spark, events_dir), ["user_id"])
+    run_to_memory(stream, "dedup_users")
+    rows = spark.sql("SELECT user_id FROM dedup_users").collect()
+    ids = [r["user_id"] for r in rows]
+    # within-watermark dedup on a finite in-order replay: unique users
+    assert len(ids) == len(set(ids))
+    assert len(ids) >= 1
+
+
+def test_sessionize_stream_counts(spark, sf_dir, events_dir):
+    stream = sessionize_stream(stream_events(spark, events_dir), gap_minutes=30)
+    run_to_memory(stream, "sessions")
+    total = spark.sql("SELECT SUM(n_events) AS n FROM sessions").first()["n"]
+    batch = read_table(spark, sf_dir, "events")
+    batch_total = batch.count()
+    # Sessions still open at end-of-input are withheld (append mode);
+    # everything before (max_ts - watermark - gap) must have been
+    # emitted in a closed session.
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    closed_lower_bound = batch.filter(
+        F.col("ts") <= F.lit(max_ts - dt.timedelta(hours=3))
+    ).count()
+    assert closed_lower_bound <= total <= batch_total
+    # session invariant: no session shorter than 1 event, starts <= ends
+    bad = spark.sql(
+        "SELECT count(*) AS c FROM sessions WHERE session_start > session_end OR n_events < 1"
+    ).first()["c"]
+    assert bad == 0
