@@ -33,6 +33,29 @@ N_MINHASH = 16
 BAND_SIZE = 4
 SIMHASH_BITS = 60
 
+# Affine rehash constants for MinHash: h_i = (A[i]*h30 + B[i]) mod P,
+# where h30 is the base md5 hash folded to 30 bits. One md5 per shingle
+# instead of N_MINHASH — ~an order of magnitude less hashing work —
+# while staying exactly reproducible in ANSI SQL (the oracle inlines
+# the same constants). P = 2^31-1 (prime) with h30 < 2^30 < P gives a
+# proper universal family: A[i]*h30 wraps mod P many times (the mod
+# MUST wrap — with a too-large P the maps stay order-preserving and
+# every "permutation" shares one argmin). A[i] < 2^30 keeps the product
+# < 2^60: no signed-64 overflow in either engine (Spark ANSI mode would
+# throw on overflow rather than wrap).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_FOLD = 1 << 30
+MINHASH_A = [
+    591266063, 104071117, 894204331, 323421259, 752880389, 439715871,
+    982451653, 217645199, 668265709, 135128347, 846930886, 511932281,
+    714636915, 369133069, 957747793, 281408453,
+]
+MINHASH_B = [
+    424238335, 719885386, 649760492, 596516649, 189641421, 254990211,
+    825094857, 350291869, 783368690, 102520059, 44897763, 967513926,
+    365180540, 540383426, 304089172, 303455736,
+]
+
 
 def seeded_hash60(col: Column, seed: Column | None = None) -> Column:
     """60-bit integer hash via md5 — cross-engine stable."""
@@ -147,41 +170,49 @@ def jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc, seed, minhash) for seeds 0..N_MINHASH-1.
+    """Wide signature: one row per doc with columns mh0..mh{N-1}.
 
-    One explode per (shingle × seed) then a min-aggregate — two narrow
-    shuffles total, linear in corpus size.
+    ONE shuffle total: the N min-hashes are N min-aggregates over the
+    same (doc)-keyed groupBy; each h_i is a cheap affine rehash of the
+    single md5-based h30, computed inline in the projection.
     """
-    sh = shingle_rows(docs, id_col, text_col)
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
-        "shingle",
+    sh = shingle_rows(docs, id_col, text_col).withColumn(
+        "h30", seeded_hash60(F.col("shingle")) % MINHASH_FOLD
     )
-    hashed = seeded.withColumn(
-        "h", seeded_hash60(F.col("shingle"), F.col("seed"))
-    )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h30") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band signatures: md5 of the band's minhashes joined in seed order."""
-    banded = signatures.withColumn(
-        "band", (F.col("seed") / BAND_SIZE).cast("int")
-    )
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            )
-        ).alias("band_sig")
-    )
+    """(doc, band, band_sig) rows: md5 over each band's minhash run.
+
+    Pure projection + explode over the wide signature — no shuffle.
+    """
+    n_bands = N_MINHASH // BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * BAND_SIZE + j}").cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
 def minhash_lsh_candidates(
@@ -192,7 +223,8 @@ def minhash_lsh_candidates(
     Same-bucket join on (band, band_sig) — the only pairwise work is
     within buckets, which is what makes this the 100 TB strategy; with
     16 hashes in 4 bands of 4, pairs with Jaccard ≥ ~0.7 are found with
-    high probability. est_sim = fraction of agreeing minhashes.
+    high probability. est_sim = fraction of agreeing minhashes,
+    computed column-wise from the wide signatures (no per-seed join).
     """
     sig = minhash_signatures(docs, id_col, text_col)
     buckets = lsh_band_buckets(sig, id_col)
@@ -211,22 +243,24 @@ def minhash_lsh_candidates(
         .distinct()
     )
     siga = sig.select(
-        F.col(id_col).alias("a_id"), "seed", F.col("minhash").alias("mh_a")
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_MINHASH)],
     )
     sigb = sig.select(
-        F.col(id_col).alias("b_id"), "seed", F.col("minhash").alias("mh_b")
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
     )
     return (
         cand.join(siga, "a_id")
-        .join(sigb, ["b_id", "seed"])
-        .groupBy("a_id", "b_id")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
-                ).cast("double")
-                / N_MINHASH
-            ).alias("est_sim")
+        .join(sigb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (matches.cast("double") / N_MINHASH).alias("est_sim"),
         )
     )
 

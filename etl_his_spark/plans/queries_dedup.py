@@ -13,6 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup_approx import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_FOLD,
+    MINHASH_P,
+    N_MINHASH,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_candidates,
@@ -26,6 +31,23 @@ from ..operators.similarity import (
 )
 from ..registry import register
 from ..sources.readers import read_table
+
+_MINHASH_MIN_COLS = ",\n               ".join(
+    f"min(({MINHASH_A[i]} * h30 + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+    for i in range(N_MINHASH)
+)
+_MINHASH_BAND_UNION = "\n        UNION ALL\n        ".join(
+    "SELECT doc_id, {b} AS band, md5({concat}) AS band_sig FROM sig".format(
+        b=b,
+        concat=" || ',' || ".join(
+            f"mh{b * 4 + j}::VARCHAR" for j in range(4)
+        ),
+    )
+    for b in range(N_MINHASH // 4)
+)
+_MINHASH_MATCH_SUM = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+)
 
 # Shared SQL fragments (mirror the Spark operators exactly)
 
@@ -110,17 +132,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLES_CTE},
-    hashed AS (
-        SELECT doc_id, seed,
-               CAST('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15)
-                    AS BIGINT) AS h
-        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+    based AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {MINHASH_FOLD} AS h30
+        FROM sh
     ),
-    sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
+    sig AS (
+        SELECT doc_id, {_MINHASH_MIN_COLS}
+        FROM based GROUP BY doc_id
+    ),
     bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_sig
-        FROM sig GROUP BY doc_id, seed // 4
+        {_MINHASH_BAND_UNION}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -129,12 +152,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND a.doc_id < b.doc_id
     )
     SELECT c.a_id, c.b_id,
-           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
-                AS DOUBLE) / 16 AS est_sim
+           CAST(({_MINHASH_MATCH_SUM}) AS DOUBLE) / 16 AS est_sim
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.a_id
-    JOIN sig sb ON sb.doc_id = c.b_id AND sb.seed = sa.seed
-    GROUP BY 1, 2
+    JOIN sig sb ON sb.doc_id = c.b_id
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,3 +44,4 @@ from .plans import queries_dedup  # noqa: E402,F401
 from .plans import queries_events  # noqa: E402,F401
 from .plans import queries_analytics  # noqa: E402,F401
 from .plans import queries_multimodal  # noqa: E402,F401
+from .plans import queries_sql  # noqa: E402,F401
