@@ -169,8 +169,34 @@ def run_pipeline(
     return outputs
 
 
+def incremental_paciente(
+    existing: DataFrame, wide_new: DataFrame
+) -> DataFrame:
+    """Incremental dimension load — the P4 existence probe, set-oriented.
+
+    The reference probes per row (`SELECT id FROM paciente WHERE
+    documento_identidad = ?`, Command.php:130-132) and inserts only
+    misses. At scale that is one left-anti join: new batch's deduped
+    patients minus already-present documents, with fresh surrogate ids
+    continuing after the existing maximum. Existing rows are never
+    rewritten — the incremental twin of the full-reload pipeline.
+    """
+    new_dim = build_paciente(wide_new)
+    misses = new_dim.join(
+        existing.select("documento_identidad"), "documento_identidad", "left_anti"
+    )
+    start = existing.agg(F.max("id")).first()[0] or 0
+    renumbered = dense_ids_small(
+        misses.drop("id"), [F.col("documento_identidad")], "id"
+    ).withColumn("id", F.col("id") + F.lit(start))
+    return renumbered.select(
+        "id", "nombre", "apellido", "documento_identidad", "sexo_inferido"
+    )
+
+
 __all__ = [
     "run_pipeline",
+    "incremental_paciente",
     "build_paciente",
     "build_turno",
     "build_prestacion",
