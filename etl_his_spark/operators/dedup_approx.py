@@ -24,7 +24,7 @@ engine-private hash (xxhash64, hash()) is used anywhere parity matters.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
@@ -145,6 +145,84 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
         )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard — same output as ``jaccard_pairs``,
+    far less join work.
+
+    Classic prefix filtering: order each doc's shingles by global
+    rarity (document frequency, tie-broken by shingle value — a total
+    order, no global rank window needed); if J(a,b) ≥ t then
+    |a∩b| ≥ ceil(t·|a|), so a and b MUST share a shingle within each
+    one's first |d| − ceil(t·|d|) + 1 shingles. Candidates therefore
+    come from a prefix-prefix join (rare shingles → short posting
+    lists), and only candidates get exact verification. Exactness is
+    checked by the unchanged naive oracle.
+    """
+    sh = shingle_rows(docs, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle")
+    w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("shingle"))
+    wsize = Window.partitionBy(id_col)
+    pos = ranked.select(
+        id_col,
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wsize).alias("size"),
+    )
+    prefix = pos.filter(
+        F.col("pos")
+        <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+    ).select(id_col, "shingle")
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sha = sh.select(F.col(id_col).alias("a_id"), F.col("shingle").alias("shingle_a"))
+    shb = sh.select(F.col(id_col).alias("bb_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(sha, "a_id")
+        # equi-join on BOTH (doc, shingle) so this stays a hash join,
+        # not a per-pair cartesian of shingle sets
+        .join(
+            shb,
+            (F.col("b_id") == F.col("bb_id"))
+            & (F.col("shingle_a") == F.col("shingle_b")),
+        )
+        .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("na"))

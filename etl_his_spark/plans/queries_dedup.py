@@ -20,6 +20,7 @@ from ..operators.dedup_approx import (
     N_MINHASH,
     exact_dedup_groups,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_candidates,
     simhash_pairs,
     simhash_signatures,
@@ -123,8 +124,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs ≥ 0.8 via inverted shingle index
-    (quadratic baseline; LSH below is the 100 TB path)."""
+    """Exact word-3-gram Jaccard pairs ≥ 0.8 via inverted shingle index.
+
+    Two implementations exist, proven output-identical (this oracle ran
+    against both; tests check 3 thresholds): the plain inverted-index
+    join used here — fastest while posting lists are short — and
+    ``jaccard_pairs_prefix`` (rarest-shingle prefix filtering + exact
+    verify), the shape to switch to when posting-list squares dominate
+    (large corpora / skewed shingles)."""
     return jaccard_pairs(read_table(spark, sf_dir, "documents"), 0.8)
 
 

@@ -90,3 +90,13 @@ def test_bucketed_topk_subset_of_bucket(spark):
     # vector 4 (negative first dim) is in another bucket → never returned
     assert all(r["neighbor_id"] != 4 for r in out)
     assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 5
+
+
+def test_prefix_filter_equals_naive(spark):
+    from etl_his_spark.operators.dedup_approx import jaccard_pairs_prefix
+
+    docs = _docs(spark)
+    for t in (0.3, 0.5, 0.8):
+        naive = sorted(map(tuple, jaccard_pairs(docs, t).collect()))
+        pruned = sorted(map(tuple, jaccard_pairs_prefix(docs, t).collect()))
+        assert naive == pruned, t
