@@ -46,3 +46,4 @@ from .plans import queries_analytics  # noqa: E402,F401
 from .plans import queries_multimodal  # noqa: E402,F401
 from .plans import queries_sql  # noqa: E402,F401
 from .plans import queries_events2  # noqa: E402,F401
+from .plans import queries_json  # noqa: E402,F401

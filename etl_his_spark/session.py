@@ -38,6 +38,16 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    # Python workers deserialize our functions (Pandas UDFs, stateful
+    # updates) and must be able to import this package regardless of the
+    # driver's cwd. Locally: inherit via PYTHONPATH before the JVM
+    # starts; on a cluster: ship a zip via spark.submit.pyFiles instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -102,3 +102,33 @@ def test_sessionize_stream_counts(spark, sf_dir, events_dir):
         "SELECT count(*) AS c FROM sessions WHERE session_start > session_end OR n_events < 1"
     ).first()["c"]
     assert bad == 0
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, events_dir):
+    from etl_his_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, events_dir))
+    run_to_memory(stream, "running_totals", output_mode="update")
+    # memory sink in update mode appends every emission; the LAST row
+    # per user is the lifetime total
+    last = spark.sql(
+        """
+        SELECT user_id, n_events, total_cents FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+            ) AS rn FROM running_totals
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in last}
+    batch = read_table(spark, sf_dir, "events")
+    expect = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expect
