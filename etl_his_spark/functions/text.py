@@ -22,9 +22,15 @@ def limpiar_nombres(col: Column | str) -> Column:
     NULL; trim both ends; collapse internal whitespace runs to one
     space; Unicode-aware uppercase (PHP ``mb_strtoupper`` ≈ Spark
     ``upper``, both Unicode-aware). Idempotent.
+
+    Order matters: collapse FIRST, then trim. Spark/DuckDB ``trim``
+    strips only spaces (PHP's strips ``\\r\\n\\t`` too), so
+    ``trim``-then-collapse turns a lone ``'\\r'`` into ``' '`` —
+    non-idempotent and unfaithful; collapse-then-trim yields ``''``
+    exactly like PHP (found by the hypothesis idempotence property).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.upper(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.upper(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
 def primer_nombre(col: Column | str) -> Column:
@@ -163,11 +169,11 @@ def doc_fingerprint(col: Column | str) -> Column:
     Spark and DuckDB, giving an exact oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.md5(norm)
 
 
 def normalized_text(col: Column | str) -> Column:
     """Shared normalization used by fingerprint + exact dedup."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))

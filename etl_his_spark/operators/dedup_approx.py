@@ -132,7 +132,9 @@ def jaccard_pairs(
     posting-list squares — use minhash_lsh_candidates at 100 TB and
     reserve this for verification of candidate pairs.
     """
-    sh = shingle_rows(docs, id_col, text_col)
+    # sh feeds three plan subtrees (sizes + both join sides): persist
+    # once or Spark recomputes the shingling per consumer
+    sh = shingle_rows(docs, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -180,7 +182,7 @@ def jaccard_pairs_prefix(
     lists), and only candidates get exact verification. Exactness is
     checked by the unchanged naive oracle.
     """
-    sh = shingle_rows(docs, id_col, text_col)
+    sh = shingle_rows(docs, id_col, text_col).persist()
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle")
     w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("shingle"))
@@ -304,7 +306,8 @@ def minhash_lsh_candidates(
     high probability. est_sim = fraction of agreeing minhashes,
     computed column-wise from the wide signatures (no per-seed join).
     """
-    sig = minhash_signatures(docs, id_col, text_col)
+    # sig feeds the bucket explode AND both est_sim join sides
+    sig = minhash_signatures(docs, id_col, text_col).persist()
     buckets = lsh_band_buckets(sig, id_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -398,7 +401,7 @@ def simhash_pairs(
     signature prefixes (pigeonhole: distance ≤ k → some k+1-way prefix
     chunk matches exactly) before the Hamming filter.
     """
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col).persist()
     a = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"))
     return (

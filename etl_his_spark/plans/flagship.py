@@ -108,7 +108,7 @@ FLAGSHIP_ORACLE_SQL = """
 WITH enriched AS (
     SELECT o.o_orderkey AS orden_id,
            c.c_custkey AS cliente_key,
-           upper(regexp_replace(trim(c.c_name), '\\s+', ' ', 'g')) AS nombre_limpio,
+           upper(trim(regexp_replace(c.c_name, '\\s+', ' ', 'g'))) AS nombre_limpio,
            CAST(o.o_orderdate AS DATE) AS fecha,
            o.o_orderstatus AS estado,
            o.o_orderpriority AS prioridad,

@@ -331,7 +331,7 @@ def dedup_first_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_distinct_name",
     """
-    SELECT DISTINCT upper(regexp_replace(trim(p_type), '\\s+', ' ', 'g')) AS nombre
+    SELECT DISTINCT upper(trim(regexp_replace(p_type, '\\s+', ' ', 'g'))) AS nombre
     FROM part
     """,
 )
@@ -424,7 +424,7 @@ def fk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_clean",
     """
     SELECT p_partkey AS parte_key,
-           upper(regexp_replace(trim(p_name), '\\s+', ' ', 'g')) AS nombre_limpio
+           upper(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS nombre_limpio
     FROM part
     """,
 )
@@ -442,7 +442,7 @@ def string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first_token",
     """
     SELECT p_partkey AS parte_key,
-           split_part(upper(regexp_replace(trim(p_name), '\\s+', ' ', 'g')), ' ', 1)
+           split_part(upper(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))), ' ', 1)
              AS primer_token
     FROM part
     """,

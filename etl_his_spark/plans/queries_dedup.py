@@ -95,7 +95,7 @@ simsig AS (
 @register(
     "dedup_exact",
     r"""
-    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
            count(*) AS n_docs, min(doc_id) AS keep_doc_id
     FROM documents GROUP BY 1
     """,

@@ -134,7 +134,7 @@ def his_unpivot_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH slot_rows AS ({_wide_slots_sql()}),
     named AS (
         SELECT s.orden_id, s.slot,
-               upper(regexp_replace(trim(p.p_name), '\\s+', ' ', 'g')) AS nombre
+               upper(trim(regexp_replace(p.p_name, '\\s+', ' ', 'g'))) AS nombre
         FROM slot_rows s JOIN part p ON s.prestacion_fk = p.p_partkey
     ),
     dim AS (

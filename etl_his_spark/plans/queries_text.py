@@ -106,7 +106,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     r"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
     FROM documents
     """,
 )

@@ -47,3 +47,4 @@ from .plans import queries_multimodal  # noqa: E402,F401
 from .plans import queries_sql  # noqa: E402,F401
 from .plans import queries_events2  # noqa: E402,F401
 from .plans import queries_json  # noqa: E402,F401
+from .plans import queries_tpch  # noqa: E402,F401

@@ -15,6 +15,14 @@ from etl_his_spark.sources.readers import read_table
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
+    # orphaned warehouse dirs (location without metastore entry) block
+    # saveAsTable with LOCATION_ALREADY_EXISTS — clear both defensively
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8,

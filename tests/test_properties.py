@@ -1,0 +1,92 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4) via hypothesis.
+
+Spark round trips are expensive per example, so properties are checked
+in batches: hypothesis generates a list of strings, one Spark job
+checks the whole batch.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_his_spark.functions.text import limpiar_nombres, nonempty, primer_nombre
+
+TEXT = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=60,
+    ),
+)
+
+BATCH = st.lists(TEXT, min_size=1, max_size=40)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v string")
+
+
+@given(BATCH)
+@_SETTINGS
+def test_limpiar_idempotent_property(spark, batch):
+    df = _df(spark, batch)
+    once = [r[0] for r in df.select(limpiar_nombres("v")).collect()]
+    twice = [
+        r[0]
+        for r in _df(spark, once).select(limpiar_nombres("v")).collect()
+    ]
+    assert once == twice
+
+
+@given(BATCH)
+@_SETTINGS
+def test_limpiar_no_double_spaces_property(spark, batch):
+    df = _df(spark, batch)
+    out = [r[0] for r in df.select(limpiar_nombres("v")).collect()]
+    for v in out:
+        if v is not None:
+            assert "  " not in v
+            # ASCII whitespace only: Java/RE2 \s (and the reference's
+            # PHP '/\s+/' without /u) do not treat \xa0 etc. as space —
+            # Python's unicode-aware strip() would be a stricter
+            # contract than the one being reproduced.
+            assert v == v.strip(" \t\n\r\x0b\x0c")
+
+
+@given(BATCH)
+@_SETTINGS
+def test_primer_nombre_is_prefix_property(spark, batch):
+    cleaned = [
+        r[0]
+        for r in _df(spark, batch).select(limpiar_nombres("v")).collect()
+    ]
+    firsts = [
+        r[0]
+        for r in _df(spark, cleaned).select(primer_nombre("v")).collect()
+    ]
+    for c, f in zip(cleaned, firsts):
+        if c is None:
+            assert f is None
+        else:
+            assert c.startswith(f)
+            assert " " not in f
+
+
+@given(BATCH)
+@_SETTINGS
+def test_nonempty_matches_python_semantics_property(spark, batch):
+    df = _df(spark, batch)
+    kept = [r[0] for r in df.filter(nonempty("v")).collect()]
+    expect = [v for v in batch if v is not None and v.strip() != ""]
+    assert sorted(kept, key=repr) == sorted(expect, key=repr)
