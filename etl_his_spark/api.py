@@ -31,7 +31,12 @@ TESTDATA_TABLES = [
 def register_views(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> None:
-    """Expose the scale-factor tables as temp views for SQL queries."""
+    """Expose the scale-factor tables as temp views for SQL queries,
+    plus the engine's named functions (limpiar_nombres, primer_nombre,
+    es_no_vacio, gender_lookup)."""
+    from .functions.registry import register_functions
+
+    register_functions(spark)
     for name in tables or TESTDATA_TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 

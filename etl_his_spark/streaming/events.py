@@ -99,6 +99,43 @@ def run_to_memory(
     q.awaitTermination()
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time window.
+
+    Both sides carry watermarks and the join condition bounds how far
+    apart matching events may be — this is what lets Spark expire join
+    state (without the time bound, both sides buffer forever). The
+    canonical enrich-one-stream-with-another shape (e.g. clicks ⋈
+    impressions within an hour).
+    """
+    l = left.select(
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", left_watermark)
+    r = right.select(
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+    ).withWatermark("r_ts", right_watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
