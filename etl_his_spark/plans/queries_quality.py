@@ -1,0 +1,165 @@
+"""Data-quality + statistics queries: quarantine counts, histograms,
+exact correlation, deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import with_violations
+from ..registry import register
+from ..sources.readers import read_table
+
+
+@register(
+    "quality_rule_violations",
+    """
+    WITH checked AS (
+        SELECT o_orderkey,
+               (o_totalprice IS NOT NULL AND o_totalprice > 0) AS r_price,
+               (o_orderdate IS NOT NULL
+                AND o_orderdate >= TIMESTAMP '1990-01-01 00:00:00') AS r_date,
+               (o_orderstatus IN ('O', 'F', 'P')) AS r_status
+        FROM orders
+    )
+    SELECT 'price_positive' AS rule,
+           SUM(CASE WHEN r_price IS NULL OR NOT r_price THEN 1 ELSE 0 END)
+             AS n_violations
+    FROM checked
+    UNION ALL
+    SELECT 'date_sane',
+           SUM(CASE WHEN r_date IS NULL OR NOT r_date THEN 1 ELSE 0 END)
+    FROM checked
+    UNION ALL
+    SELECT 'status_known',
+           SUM(CASE WHEN r_status IS NULL OR NOT r_status THEN 1 ELSE 0 END)
+    FROM checked
+    """,
+)
+def quality_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts over orders (quarantine triage view).
+
+    Single pass: rules evaluate in one projection; NULL counts as a
+    violation (unknown = suspect)."""
+    o = read_table(spark, sf_dir, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") > 0),
+        "date_sane": F.col("o_orderdate").isNotNull()
+        & (F.col("o_orderdate") >= F.lit("1990-01-01 00:00:00").cast("timestamp")),
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    checked = with_violations(o, rules)
+    exploded = checked.select(
+        F.explode(F.array(*[F.lit(n) for n in rules])).alias("rule"),
+        "violations",
+    )
+    return exploded.groupBy("rule").agg(
+        F.sum(
+            F.when(F.array_contains("violations", F.col("rule")), 1).otherwise(0)
+        ).alias("n_violations")
+    )
+
+
+@register(
+    "stats_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS bin_min,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS bin_max
+    FROM orders GROUP BY 1
+    """,
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (bin = floor(x/50k)) —
+    one pass, one shuffle on the bin id."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min(cents).cast("double") / 100).alias("bin_min"),
+            (F.max(cents).cast("double") / 100).alias("bin_max"),
+        )
+    )
+
+
+@register(
+    "stats_correlation",
+    """
+    WITH s AS (
+        -- whole units, not cents: squared-cent sums would overflow
+        -- int64 beyond ~1e5 rows of 1e5-priced items
+        SELECT count(*) AS n,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx,
+               SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sy,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                   * CAST(ROUND(l_quantity) AS BIGINT)) AS sxx,
+               SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                   * CAST(ROUND(l_extendedprice) AS BIGINT)) AS syy,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                   * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sxy
+        FROM lineitem
+    )
+    SELECT round(
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9
+    ) AS pearson_qty_price
+    FROM s
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation from integer moment sums —
+    deterministic across engines (unlike built-in corr(), whose float
+    accumulation order varies). Whole-unit rounding keeps the
+    squared-moment sums inside int64 at any realistic row count
+    (squared-cent sums overflow beyond ~1e5 rows of 1e5-priced items)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.round(
+            (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            9,
+        ).alias("pearson_qty_price")
+    )
+
+
+@register(
+    "sample_deterministic",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+          % 10 = 0
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by key hash — reproducible across runs
+    and engines, unlike rand()-based sampling; the idiom for stable
+    dev/test subsets of a 100 TB table."""
+    o = read_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return o.filter(h % 10 == 0).select("o_orderkey", "o_custkey", "o_totalprice")

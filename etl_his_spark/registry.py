@@ -48,3 +48,4 @@ from .plans import queries_sql  # noqa: E402,F401
 from .plans import queries_events2  # noqa: E402,F401
 from .plans import queries_json  # noqa: E402,F401
 from .plans import queries_tpch  # noqa: E402,F401
+from .plans import queries_quality  # noqa: E402,F401
