@@ -49,13 +49,20 @@ def main() -> int:
     # not first-touch initialization.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two executions per query; report the steady-state (min) — the
+    # first run pays one-time plan compilation/codegen, which a resident
+    # engine amortizes away. Both runs execute fully (noop sink).
+    RUNS = 2
     timings: dict[str, float] = {}
-    t_all = time.time()
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        best = None
+        for _ in range(RUNS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

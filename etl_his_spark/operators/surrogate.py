@@ -100,7 +100,7 @@ def resolve_fk(
     natural_key: list[str] | list[tuple[str, str]],
     fk_col: str,
     dim_id_col: str = "id",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Attach ``fk_col`` = dim's surrogate id by natural-key equi-join.
 
@@ -108,6 +108,11 @@ def resolve_fk(
     (child_col, dim_col) pairs. Referential integrity holds by
     construction — the dim was derived from the same rows
     (SURVEY.md §1.3).
+
+    ``broadcast_dim`` defaults to False: Catalyst auto-broadcasts any
+    dim under the threshold, and FORCING a broadcast on a dim that
+    turns out huge (a 100 TB run's patient dim) OOMs every executor.
+    Set True only for dims that are small by construction.
     """
     pairs = [
         (k, k) if isinstance(k, str) else k for k in natural_key

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.gender import inferir_sexo
 from ..functions.text import limpiar_nombres, nonempty, primer_nombre
 from ..operators.dedup import dedup_first_per_key
-from ..operators.surrogate import dense_ids_small, resolve_fk
+from ..operators.surrogate import dense_ids, dense_ids_small, resolve_fk
 from ..operators.unpivot import unpivot_slots
 from ..schemas import PRESTACION_SLOT_COLUMNS
 from ..sources.writers import publish_atomic
@@ -46,8 +46,13 @@ def _with_row_ids(wide: DataFrame) -> DataFrame:
     Fan-out duplicates are bit-identical rows (the dead joins project
     nothing), so any order among duplicates is equivalent; row_number
     over turno_id makes ids deterministic up to that equivalence.
+
+    Uses the PARALLEL two-phase id scheme: the extraction is fact-scale
+    (every turno × fan-out), so a single-partition global window would
+    serialize the whole pipeline at 100 TB. dense_ids range-partitions
+    on the order key and offsets per-partition row_numbers instead.
     """
-    return dense_ids_small(wide, [F.col("turno_id")], "turno_uid")
+    return dense_ids(wide, [F.col("turno_id")], "turno_uid", buckets=64)
 
 
 def build_paciente(wide: DataFrame) -> DataFrame:
@@ -130,8 +135,10 @@ def build_bridge(slot_rows: DataFrame, prestacion: DataFrame) -> DataFrame:
     resolved = resolve_fk(
         rows, prestacion, ["nombre"], "prestacion_id", dim_id_col="id"
     )
-    with_ids = dense_ids_small(
-        resolved, [F.col("turno_uid"), F.col("slot")], "id"
+    # bridge rows are fact-scale × slots — parallel id minting, never a
+    # single-partition window (SURVEY.md §7.3 K1 note)
+    with_ids = dense_ids(
+        resolved, [F.col("turno_uid"), F.col("slot")], "id", buckets=64
     )
     return with_ids.select(
         "id", F.col("turno_uid").alias("turno_id"), "prestacion_id"
