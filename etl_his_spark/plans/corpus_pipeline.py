@@ -1,0 +1,116 @@
+"""Corpus curation pipeline — the training-data operators composed.
+
+The realistic end-to-end shape for LLM data preparation, as one
+declarative plan: score → filter → exact-dedup → near-dedup → emit the
+surviving corpus. Each stage is an operator already gate-checked in
+isolation; this query checks the COMPOSITION (stage ordering, survivor
+selection interplay) against a single equivalent SQL oracle.
+
+Scale: stages are narrow transforms + the dedup shuffles already
+analyzed in their own modules; nothing here adds a new shuffle beyond
+them. At 100 TB the near-dup stage switches from exact Jaccard to the
+MinHash-LSH candidates with identical downstream wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, quality_score, token_count
+from ..operators.dedup_approx import jaccard_pairs
+from ..registry import register
+from ..sources.readers import read_table
+
+_MIN_QUALITY = 0.5
+_MIN_TOKENS = 20
+_NEARDUP_THRESHOLD = 0.8
+
+CORPUS_ORACLE = r"""
+WITH scored AS (
+    SELECT doc_id, text,
+           round((
+             least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+             + CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END
+             + CASE WHEN (
+                   CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                        THEN (CAST(length(text) AS DOUBLE)
+                              - (len(string_split_regex(trim(text), '\s+')) - 1))
+                             / len(string_split_regex(trim(text), '\s+'))
+                        ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+                    THEN 1.0 ELSE 0.5 END
+           ) / 3.0, 6) AS quality,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+),
+filtered AS (
+    SELECT doc_id, text, quality, n_tokens FROM scored
+    WHERE quality >= 0.5 AND n_tokens >= 20
+),
+exact_kept AS (
+    SELECT min(doc_id) AS doc_id
+    FROM filtered
+    GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+),
+survivors AS (
+    SELECT f.* FROM filtered f JOIN exact_kept k ON f.doc_id = k.doc_id
+),
+words AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM survivors
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM words WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+near_dups AS (
+    SELECT DISTINCT i.b_id AS doc_id
+    FROM inter i
+    JOIN sizes sa ON i.a_id = sa.doc_id
+    JOIN sizes sb ON i.b_id = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+)
+SELECT s.doc_id, s.quality, s.n_tokens
+FROM survivors s
+LEFT JOIN near_dups nd ON s.doc_id = nd.doc_id
+WHERE nd.doc_id IS NULL
+"""
+
+
+@register("corpus_pipeline", CORPUS_ORACLE)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation: quality+length filter → exact dedup (keep min
+    id per normalized text) → near-dup removal (drop the HIGHER id of
+    each Jaccard-0.8 pair) → surviving corpus with scores."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= _MIN_QUALITY) & (F.col("n_tokens") >= _MIN_TOKENS)
+    )
+    exact_kept = (
+        filtered.groupBy(F.md5(normalized_text("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = filtered.join(exact_kept, "doc_id")
+    near = jaccard_pairs(survivors, _NEARDUP_THRESHOLD)
+    drop = near.select(F.col("b_id").alias("doc_id")).distinct()
+    return survivors.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "quality", "n_tokens"
+    )

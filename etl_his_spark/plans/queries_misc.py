@@ -1,0 +1,99 @@
+"""Remaining breadth: array aggregation, date parts, fuzzy matching.
+
+Array results are deterministically sorted before comparison (the
+order-insensitive hash sees arrays as single values, so the ORDER
+INSIDE the array must be pinned on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import read_table
+
+
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT event_type,
+           list_sort(list(DISTINCT user_id)) AS users,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: distinct users per event type as a SORTED
+    array (collect_set order is nondeterministic — sort_array pins it)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT o_orderkey AS orden_id,
+           CAST(year(o_orderdate) AS INT) AS anio,
+           CAST(month(o_orderdate) AS INT) AS mes,
+           CAST(dayofmonth(o_orderdate) AS INT) AS dia,
+           CAST(quarter(o_orderdate) AS INT) AS trimestre,
+           -- ISO day-of-week 1=Monday..7=Sunday: DuckDB isodow matches
+           -- Spark dayofweek only after conversion (Spark: 1=Sunday)
+           CAST(isodow(o_orderdate) AS INT) AS dia_semana_iso,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS inicio_mes
+    FROM orders
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + truncation. Day-of-week uses the ISO
+    convention on both sides (engine defaults differ: Spark dayofweek
+    counts Sunday=1, DuckDB dow counts Sunday=0)."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    # Spark dayofweek: Sunday=1..Saturday=7 → ISO: Monday=1..Sunday=7
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1
+    return o.select(
+        F.col("o_orderkey").alias("orden_id"),
+        F.year(d).alias("anio"),
+        F.month(d).alias("mes"),
+        F.dayofmonth(d).alias("dia"),
+        F.quarter(d).alias("trimestre"),
+        iso_dow.cast("int").alias("dia_semana_iso"),
+        F.date_trunc("month", d).cast("date").alias("inicio_mes"),
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching by edit distance ≤ 3 over part-name pairs —
+    the classic record-linkage primitive (both engines implement the
+    same Levenshtein definition). All-pairs here; at scale this runs
+    AFTER a blocking stage (first-token or fingerprint buckets)."""
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

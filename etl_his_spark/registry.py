@@ -49,3 +49,5 @@ from .plans import queries_events2  # noqa: E402,F401
 from .plans import queries_json  # noqa: E402,F401
 from .plans import queries_tpch  # noqa: E402,F401
 from .plans import queries_quality  # noqa: E402,F401
+from .plans import queries_misc  # noqa: E402,F401
+from .plans import corpus_pipeline  # noqa: E402,F401
