@@ -100,3 +100,14 @@ def test_prefix_filter_equals_naive(spark):
         naive = sorted(map(tuple, jaccard_pairs(docs, t).collect()))
         pruned = sorted(map(tuple, jaccard_pairs_prefix(docs, t).collect()))
         assert naive == pruned, t
+
+
+def test_numpy_neardup_equals_expression(spark, sf_dir):
+    from etl_his_spark.operators.similarity import embedding_neardup_pairs
+    from etl_his_spark.operators.vector_numpy import embedding_neardup_numpy
+    from etl_his_spark.sources.readers import read_table
+
+    v = read_table(spark, sf_dir, "embeddings")
+    exact = {(r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(v, 0.4).collect()}
+    fast = {(r["a_id"], r["b_id"]) for r in embedding_neardup_numpy(v, 0.4).collect()}
+    assert exact == fast

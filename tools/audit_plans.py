@@ -1,0 +1,83 @@
+"""Plan-posture audit: assert scale properties on EVERY gate query.
+
+Checks each registered query's executed plan for the two physical
+signals that silently break at 100 TB:
+
+1. ``Exchange SinglePartition`` — all data forced through one task.
+   Allowed only where documented: dimension-scale dense-id windows and
+   single-row FINAL aggregates (the partial aggregation upstream has
+   already reduced the data to one row per partition).
+2. ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — all-pairs work.
+   Allowed only for the similarity baselines whose scale path
+   (bucketing/blocking) is documented at the operator.
+
+Exit 1 on violations — run alongside the correctness checker whenever
+a query or operator changes.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# SinglePartition allowed: dim-scale id minting (bounded cardinality,
+# documented at operators/surrogate.dense_ids_small) or single-row
+# final aggregates (tiny by construction after partial agg).
+SINGLE_PARTITION_ALLOW = {
+    "surrogate_dense_ids",   # customer-dim ids
+    "fk_resolution",         # dim ids feeding the join
+    "flagship_fact",         # dim_cliente ids
+    "his_bridge_derivation", # prestacion-dim ids
+    "incremental_new_keys",  # dim ids on both sides
+    "tpch_q14_promo",        # single-row final aggregate
+    "stats_correlation",     # single-row final aggregate
+}
+
+# Cartesian/nested-loop allowed: all-pairs similarity baselines with a
+# documented bucketed/blocked scale path.
+CROSS_JOIN_ALLOW = {
+    "embedding_neardup",
+    "ann_topk_bruteforce",
+    "dedup_simhash_pairs",
+    "fuzzy_name_match",
+    "bench_embedding_neardup_numpy",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+    from etl_his_spark.session import get_spark
+
+    spark = get_spark("audit_plans", cpus=8)
+    violations: list[str] = []
+
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = (
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            violations.append(f"{name}: plan build failed: {e}")
+            continue
+        if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_ALLOW:
+            violations.append(f"{name}: Exchange SinglePartition (serial stage)")
+        if (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ) and name not in CROSS_JOIN_ALLOW:
+            violations.append(f"{name}: cartesian/nested-loop join present")
+
+    if violations:
+        print(f"{len(violations)} plan-posture violations:")
+        for v in violations:
+            print("  -", v)
+        return 1
+    print(f"plan audit clean: {len(entrymod.queries())} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
