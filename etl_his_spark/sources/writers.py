@@ -71,6 +71,37 @@ def publish_atomic(
     return staging
 
 
+def prune_old_publishes(root: str, keep: int = 2) -> list[str]:
+    """Remove all but the newest ``keep`` staging dirs (never the
+    current one). Returns the removed paths.
+
+    Old publishes are what make the pointer swap safe (readers mid-scan
+    on the previous publish keep working), so retention is explicit and
+    conservative — prune only after downstream consumers have moved on.
+    """
+    import shutil
+
+    current = resolve_current(root)
+    stagings = sorted(
+        (
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("_staging_")
+        ),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    removed = []
+    kept = 0
+    for path in stagings:
+        if path == current or kept < keep:
+            kept += 1
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
+
+
 def resolve_current(root: str) -> str | None:
     """Return the currently-published staging dir, or None if never published."""
     ptr = os.path.join(root, _POINTER)

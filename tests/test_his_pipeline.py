@@ -143,3 +143,21 @@ def test_atomic_publish_and_read_back(spark, tables, tmp_path_factory):
     second = resolve_current(root)
     assert second != first
     assert read_published(spark, root, "turno").count() == 8
+
+
+def test_prune_keeps_current_publish(spark, tables, tmp_path_factory):
+    from etl_his_spark.sources.writers import prune_old_publishes
+
+    root = str(tmp_path_factory.mktemp("prune"))
+    for _ in range(4):
+        run_pipeline(tables, output_root=root)
+    current = resolve_current(root)
+    removed = prune_old_publishes(root, keep=2)
+    import os
+
+    assert current not in removed
+    assert os.path.isdir(current)
+    remaining = [d for d in os.listdir(root) if d.startswith("_staging_")]
+    assert len(remaining) == 2
+    # current publish still fully readable after pruning
+    assert read_published(spark, root, "paciente").count() == 5
