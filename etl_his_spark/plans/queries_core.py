@@ -521,3 +521,34 @@ def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__cents").cast("double") / 100).alias("total_gastado"),
         )
     )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT c.c_custkey AS cliente_key, o.orden_total AS total_cliente
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+    FULL OUTER JOIN (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS orden_total
+        FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with NULLs surviving on BOTH sides (disjoint
+    filters guarantee left-only, right-only, and matched rows exist)."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg((F.sum(_cents("o_totalprice")).cast("double") / 100).alias("orden_total"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.col("c_custkey").alias("cliente_key"),
+        F.col("orden_total").alias("total_cliente"),
+    )
