@@ -246,3 +246,62 @@ def median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prioridad"),
         F.col("o_totalprice").alias("mediana"),
     )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_custkey AS cliente_key, o_orderkey AS orden_id,
+           CAST(o_orderdate AS DATE) AS fecha,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS pedidos_90d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: orders per customer within the trailing 90
+    days — value-based frames (vs ROWS) are the event-time rolling
+    metric; ties on the same date all see the same frame. DATE-ordered
+    RANGE frames need interval bounds, which the Python
+    ``rangeBetween`` can't express — SQL text, same Catalyst plan."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_rf")
+    return spark.sql(
+        """
+        SELECT o_custkey AS cliente_key, o_orderkey AS orden_id,
+               CAST(o_orderdate AS DATE) AS fecha,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                   RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+               ) AS pedidos_90d
+        FROM __orders_rf
+        """
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube) with
+    grouping() markers disambiguating real NULLs from subtotal rows."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
