@@ -81,6 +81,40 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_to_published(
+    stream: DataFrame,
+    root: str,
+    table: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Streaming → atomic-publish integration via foreachBatch.
+
+    Each micro-batch republishes the table under sources.writers'
+    stage-then-publish protocol: readers following the pointer always
+    see a complete batch boundary, never a half-written one. The
+    checkpoint makes the whole loop exactly-once per input file.
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from ..sources.writers import publish_atomic, read_published, resolve_current
+
+    def publish_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if resolve_current(root) is not None:
+            merged = read_published(spark, root, table).unionByName(batch_df)
+        else:
+            merged = batch_df
+        publish_atomic({table: merged}, root)
+
+    return (
+        stream.writeStream.foreachBatch(publish_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

@@ -71,3 +71,14 @@ def test_resolve_fk_referential_integrity(spark, sf_dir):
     )
     assert out.filter(F.col("cliente_id").isNull()).count() == 0
     assert out.count() == o.count()
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    once = dedup_first_per_key(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    twice = dedup_first_per_key(
+        once, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

@@ -160,3 +160,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     # finite in-order replay: stream join must find every batch pair
     assert got == expect
     assert got > 0
+
+
+def test_stream_to_published_atomic(spark, sf_dir, events_dir, tmp_path_factory):
+    from etl_his_spark.streaming.events import stream_to_published
+    from etl_his_spark.sources.writers import read_published
+
+    root = str(tmp_path_factory.mktemp("stream_pub"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    stream = windowed_counts(stream_events(spark, events_dir))
+    q = stream_to_published(stream, root, "hourly_counts", ckpt)
+    q.awaitTermination()
+    published = read_published(spark, root, "hourly_counts")
+    n1 = published.count()
+    assert n1 > 0
+    # re-running with the same checkpoint and no new input publishes
+    # nothing new (exactly-once)
+    q2 = stream_to_published(
+        windowed_counts(stream_events(spark, events_dir)), root,
+        "hourly_counts", ckpt,
+    )
+    q2.awaitTermination()
+    assert read_published(spark, root, "hourly_counts").count() == n1
