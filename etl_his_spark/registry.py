@@ -48,6 +48,7 @@ from .plans import queries_sql  # noqa: E402,F401
 from .plans import queries_events2  # noqa: E402,F401
 from .plans import queries_json  # noqa: E402,F401
 from .plans import queries_tpch  # noqa: E402,F401
+from .plans import queries_tpch2  # noqa: E402,F401
 from .plans import queries_quality  # noqa: E402,F401
 from .plans import queries_misc  # noqa: E402,F401
 from .plans import corpus_pipeline  # noqa: E402,F401

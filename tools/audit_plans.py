@@ -34,6 +34,12 @@ SINGLE_PARTITION_ALLOW = {
     "incremental_new_keys",  # dim ids on both sides
     "tpch_q14_promo",        # single-row final aggregate
     "stats_correlation",     # single-row final aggregate
+    "tpch_q6_forecast",      # single-row final aggregate
+    "tpch_q17_small_qty",    # single-row final aggregate
+    "tpch_q19_disjunctive",  # single-row final aggregate
+    "tpch_q11_important",    # 1-row global-total scalar (then broadcast)
+    "tpch_q15_top_supplier", # 1-row scalar MAX (then broadcast)
+    "tpch_q22_dormant",      # 1-row scalar AVG (then broadcast)
 }
 
 # Cartesian/nested-loop allowed: all-pairs similarity baselines with a
@@ -44,6 +50,10 @@ CROSS_JOIN_ALLOW = {
     "dedup_simhash_pairs",
     "fuzzy_name_match",
     "bench_embedding_neardup_numpy",
+    # 1-row scalar-subquery broadcasts (constant-size build side — the
+    # nested-loop degenerates to a per-row constant append, scale-safe):
+    "tpch_q11_important",
+    "tpch_q22_dormant",
 }
 
 
