@@ -281,3 +281,60 @@ def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = read_table(spark, sf_dir, "embeddings")
     queries = vectors.filter(F.col("vec_id") < 10)
     return bucketed_topk(vectors, queries, 5, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: transitive closure of the pair graph.
+# Spark side: iterative min-label propagation (operators/graph.py).
+# Oracle side: DuckDB recursive CTE — label reachability, then MIN per
+# node. Both yield component = min doc_id reachable, so the result is
+# exact, not rows-only, despite being an iterative algorithm.
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_CTE = f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a_id, b_id
+        FROM inter
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    bidir AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN bidir e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    exact-Jaccard(≥0.8) pair graph. Every document (singletons
+    included) gets component = min doc_id in its cluster — the
+    canonical-keeper rule of ``exact_dedup_groups`` lifted to
+    transitive near-dup chains (A~B~C collapses even when A~C scores
+    below threshold)."""
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, 0.8).select("a_id", "b_id")
+    return connected_components(docs.select("doc_id"), pairs)

@@ -111,3 +111,39 @@ def test_numpy_neardup_equals_expression(spark, sf_dir):
     exact = {(r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(v, 0.4).collect()}
     fast = {(r["a_id"], r["b_id"]) for r in embedding_neardup_numpy(v, 0.4).collect()}
     assert exact == fast
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from etl_his_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (transitive closure beyond direct pairs),
+    # triangle 10-11-12, singleton 20
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    from etl_his_spark.operators.graph import connected_components
+
+    # a 40-node path: min label must travel the whole diameter —
+    # exercises path halving (plain propagation would need 40 rounds,
+    # more than max_iter would allow if halving were broken)
+    n = 40
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    out = connected_components(vertices, edges, max_iter=12)
+    assert out.select("component").distinct().collect()[0][0] == 0
+    assert out.count() == n
+    assert out.filter(F.col("component") != 0).count() == 0
