@@ -1,0 +1,133 @@
+"""Second text/statistics batch: keyword extraction, stratified
+sampling, group-wise positional percentiles.
+
+All exact-oracle. Float discipline: the only floating math is IEEE
+division of exact integers (tf/df, cents/100), which is
+correctly-rounded and therefore bit-identical across engines — no ln()
+or pow() whose libm rounding could differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import read_table
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.tok AS token, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) / df.df AS score
+        FROM tf JOIN df ON tf.tok = df.tok
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token
+        ) AS BIGINT) AS rank FROM scored
+    )
+    SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinguishing terms per document, tf-idf style.
+
+    Score is tf/df — rarity-weighted term frequency with exact-integer
+    inputs so the double is cross-engine bit-equal (a log-idf variant
+    would hit libm rounding differences; at ranking time tf/df induces
+    the same order). Plan shape: explode → two grouped counts (token
+    dim is broadcast back) → per-doc top-k window. The window
+    partitions by doc_id, so parallelism holds at corpus scale."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id", "token", "tf", "df",
+            (F.col("tf").cast("double") / F.col("df")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N-per-stratum deterministic sample: 20 orders per
+    priority class, chosen by md5-hash order (reproducible across runs
+    AND engines, unlike rand()). The idiom for balanced eval subsets
+    from a skewed 100 TB corpus: one window shuffle keyed by the
+    stratum, no global sort, no collect."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "stats_p95_group",
+    """
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment, c_acctbal AS p95_acctbal
+    FROM ranked WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+    """,
+)
+def stats_p95_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise positional 95th percentile (percentile_disc
+    semantics): the value at row ceil(0.95*n) in sorted order, exact on
+    both engines — no interpolation, no approx sketch. Complements
+    sketch_approx_quantiles (the at-scale path) with an exact
+    group-partitioned variant whose window parallelizes by stratum."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"))
+        .select("c_mktsegment", F.col("c_acctbal").alias("p95_acctbal"))
+    )
