@@ -17,12 +17,48 @@ renames on the data itself) and scales to any table count.
 
 from __future__ import annotations
 
+import json
+import math
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
+
+
+def _swap_pointer(root: str, payload: str, token: str) -> None:
+    """The single commit point: write-then-rename of the pointer file."""
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f"._pointer_{token}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def resolve_manifest(root: str) -> dict[str, str] | None:
+    """Return the current publish's table→path map, or None.
+
+    The pointer holds a JSON manifest ``{"staging": dir, "tables":
+    {name: path}}``. A manifest makes per-table operations (compaction,
+    single-table refresh) metadata-only for the untouched tables — the
+    new publish references their existing files instead of rewriting
+    them, exactly the Delta/Iceberg snapshot idiom. Legacy plain-path
+    pointers (a bare staging dir) are still resolved by listing it.
+    """
+    current = resolve_current(root)
+    if current is None:
+        return None
+    ptr = os.path.join(root, _POINTER)
+    with open(ptr, encoding="utf-8") as fh:
+        content = fh.read().strip()
+    if content.startswith("{"):
+        return json.loads(content)["tables"]
+    return {
+        name: os.path.join(current, name)
+        for name in os.listdir(current)
+        if not name.startswith("_")
+    }
 
 
 def write_table(
@@ -60,14 +96,13 @@ def publish_atomic(
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{token}")
     partition_by = partition_by or {}
+    paths = {}
     for name, df in tables.items():
-        write_table(df, os.path.join(staging, name), partition_by=partition_by.get(name))
-    # Single commit point: atomic pointer replace.
-    tmp = os.path.join(root, f"._pointer_{token}")
-    os.makedirs(root, exist_ok=True)
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(staging)
-    os.replace(tmp, os.path.join(root, _POINTER))
+        paths[name] = os.path.join(staging, name)
+        write_table(df, paths[name], partition_by=partition_by.get(name))
+    _swap_pointer(
+        root, json.dumps({"staging": staging, "tables": paths}), token
+    )
     return staging
 
 
@@ -82,6 +117,12 @@ def prune_old_publishes(root: str, keep: int = 2) -> list[str]:
     import shutil
 
     current = resolve_current(root)
+    # A staging dir is live if it IS the current publish or if any
+    # table in the current manifest still points into it (possible
+    # after metadata-only compaction carries tables forward).
+    live = {current} if current else set()
+    for path in (resolve_manifest(root) or {}).values():
+        live.add(os.path.dirname(path))
     stagings = sorted(
         (
             os.path.join(root, d)
@@ -94,7 +135,7 @@ def prune_old_publishes(root: str, keep: int = 2) -> list[str]:
     removed = []
     kept = 0
     for path in stagings:
-        if path == current or kept < keep:
+        if path in live or kept < keep:
             kept += 1
             continue
         shutil.rmtree(path, ignore_errors=True)
@@ -103,17 +144,79 @@ def prune_old_publishes(root: str, keep: int = 2) -> list[str]:
 
 
 def resolve_current(root: str) -> str | None:
-    """Return the currently-published staging dir, or None if never published."""
+    """Return the newest publish's staging dir, or None if never
+    published (manifest pointers report their ``staging`` field)."""
     ptr = os.path.join(root, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr, encoding="utf-8") as fh:
-        return fh.read().strip()
+        content = fh.read().strip()
+    if content.startswith("{"):
+        return json.loads(content)["staging"]
+    return content
 
 
 def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
-    """Read table ``name`` from the current publish."""
-    current = resolve_current(root)
-    if current is None:
+    """Read table ``name`` from the current publish (via the manifest,
+    so a table may live in an older staging dir than the pointer's)."""
+    tables = resolve_manifest(root)
+    if tables is None:
         raise FileNotFoundError(f"no publish under {root}")
-    return spark.read.parquet(os.path.join(current, name))
+    if name not in tables:
+        raise FileNotFoundError(f"table {name!r} not in current publish")
+    return spark.read.parquet(tables[name])
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith("_") and not f.startswith(".")
+    )
+
+
+def compact_published(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    target_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Rewrite one published table into ~``target_bytes`` files; all
+    other tables carry over metadata-only.
+
+    Streaming appends (streaming/events.stream_to_published) and
+    frequent small republished batches accumulate small files — the
+    classic scan-killer at 100 TB (every file is an open + a footer
+    read + a task). Compaction reads the current table, coalesces to
+    ceil(bytes/target) output files, writes them as a NEW staging dir,
+    and publishes a manifest whose other tables still point at their
+    existing files. Readers mid-scan keep their snapshot; the pointer
+    swap is the only commit point; a crash leaves the old publish
+    intact. Retention (prune_old_publishes) never removes a staging dir
+    the current manifest still references.
+    """
+    tables = resolve_manifest(root)
+    if tables is None or name not in tables:
+        raise FileNotFoundError(f"table {name!r} not in current publish")
+    src = tables[name]
+    n_files = max(1, math.ceil(_dir_bytes(src) / target_bytes))
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(root, f"_staging_{token}")
+    dst = os.path.join(staging, name)
+    df = spark.read.parquet(src)
+    if partition_by:
+        # files-per-partition is governed by the shuffle; repartition
+        # on the partition columns so each output dir gets few files
+        df = df.repartition(n_files, *partition_by)
+    else:
+        df = df.coalesce(n_files)
+    write_table(df, dst, partition_by=partition_by)
+    new_tables = dict(tables)
+    new_tables[name] = dst
+    _swap_pointer(
+        root, json.dumps({"staging": staging, "tables": new_tables}), token
+    )
+    return dst

@@ -69,6 +69,20 @@ def windowed_counts(
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static dimension enrichment join.
+
+    The streaming side joins a bounded dimension table on ``on``
+    (left join — events with no dim match survive with NULLs, the
+    standard fact-enrichment contract). Spark re-plans the static side
+    each micro-batch, so a dim refreshed in place is picked up without
+    restarting the query; the static side is broadcast when small. This
+    is the streaming analog of the batch pipeline's J1-J9 catalog joins
+    (SURVEY.md §2.3).
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1,0 +1,102 @@
+"""Compaction + manifest-publish protocol tests.
+
+Covers the small-file story: streaming appends / repeated republishes
+accumulate files; compact_published rewrites ONE table into few files
+while every other table carries over metadata-only, and retention
+never deletes a staging dir the manifest still references.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from etl_his_spark.sources.writers import (
+    compact_published,
+    prune_old_publishes,
+    publish_atomic,
+    read_published,
+    resolve_current,
+    resolve_manifest,
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    root = str(tmp_path / "pub")
+    # 40 shuffle partitions -> many small files
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2).repartition(40)
+    publish_atomic({"t": df, "other": spark.range(5)}, root)
+    before_files = _parquet_files(resolve_manifest(root)["t"])
+    assert len(before_files) >= 40
+    before_rows = sorted(
+        tuple(r) for r in read_published(spark, root, "t").collect()
+    )
+
+    dst = compact_published(spark, root, "t", target_bytes=1 << 30)
+    assert len(_parquet_files(dst)) == 1
+    after_rows = sorted(
+        tuple(r) for r in read_published(spark, root, "t").collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_compact_carries_other_tables_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "pub")
+    first_staging = publish_atomic(
+        {"a": spark.range(100), "b": spark.range(7)}, root
+    )
+    compact_published(spark, root, "a", target_bytes=1 << 30)
+
+    manifest = resolve_manifest(root)
+    # b was NOT rewritten: still points into the first staging dir
+    assert manifest["b"].startswith(first_staging)
+    assert manifest["a"].startswith(resolve_current(root))
+    assert read_published(spark, root, "b").count() == 7
+
+    # retention must not delete the old staging while b lives there
+    removed = prune_old_publishes(root, keep=0)
+    assert first_staging not in removed
+    assert read_published(spark, root, "b").count() == 7
+
+
+def test_legacy_plain_pointer_still_readable(spark, tmp_path):
+    root = str(tmp_path / "pub")
+    staging = publish_atomic({"t": spark.range(12)}, root)
+    # rewrite the pointer in the legacy bare-path format
+    with open(os.path.join(root, "_CURRENT"), "w", encoding="utf-8") as fh:
+        fh.write(staging)
+    assert resolve_current(root) == staging
+    assert read_published(spark, root, "t").count() == 12
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    root = str(tmp_path / "pub")
+    df = (
+        spark.range(0, 2_000)
+        .withColumn("bucket", (F.col("id") % 4).cast("int"))
+        .repartition(16)
+    )
+    publish_atomic({"t": df}, root, partition_by={"t": ["bucket"]})
+    dst = compact_published(
+        spark, root, "t", target_bytes=1 << 30, partition_by=["bucket"]
+    )
+    # partition layout preserved, rows intact
+    assert sorted(os.listdir(dst) + []).count("bucket=0") + sorted(
+        os.listdir(dst)
+    ).count("bucket=1") >= 0
+    got = read_published(spark, root, "t")
+    assert got.count() == 2_000
+    assert {r.bucket for r in got.select("bucket").distinct().collect()} == {
+        0, 1, 2, 3,
+    }
+    assert any(d.startswith("bucket=") for d in os.listdir(dst))

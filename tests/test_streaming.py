@@ -182,3 +182,33 @@ def test_stream_to_published_atomic(spark, sf_dir, events_dir, tmp_path_factory)
     )
     q2.awaitTermination()
     assert read_published(spark, root, "hourly_counts").count() == n1
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    from etl_his_spark.streaming.events import enrich_with_dim
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = enrich_with_dim(
+        stream_events(spark, events_dir).select("event_id", "user_id"), dim,
+        "user_id",
+    )
+    run_to_memory(stream, "enriched")
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT event_id, segment FROM enriched").collect()
+    }
+    batch = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    expect = {
+        (r.event_id, r.segment)
+        for r in batch.join(dim, "user_id", "left").collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+    # the left join must keep dim-miss events (NULL segment) if any exist
+    assert len({e for e, s in expect}) == batch.count()
