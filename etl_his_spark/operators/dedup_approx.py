@@ -24,6 +24,8 @@ engine-private hash (xxhash64, hash()) is used anywhere parity matters.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,10 +82,29 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     )
 
 
+def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Parallelize CPU-bound per-doc map work over all cores when the
+    source collapsed to a few input partitions.
+
+    Parquet splits at row-group granularity, so a small corpus file
+    becomes ONE task no matter how many cores exist — and the md5/
+    tokenize map work of the dedup family then runs serially. This
+    repartitions (tiny shuffle of raw text) only when partitions <
+    cores; at 100 TB the input already arrives in thousands of splits
+    and this is a no-op — the branch exists precisely so the fix for
+    small inputs cannot hurt large ones.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct (doc, shingle) pairs — the inverted-index input."""
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("shingle"))
+        spread_small_input(docs)
+        .select(F.col(id_col), F.explode(word_shingles(text_col)).alias("shingle"))
         .distinct()
     )
 
@@ -356,36 +377,39 @@ def simhash_signatures(
 ) -> DataFrame:
     """60-bit SimHash per doc: term-frequency-weighted bit votes.
 
-    tokens → 60-bit hash → per-bit ±count votes → majority bit →
-    packed signature. All shuffles key on (doc, bit) — linear.
+    Single-shuffle formulation: tokens → 60-bit hash per occurrence →
+    ONE groupBy(doc) computing all 60 bit-votes as wide conditional
+    sums (map-side partial agg) → pack in a codegen'd select.
+
+    Each occurrence votes ±1 on each bit, which equals the ±tf vote of
+    the distinct-token formulation (Σ_occurrences ±1 = Σ_distinct ±tf),
+    so results are identical to the previous (doc,token)-grouped,
+    60×-exploded version — this one just skips the 60× row blowup and
+    two of the three shuffles. 60 aggregate expressions stay inside
+    whole-stage codegen; at 100 TB the only shuffle is keyed on doc_id.
     """
     c = F.col(text_col)
-    words = docs.select(
+    words = spread_small_input(docs).select(
         F.col(id_col), F.explode(F.split(F.trim(c), " ")).alias("token")
-    )
-    counted = words.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
-    hashed = counted.withColumn("h", seeded_hash60(F.col("token")))
-    bits = hashed.select(
-        id_col,
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    ).withColumn(
-        "vote",
-        # shiftright/shiftleft builtins need a literal shift amount, so
-        # the per-row shift goes through expr()
-        F.when(
-            F.expr("(h >> j) & 1") == 1,
-            F.col("cnt"),
-        ).otherwise(-F.col("cnt")),
-    )
-    votes = bits.groupBy(id_col, "j").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
+    ).withColumn("h", seeded_hash60(F.col("token")))
+    votes = [
         F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    packed = reduce(
+        lambda a, b: a + b,
+        (
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ),
+    )
+    return (
+        words.groupBy(id_col)
+        .agg(*votes)
+        .select(F.col(id_col), packed.alias("simhash"))
     )
 
 
