@@ -28,12 +28,59 @@ _POINTER = "_CURRENT"
 
 
 def _swap_pointer(root: str, payload: str, token: str) -> None:
-    """The single commit point: write-then-rename of the pointer file."""
+    """The single commit point: write-then-rename of the pointer file.
+
+    Also archives the manifest as ``_manifest_{token}.json`` BEFORE the
+    swap — the commit history that powers snapshot reads/time travel.
+    An archive with no pointer swap (crash between the two writes) is
+    an invisible orphan, never a torn publish.
+    """
     os.makedirs(root, exist_ok=True)
+    if payload.startswith("{"):
+        with open(
+            os.path.join(root, f"_manifest_{token}.json"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(payload)
     tmp = os.path.join(root, f"._pointer_{token}")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(payload)
     os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def list_publishes(root: str) -> list[dict]:
+    """Commit history, oldest→newest: ``{token, staging, tables}`` per
+    publish (compactions included — they are commits too)."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        if name.startswith("_manifest_") and name.endswith(".json"):
+            with open(os.path.join(root, name), encoding="utf-8") as fh:
+                m = json.load(fh)
+            m["token"] = name[len("_manifest_"):-len(".json")]
+            out.append(m)
+    out.sort(key=lambda m: os.path.getmtime(
+        os.path.join(root, f"_manifest_{m['token']}.json")
+    ))
+    return out
+
+
+def read_published_at(
+    spark: SparkSession, root: str, name: str, token: str
+) -> DataFrame:
+    """Time travel: read table ``name`` as of publish ``token``.
+
+    Works as long as retention hasn't pruned the staging dirs that
+    snapshot references — the same contract as Delta's VACUUM horizon.
+    """
+    path = os.path.join(root, f"_manifest_{token}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no publish {token!r} under {root}")
+    with open(path, encoding="utf-8") as fh:
+        tables = json.load(fh)["tables"]
+    if name not in tables:
+        raise FileNotFoundError(f"table {name!r} not in publish {token!r}")
+    return spark.read.parquet(tables[name])
 
 
 def resolve_manifest(root: str) -> dict[str, str] | None:
@@ -140,6 +187,11 @@ def prune_old_publishes(root: str, keep: int = 2) -> list[str]:
             continue
         shutil.rmtree(path, ignore_errors=True)
         removed.append(path)
+    # drop snapshot manifests whose own staging dir is gone — those
+    # snapshots are no longer readable (the VACUUM horizon)
+    for m in list_publishes(root):
+        if m["staging"] in removed:
+            os.remove(os.path.join(root, f"_manifest_{m['token']}.json"))
     return removed
 
 

@@ -100,3 +100,37 @@ def test_compact_partitioned_table(spark, tmp_path):
         0, 1, 2, 3,
     }
     assert any(d.startswith("bucket=") for d in os.listdir(dst))
+
+
+def test_time_travel_across_publishes(spark, tmp_path):
+    from etl_his_spark.sources.writers import list_publishes, read_published_at
+
+    root = str(tmp_path / "pub")
+    publish_atomic({"t": spark.range(10)}, root)
+    publish_atomic({"t": spark.range(99)}, root)
+    history = list_publishes(root)
+    assert len(history) == 2
+    first, second = history[0]["token"], history[1]["token"]
+    assert read_published_at(spark, root, "t", first).count() == 10
+    assert read_published_at(spark, root, "t", second).count() == 99
+    # current == newest snapshot
+    assert read_published(spark, root, "t").count() == 99
+    # compaction is a commit in the history too
+    compact_published(spark, root, "t", target_bytes=1 << 30)
+    assert len(list_publishes(root)) == 3
+    assert read_published_at(spark, root, "t", first).count() == 10
+
+
+def test_prune_drops_unreadable_snapshots(spark, tmp_path):
+    from etl_his_spark.sources.writers import list_publishes
+
+    root = str(tmp_path / "pub")
+    publish_atomic({"t": spark.range(10)}, root)
+    publish_atomic({"t": spark.range(20)}, root)
+    publish_atomic({"t": spark.range(30)}, root)
+    assert len(list_publishes(root)) == 3
+    removed = prune_old_publishes(root, keep=2)  # current counts toward keep
+    assert len(removed) == 1
+    left = list_publishes(root)
+    assert len(left) == 2  # pruned snapshot's manifest dropped with it
+    assert read_published(spark, root, "t").count() == 30
