@@ -131,3 +131,31 @@ def stats_p95_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"))
         .select("c_mktsegment", F.col("c_acctbal").alias("p95_acctbal"))
     )
+
+
+@register(
+    "window_dist_functions",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile buckets, percent_rank,
+    cume_dist — per market segment. Both engines derive the doubles as
+    (rank-1)/(n-1) and rows≤current/n from exact integers: IEEE
+    division keeps them bit-equal, no rounding fudge needed. The
+    deterministic (value, key) sort makes ntile assignment unambiguous
+    under ties."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
