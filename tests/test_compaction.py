@@ -134,3 +134,29 @@ def test_prune_drops_unreadable_snapshots(spark, tmp_path):
     left = list_publishes(root)
     assert len(left) == 2  # pruned snapshot's manifest dropped with it
     assert read_published(spark, root, "t").count() == 30
+
+
+def test_partition_pruning_reads_only_matching_dirs(spark, sf_dir, tmp_path):
+    """write_table(partition_by=...) is the reference's index analog
+    (Builder.php:90 turno(fecha) index) — prove the pruning actually
+    happens: a filtered read touches ONLY the matching partition dirs."""
+    from etl_his_spark.sources.writers import write_table
+
+    out = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_table(
+        o.withColumn("anio", F.year("o_orderdate")), out, partition_by=["anio"]
+    )
+    pruned = spark.read.parquet(out).filter(F.col("anio") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the filter must land in the scan's PartitionFilters (dir-level
+    # pruning), not as a post-scan data filter
+    assert "PartitionFilters" in plan and "anio" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    expect = (
+        o.filter(F.year("o_orderdate") == 1996).count()
+    )
+    assert pruned.count() == expect and expect > 0
+    # and the dataset genuinely has more than one year on disk
+    assert len([d for d in os.listdir(out) if d.startswith("anio=")]) > 1
