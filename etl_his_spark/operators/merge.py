@@ -1,0 +1,70 @@
+"""Row-level table maintenance: key-wise MERGE (upsert) and SCD2.
+
+The reference's load is full-reload-only (SURVEY.md §2.1 S4: drop
+schema + reinsert everything, Builder.php:45-58). At 100 TB a full
+reload is not an option — the engine needs the lakehouse verbs:
+
+- ``merge_upsert``: MERGE INTO semantics for whole-row updates —
+  matched target rows are replaced by their update row, unmatched
+  update rows are inserted, everything else is carried over. One
+  left-anti join (hash, keyed on the merge key) + a union: no window,
+  no global ordering, broadcastable when the update batch is small
+  (the common case — daily delta into a huge table).
+- ``scd2_from_events``: derive a type-2 slowly-changing dimension
+  (validity intervals) from a change/event stream with one ``lead()``
+  window per key — the standard warehouse history table.
+
+Combined with the manifest publish protocol (sources/writers.py) a
+MERGE result is published atomically: compute merged frame → publish →
+pointer swap; readers never see a half-merged table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Whole-row MERGE: update rows win on key match, insert otherwise.
+
+    ``updates`` must carry the full target schema (whole-row semantics,
+    like ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *``). Duplicate keys within ``updates`` are the
+    caller's contract to avoid, as in SQL MERGE (nondeterministic
+    otherwise).
+    """
+    return target.join(updates, keys, "left_anti").unionByName(updates)
+
+
+def merge_delete(
+    target: DataFrame, deletes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Key-wise DELETE: drop target rows whose key appears in
+    ``deletes`` (one anti join; ``deletes`` needs only the key cols)."""
+    return target.join(deletes.select(*keys), keys, "left_anti")
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    ts_col: str,
+    tie_break: str,
+) -> DataFrame:
+    """Type-2 SCD: one validity interval per observed version.
+
+    Each event row is a version of the entity's attributes effective at
+    ``ts_col``; ``valid_to`` is the next version's timestamp (NULL for
+    the current version). One ``lead()`` window partitioned by the
+    entity key — parallel across entities, no global sort.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tie_break))
+    return events.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )

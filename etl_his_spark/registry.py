@@ -55,3 +55,4 @@ from .plans import corpus_pipeline  # noqa: E402,F401
 from .plans import queries_incremental  # noqa: E402,F401
 from .plans import queries_bench  # noqa: E402,F401
 from .plans import queries_text2  # noqa: E402,F401
+from .plans import queries_lakehouse  # noqa: E402,F401
