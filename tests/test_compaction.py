@@ -160,3 +160,27 @@ def test_partition_pruning_reads_only_matching_dirs(spark, sf_dir, tmp_path):
     assert pruned.count() == expect and expect > 0
     # and the dataset genuinely has more than one year on disk
     assert len([d for d in os.listdir(out) if d.startswith("anio=")]) > 1
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, sf_dir, tmp_path):
+    """DPP: joining a partitioned fact to a FILTERED dim must prune the
+    fact's partitions at runtime via the dim's keys (the mechanism that
+    turns a date-dim filter into a fact scan skip at 100 TB)."""
+    from etl_his_spark.sources.writers import write_table
+
+    out = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_table(
+        o.withColumn("anio", F.year("o_orderdate")), out, partition_by=["anio"]
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        o.select(F.year("o_orderdate").alias("anio"))
+        .distinct()
+        .filter(F.col("anio").isin(1996, 1997))
+    )
+    joined = fact.join(dim, "anio")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
+    expect = o.filter(F.year("o_orderdate").isin(1996, 1997)).count()
+    assert joined.count() == expect and expect > 0
