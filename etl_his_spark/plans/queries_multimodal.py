@@ -14,9 +14,24 @@ from ..sources.readers import read_table
 @register("multimodal_features")  # no oracle: mapInPandas over binary
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow-batched feature extraction
-    (deterministic stub decoder; real plumbing)."""
+    (deterministic stub decoder; real plumbing).
+
+    The ``features array<double>`` column is projected to a stable
+    scalar encoding (comma-joined %.6f renderings) because the driver's
+    rows-only canonicalizer sorts/hashes cell values and cannot hash
+    Python lists. The operator itself still returns the real array; only
+    this contract query flattens it.
+    """
     media = attach_fake_media(read_table(spark, sf_dir, "documents"))
-    return decode_media(media, allow_fake=True)
+    decoded = decode_media(media, allow_fake=True)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_enc"),
+    )
 
 
 @register("multimodal_frame_sample")  # no oracle: 1:N binary fan-out

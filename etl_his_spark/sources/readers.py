@@ -29,7 +29,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as nanos-since-epoch and is converted here to a microsecond
     TimestampType by integer division (same ns→µs truncation DuckDB
     applies when reading the file).
+
+    The conf is set here on the *passed-in* session (runtime-settable),
+    not only in the session factory: callers — including external
+    harnesses — hand us arbitrary SparkSessions that never went through
+    ``session.get_spark``, and without the conf the scan dies with
+    PARQUET_TYPE_ILLEGAL before any plan is built.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
