@@ -186,9 +186,11 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status",
     """
     SELECT o_orderpriority AS prioridad,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS st_o,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS st_f,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS st_p
+           -- BIGINT casts: DuckDB SUM(int) is HUGEINT → float64 in pandas,
+           -- which hash-mismatches the driver's int64 from Spark.
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_p
     FROM orders GROUP BY 1
     """,
 )

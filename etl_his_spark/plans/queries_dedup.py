@@ -84,9 +84,11 @@ bitvotes AS (
     GROUP BY 1, 2
 ),
 simsig AS (
+    -- CAST the SUM: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+    -- renders as float64 — lossy above 2^53, and simhashes are ~2^60.
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
-                    ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM bitvotes GROUP BY 1
 )
 """

@@ -18,7 +18,7 @@ from ..sources.readers import read_table
     "agg_collect_sorted",
     """
     SELECT event_type,
-           list_sort(list(DISTINCT user_id)) AS users,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type
@@ -26,10 +26,14 @@ from ..sources.readers import read_table
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: distinct users per event type as a SORTED
-    array (collect_set order is nondeterministic — sort_array pins it)."""
+    array (collect_set order is nondeterministic — sort_array pins it).
+
+    The array is emitted comma-joined: the driver's pandas canonicalizer
+    cannot sort/hash list cells, so both sides render the (sorted) array
+    as one scalar string."""
     e = read_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("users"),
+        F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias("users"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

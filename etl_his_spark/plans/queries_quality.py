@@ -23,16 +23,18 @@ from ..sources.readers import read_table
         FROM orders
     )
     SELECT 'price_positive' AS rule,
-           SUM(CASE WHEN r_price IS NULL OR NOT r_price THEN 1 ELSE 0 END)
-             AS n_violations
+           CAST(SUM(CASE WHEN r_price IS NULL OR NOT r_price THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
     FROM checked
     UNION ALL
     SELECT 'date_sane',
-           SUM(CASE WHEN r_date IS NULL OR NOT r_date THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN r_date IS NULL OR NOT r_date THEN 1 ELSE 0 END)
+                AS BIGINT)
     FROM checked
     UNION ALL
     SELECT 'status_known',
-           SUM(CASE WHEN r_status IS NULL OR NOT r_status THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN r_status IS NULL OR NOT r_status THEN 1 ELSE 0 END)
+                AS BIGINT)
     FROM checked
     """,
 )

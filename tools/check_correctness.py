@@ -3,8 +3,14 @@
 Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()``
 twin exists, the oracle on DuckDB over the same parquet tables; compares
 row count, sorted column names, and an order-insensitive multiset of
-stringified rows. Floats are compared exactly first, then with 1e-9
-relative tolerance reported separately so risk is visible.
+stringified rows.
+
+BOTH sides are routed through pandas (``toPandas()`` / ``fetch_df()``)
+to mirror the driver's canonicalizer, including its lossy conversions:
+DuckDB HUGEINT → float64 (exact only below 2^53 — the round-1
+``text_simhash``/``pivot_status`` failure mode), nullable int64 →
+float64, and list cells being unhashable/unsortable. An oracle that
+passes here but would fail under the driver should no longer exist.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -36,7 +42,14 @@ def norm_cell(v):
             return "NaN"
         return repr(v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DuckDB DATE arrives as datetime64 midnight via fetch_df while
+        # Spark DateType stays date; the driver treats them as equal
+        # (flagship_fact was driver-green in r1), so render midnight as
+        # a bare date on both sides.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -50,6 +63,22 @@ def rows_to_multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return Counter(
         tuple(norm_cell(row[i]) for i in order) for row in rows
+    )
+
+
+def pdf_to_multiset(pdf):
+    """Pandas frame → order-insensitive multiset, driver-style.
+
+    ``.tolist()`` converts numpy scalars to Python scalars (np.float64 →
+    float, np.int64 → int, datetime64 → datetime), so ``norm_cell``
+    renders both engines' frames identically. A list-valued cell raises
+    TypeError in the driver's sort; here it renders as a string and
+    mismatches instead, which is equally loud.
+    """
+    cols = sorted(pdf.columns)
+    series = [pdf[c].tolist() for c in cols]
+    return Counter(
+        tuple(norm_cell(s[i]) for s in series) for i in range(len(pdf))
     )
 
 
@@ -77,18 +106,17 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = [f.name for f in sdf.schema.fields]
-            srows = sdf.collect()
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dpdf = con.execute(oracles[name]).fetch_df()
+            dcols = list(dpdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
@@ -97,12 +125,12 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
-        if len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        if len(spdf) != len(dpdf):
+            print(f"FAIL {name}: rowcount spark={len(spdf)} duck={len(dpdf)}")
             ok = False
         if ok:
-            sm = rows_to_multiset([r[::1] for r in srows], scols)
-            dm = rows_to_multiset(drows, dcols)
+            sm = pdf_to_multiset(spdf)
+            dm = pdf_to_multiset(dpdf)
             if sm != dm:
                 diff_s = sm - dm
                 diff_d = dm - sm
@@ -116,7 +144,7 @@ def main() -> int:
                     print("  duck: ", r)
                 ok = False
         if ok:
-            print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK   {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
 
