@@ -421,9 +421,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their SimHashes.
 
-    All-pairs here (fine at test scale); the scale path blocks on
-    signature prefixes (pigeonhole: distance ≤ k → some k+1-way prefix
-    chunk matches exactly) before the Hamming filter.
+    All-pairs nested loop — kept ONLY as the equivalence baseline for
+    ``simhash_pairs_blocked`` (which is output-identical by pigeonhole
+    and is the registered default). Do not use at scale.
     """
     sig = simhash_signatures(docs, id_col, text_col).persist()
     a = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
@@ -431,6 +431,71 @@ def simhash_pairs(
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def simhash_pairs_blocked(
+    docs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs within Hamming ≤ max_hamming — LOSSLESS chunk blocking.
+
+    Pigeonhole: split the 60-bit signature into ``max_hamming + 1``
+    disjoint chunks; two signatures differing in ≤ max_hamming bits
+    must agree EXACTLY on at least one chunk (Manku et al.'s
+    web-crawl dedup scheme, re-expressed as DataFrame joins). So
+    candidates come from an equi-join on (chunk index, chunk value) —
+    no cartesian anywhere — and the exact Hamming filter only runs on
+    candidates. Output is provably identical to ``simhash_pairs``,
+    which is why the registered query keeps the unchanged all-pairs
+    oracle.
+
+    Scale note: selectivity per chunk is 2^width buckets; wider chunks
+    (smaller max_hamming, or longer signatures) prune harder. The
+    shuffles are all keyed equi-joins, so a 1000-executor cluster
+    partitions cleanly by chunk value.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    n_chunks = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base + 1 if i < extra else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("c"),
+                F.expr(
+                    f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1}"
+                ).alias("v"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ch")
+    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = exploded.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"), "c", "v"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"), "c", "v"
+    )
+    # Signatures ride along the explode (8 bytes/row) so candidates
+    # need no join back to sig; distinct collapses multi-chunk hits.
+    cand = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)

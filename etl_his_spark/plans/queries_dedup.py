@@ -22,13 +22,13 @@ from ..operators.dedup_approx import (
     jaccard_pairs,
     jaccard_pairs_prefix,
     minhash_lsh_candidates,
-    simhash_pairs,
+    simhash_pairs_blocked,
     simhash_signatures,
 )
 from ..operators.similarity import (
+    banded_neardup_pairs,
     brute_force_topk,
     bucketed_topk,
-    embedding_neardup_pairs,
 )
 from ..registry import register
 from ..sources.readers import read_table
@@ -126,15 +126,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs ≥ 0.8 via inverted shingle index.
+    """Exact word-3-gram Jaccard pairs ≥ 0.8, prefix-filtered.
 
-    Two implementations exist, proven output-identical (this oracle ran
-    against both; tests check 3 thresholds): the plain inverted-index
-    join used here — fastest while posting lists are short — and
-    ``jaccard_pairs_prefix`` (rarest-shingle prefix filtering + exact
-    verify), the shape to switch to when posting-list squares dominate
-    (large corpora / skewed shingles)."""
-    return jaccard_pairs(read_table(spark, sf_dir, "documents"), 0.8)
+    The registered default is ``jaccard_pairs_prefix`` (rarest-shingle
+    prefix filtering + exact verify): output-identical to the plain
+    inverted-index join — this unchanged naive oracle is the proof —
+    but without the posting-list-square blowup on skewed shingles, so
+    it is the shape that survives a 100× corpus. The naive
+    ``jaccard_pairs`` remains available for small inputs."""
+    return jaccard_pairs_prefix(read_table(spark, sf_dir, "documents"), 0.8)
 
 
 @register(
@@ -193,8 +193,12 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 8 of 60 bits)."""
-    return simhash_pairs(read_table(spark, sf_dir, "documents"), 8)
+    """SimHash near-dup pairs (Hamming ≤ 8 of 60 bits).
+
+    Default is the pigeonhole-blocked formulation (equi-join on 9-way
+    signature chunks — no cartesian); it is provably output-identical
+    to all-pairs, which the unchanged all-pairs oracle verifies."""
+    return simhash_pairs_blocked(read_table(spark, sf_dir, "documents"), 8)
 
 
 # ---------------------------------------------------------------------------
@@ -206,20 +210,52 @@ v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 """
 
 
+# Sign-band pattern SQL for band i over dims [i*4+1 .. i*4+4] — must
+# mirror operators.similarity.sign_band bit for bit.
+def _band_pat_sql(band: int, bits: int = 4) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN e[{band * bits + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return terms
+
+
+_NEARDUP_BANDS_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT vec_id, {i} AS band, {_band_pat_sql(i)} AS pat FROM v"
+    for i in range(4)
+)
+
+
 @register(
     "embedding_neardup",
     f"""
-    WITH {_VECS_CTE}
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round(list_cosine_similarity(a.e, b.e), 6) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    WITH {_VECS_CTE},
+    bands AS (
+        {_NEARDUP_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.pat = b.pat
+                     AND a.vec_id < b.vec_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(va.e, vb.e), 6) AS sim
+    FROM cand c
+    JOIN v va ON va.vec_id = c.a_id
+    JOIN v vb ON vb.vec_id = c.b_id
+    WHERE list_cosine_similarity(va.e, vb.e) >= 0.4
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors by cosine ≥ 0.4 (exact all-pairs
-    baseline; sign-bucket blocking is the scale path)."""
-    return embedding_neardup_pairs(read_table(spark, sf_dir, "embeddings"), 0.4)
+    """Near-dup candidate pairs: cosine ≥ 0.4 among pairs sharing ≥ 1
+    of 4 sign-LSH bands (the scale path — keyed equi-joins only, like
+    ``dedup_minhash_lsh``). The oracle mirrors the banding; the
+    exact all-pairs ground truth stays in tests, where recall of the
+    blocking is measured."""
+    return banded_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"), 0.4, n_bands=4, band_bits=4
+    )
 
 
 @register(

@@ -147,3 +147,56 @@ def test_connected_components_long_path_converges(spark):
     assert out.select("component").distinct().collect()[0][0] == 0
     assert out.count() == n
     assert out.filter(F.col("component") != 0).count() == 0
+
+
+def test_simhash_blocked_equals_allpairs(spark, sf_dir):
+    """Pigeonhole blocking is lossless: blocked output == all-pairs
+    output, at multiple Hamming radii, on real testdata."""
+    from etl_his_spark.operators.dedup_approx import (
+        simhash_pairs,
+        simhash_pairs_blocked,
+    )
+    from etl_his_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for k in (2, 8):
+        naive = sorted(map(tuple, simhash_pairs(docs, k).collect()))
+        blocked = sorted(map(tuple, simhash_pairs_blocked(docs, k).collect()))
+        assert naive == blocked, k
+
+
+def test_banded_neardup_subset_and_recall(spark, sf_dir):
+    """Banded sign-LSH near-dup: every reported pair is a true pair
+    with its exact cosine (no false positives), and blocking keeps a
+    usable fraction of the truth even at the loose 0.4 threshold.
+    Identical vectors (sim 1.0) are always retained — all bands agree."""
+    from etl_his_spark.operators.similarity import (
+        banded_neardup_pairs,
+        embedding_neardup_pairs,
+    )
+    from etl_his_spark.sources.readers import read_table
+
+    v = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in embedding_neardup_pairs(v, 0.4).collect()
+    }
+    banded = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in banded_neardup_pairs(v, 0.4).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, sim in banded.items():
+        assert sim == exact[pair]
+    assert len(banded) >= 0.4 * len(exact)
+    # a duplicated vector must collide on every band
+    base = v.select("vec_id", "embedding")
+    dup = base.filter(F.col("vec_id") == 0).select(
+        F.lit(10_000_000).alias("vec_id"), F.col("embedding")
+    )
+    with_dup = base.union(dup)
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in banded_neardup_pairs(with_dup, 0.99).collect()
+    }
+    assert (0, 10_000_000) in pairs

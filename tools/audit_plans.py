@@ -42,12 +42,11 @@ SINGLE_PARTITION_ALLOW = {
     "tpch_q22_dormant",      # 1-row scalar AVG (then broadcast)
 }
 
-# Cartesian/nested-loop allowed: all-pairs similarity baselines with a
-# documented bucketed/blocked scale path.
+# Cartesian/nested-loop allowed: explicitly-named exact baselines only.
+# embedding_neardup and dedup_simhash_pairs moved to blocked equi-join
+# defaults in round 2 and are no longer allowed a cartesian plan.
 CROSS_JOIN_ALLOW = {
-    "embedding_neardup",
     "ann_topk_bruteforce",
-    "dedup_simhash_pairs",
     "fuzzy_name_match",
     "bench_embedding_neardup_numpy",
     # 1-row scalar-subquery broadcasts (constant-size build side — the
