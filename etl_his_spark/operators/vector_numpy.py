@@ -3,9 +3,9 @@
 The expression-based cosine (functions/vector.py) is exact and
 oracle-parity-stable, but Spark's higher-order array functions are
 interpreted per element — fine for correctness gates, slow for bulk
-similarity. This module is the documented scale path: mapInPandas
-batches → numpy matrix products (BLAS), ~10-100× the per-element
-expression throughput.
+similarity. This module is the documented scale path: Arrow batches →
+numpy matrix products (BLAS), ~10-100× the per-element expression
+throughput.
 
 Trade-off, stated explicitly: numpy's pairwise summation produces
 slightly different low-order float bits than the sequential fold, so
@@ -15,8 +15,6 @@ real similarity threshold.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -39,42 +37,76 @@ def embedding_neardup_numpy(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All near-dup pairs (cosine ≥ threshold) via blocked matrix products.
+    """All near-dup pairs (cosine ≥ threshold) via block-matrix products.
 
-    The full normalized matrix is broadcast to every task (embeddings
-    are the small side by definition here — for corpus-scale inputs the
-    sign-bucket blocking from similarity.py shards this per bucket);
-    each partition computes its rows' products against the broadcast
-    block with one BLAS call per batch.
+    Fully distributed — nothing is collected to the driver. Vectors are
+    hashed into ``n_blocks`` row blocks; every unordered block pair
+    (i ≤ j) becomes one task holding only its two sub-blocks
+    (~2·N/n_blocks vectors), which one BLAS call multiplies. Each
+    vector is shipped to n_blocks tasks, so shuffle volume is
+    N·n_blocks rows while per-task memory shrinks as N/n_blocks —
+    pick n_blocks ~ √(N·d / task_mem) at corpus scale and no executor
+    ever materializes the full matrix. Output pairs are canonicalized
+    to a_id < b_id, matching the expression-based operator exactly
+    (up to the documented low-order float bits).
     """
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    order = np.argsort(ids)  # searchsorted below needs sorted ids
-    ids, mat = ids[order], mat[order]
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     spark = vectors.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    if n_blocks is None:
+        n_blocks = max(spark.sparkContext.defaultParallelism // 4, 4)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in it:
-            ridx = all_ids.searchsorted(pdf[id_col].to_numpy())
-            block = all_mat[ridx]
-            sims = block @ all_mat.T  # one BLAS call per batch
-            out_a, out_b, out_s = [], [], []
-            my_ids = pdf[id_col].to_numpy()
-            for i, aid in enumerate(my_ids):
-                mask = (sims[i] >= threshold) & (all_ids > aid)
-                for bid, s in zip(all_ids[mask], sims[i][mask]):
-                    out_a.append(aid)
-                    out_b.append(bid)
-                    out_s.append(round(float(s), 6))
-            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "sim": out_s})
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
+    )
+    # Replicate each vector to every block pair it participates in:
+    # block k joins pairs (min(k,j), max(k,j)) for all j.
+    pair_structs = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("blk"), F.lit(j)).alias("bi"),
+                    F.greatest(F.col("blk"), F.lit(j)).alias("bj"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+    )
+    replicated = v.select(
+        "vid", "vec", "blk", F.explode(pair_structs).alias("p")
+    ).select("vid", "vec", "blk", F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"))
 
-    return vectors.select(id_col).repartition(
-        max(spark.sparkContext.defaultParallelism, 8)
-    ).mapInPandas(batches, PAIRS_SCHEMA)
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        blk = pdf["blk"].to_numpy()
+        if bi == bj:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.flatnonzero(blk == bi)
+            b_idx = np.flatnonzero(blk == bj)
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "sim": np.float64}
+            )
+        sims = mat[a_idx] @ mat[b_idx].T  # one BLAS call per block pair
+        ai, bi_ = np.nonzero(sims >= threshold)
+        a_ids = ids[a_idx][ai]
+        b_ids = ids[b_idx][bi_]
+        if bi == bj:
+            # full symmetric matrix: keep one triangle (drops self pairs)
+            keep = a_ids < b_ids
+            a_ids, b_ids = a_ids[keep], b_ids[keep]
+            s = np.round(sims[ai, bi_][keep], 6)
+        else:
+            # each cross pair appears once — canonicalize order, drop none
+            s = np.round(sims[ai, bi_], 6)
+            a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "sim": s})
+
+    return replicated.groupBy("bi", "bj").applyInPandas(block_pairs, PAIRS_SCHEMA)
