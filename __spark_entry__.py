@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_his_spark.registry import ORACLES, QUERIES
+from etl_his_spark.registry import ORACLES, ordered_queries
 from etl_his_spark.plans.flagship import flagship_fact
 
 
@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

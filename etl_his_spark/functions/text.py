@@ -96,14 +96,15 @@ def word_token_count(col: Column | str) -> Column:
     via split (JVM regex, codegen-friendly).
     """
     c = F.col(col) if isinstance(col, str) else col
-    # count of alphanumeric runs + count of non-space/non-alnum chars
-    alnum_runs = F.size(F.split(F.trim(c), r"[^A-Za-z0-9]+")) - F.when(
-        F.trim(c).rlike(r"^[^A-Za-z0-9]"), F.lit(0)
-    ).otherwise(F.lit(0))
-    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
-    return F.when(c.isNull(), F.lit(0)).otherwise(
-        F.greatest(alnum_runs, F.lit(0)) + punct
+    # Count of alphanumeric runs + count of non-space/non-alnum chars.
+    # Splitting on non-alnum runs yields empty head/tail elements when
+    # the text starts/ends with punctuation (and [""] for empty text),
+    # so count only NON-EMPTY elements — uniform, no edge arithmetic.
+    alnum_runs = F.size(
+        F.filter(F.split(F.trim(c), r"[^A-Za-z0-9]+"), lambda x: x != "")
     )
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(c.isNull(), F.lit(0)).otherwise(alnum_runs + punct)
 
 
 _STOPWORDS_EN = [

@@ -99,13 +99,24 @@ def asof_join(
     markers, a per-key window ordered by (ts, is_left) carries the most
     recent right values onto each left row. Right rows at exactly
     left_ts DO match (<=): markers sort before left rows on ties.
+
+    All value columns are carried as ONE struct per right row, so every
+    value comes from the SAME latest preceding right row — including
+    its legitimately-NULL fields. (Carrying columns independently with
+    last(ignorenulls) would skip a NULL field in favor of an older
+    row's value and could mix columns from different right rows.)
     """
+    import pyspark.sql.types as T
+
     lcols = left.columns
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     tagged_left = left.select(
         *lcols,
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     tagged_right = right.select(
         *[
@@ -116,7 +127,7 @@ def asof_join(
         ],
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -127,12 +138,14 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__is_left",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            *lcols, *[F.col(f"__r.{c}").alias(c) for c in value_cols]
+        )
+    )
 
 
 def range_join_count(

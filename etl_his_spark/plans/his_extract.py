@@ -133,6 +133,10 @@ def extract_wide(t: dict[str, DataFrame]) -> DataFrame:
         usuario_nombre_concat(F.col("per.Nombres"), F.col("per.Apellido")).alias(
             "usuario_alta_nombre"
         ),
+        # 28th reference column (Command.php:277): the LOGIN NAME — this,
+        # not the concat display name, is what the load consumes as
+        # usuario_alta (Command.php:164).
+        F.col("usu.NombreInicioSesion").alias("usuario_alta_usuario"),
     ] + [
         F.col(f"pres{i}.Nombre").alias(f"prestacion{i}")
         for i in range(len(PRESTACION_SLOT_COLUMNS))

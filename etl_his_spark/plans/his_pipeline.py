@@ -98,7 +98,10 @@ def build_turno(wide_ids: DataFrame, paciente: DataFrame) -> DataFrame:
         F.col("turno_sobreturno").alias("sobreturno"),
         F.col("turno_estado").alias("estado"),
         F.col("turnos_fecha_alta").alias("fecha_alta"),
-        F.col("usuario_alta_nombre").alias("usuario_alta"),
+        # Command.php:164 loads usuario_alta_usuario (the login name),
+        # NOT the Nombres+Apellido display concat — which exists only as
+        # a projection-parity column in the extraction.
+        F.col("usuario_alta_usuario").alias("usuario_alta"),
     )
 
 

@@ -159,3 +159,30 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@register(
+    "text_word_tokens",
+    r"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN 0 ELSE
+             CAST(len(list_filter(
+                 string_split_regex(trim(text), '[^A-Za-z0-9]+'),
+                 x -> x <> '')) AS BIGINT)
+             + CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                    AS BIGINT)
+           END AS n_word_tokens
+    FROM documents
+    """,
+)
+def text_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate per document: alphanumeric runs + each
+    punctuation character (functions.text.word_token_count) — the
+    cheap subword-count proxy for training-data budgeting. Pure column
+    expressions: scan → project, no shuffle."""
+    from ..functions.text import word_token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", word_token_count("text").cast("long").alias("n_word_tokens")
+    )

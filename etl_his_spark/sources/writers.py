@@ -80,7 +80,7 @@ def read_published_at(
         tables = json.load(fh)["tables"]
     if name not in tables:
         raise FileNotFoundError(f"table {name!r} not in publish {token!r}")
-    return spark.read.parquet(tables[name])
+    return spark.read.parquet(*_as_paths(tables[name]))
 
 
 def resolve_manifest(root: str) -> dict[str, str] | None:
@@ -168,8 +168,9 @@ def prune_old_publishes(root: str, keep: int = 2) -> list[str]:
     # table in the current manifest still points into it (possible
     # after metadata-only compaction carries tables forward).
     live = {current} if current else set()
-    for path in (resolve_manifest(root) or {}).values():
-        live.add(os.path.dirname(path))
+    for entry in (resolve_manifest(root) or {}).values():
+        for path in _as_paths(entry):
+            live.add(os.path.dirname(path))
     stagings = sorted(
         (
             os.path.join(root, d)
@@ -208,6 +209,12 @@ def resolve_current(root: str) -> str | None:
     return content
 
 
+def _as_paths(entry: str | list[str]) -> list[str]:
+    """A manifest table entry is one path (overwrite publish) or a list
+    of part paths (streaming appends)."""
+    return entry if isinstance(entry, list) else [entry]
+
+
 def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read table ``name`` from the current publish (via the manifest,
     so a table may live in an older staging dir than the pointer's)."""
@@ -216,7 +223,64 @@ def read_published(spark: SparkSession, root: str, name: str) -> DataFrame:
         raise FileNotFoundError(f"no publish under {root}")
     if name not in tables:
         raise FileNotFoundError(f"table {name!r} not in current publish")
-    return spark.read.parquet(tables[name])
+    return spark.read.parquet(*_as_paths(tables[name]))
+
+
+def resolve_meta(root: str) -> dict:
+    """Engine metadata carried in the current manifest (e.g. the
+    last-published streaming epoch per table); {} if none."""
+    ptr = os.path.join(root, _POINTER)
+    if not os.path.exists(ptr):
+        return {}
+    with open(ptr, encoding="utf-8") as fh:
+        content = fh.read().strip()
+    if content.startswith("{"):
+        return json.loads(content).get("meta", {})
+    return {}
+
+
+def publish_append_atomic(
+    batch_df: DataFrame,
+    root: str,
+    table: str,
+    *,
+    epoch_id: int | None = None,
+) -> str | None:
+    """Append one batch to ``table`` as a new part — metadata-only for
+    everything already published.
+
+    Only the batch's own rows are written; the new manifest lists the
+    previous parts plus the new one, so N appended batches cost O(N)
+    total write volume (not the O(N²) of read-union-rewrite).
+    ``compact_published`` folds the parts back into few files.
+
+    ``epoch_id`` makes replays idempotent: foreachBatch is
+    at-least-once (a crash after commit but before the checkpoint
+    advances re-delivers the batch), so the manifest records the last
+    epoch published per table and a batch at-or-below it is skipped
+    (returns None). This is the same manifest-as-commit-log trick
+    Delta's ``txnAppId``/``txnVersion`` idempotent writes use.
+    """
+    tables = resolve_manifest(root) or {}
+    meta = resolve_meta(root)
+    epochs = dict(meta.get("epochs", {}))
+    if epoch_id is not None and epochs.get(table, -1) >= epoch_id:
+        return None
+    token = uuid.uuid4().hex[:12]
+    staging = os.path.join(root, f"_staging_{token}")
+    part = os.path.join(staging, table)
+    write_table(batch_df, part)
+    new_tables = dict(tables)
+    new_tables[table] = _as_paths(tables[table]) + [part] if table in tables else [part]
+    if epoch_id is not None:
+        epochs[table] = epoch_id
+        meta = {**meta, "epochs": epochs}
+    _swap_pointer(
+        root,
+        json.dumps({"staging": staging, "tables": new_tables, "meta": meta}),
+        token,
+    )
+    return part
 
 
 def _dir_bytes(path: str) -> int:
@@ -253,12 +317,12 @@ def compact_published(
     tables = resolve_manifest(root)
     if tables is None or name not in tables:
         raise FileNotFoundError(f"table {name!r} not in current publish")
-    src = tables[name]
-    n_files = max(1, math.ceil(_dir_bytes(src) / target_bytes))
+    src = _as_paths(tables[name])
+    n_files = max(1, math.ceil(sum(_dir_bytes(p) for p in src) / target_bytes))
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{token}")
     dst = os.path.join(staging, name)
-    df = spark.read.parquet(src)
+    df = spark.read.parquet(*src)
     if partition_by:
         # files-per-partition is governed by the shuffle; repartition
         # on the partition columns so each output dir gets few files
@@ -269,6 +333,10 @@ def compact_published(
     new_tables = dict(tables)
     new_tables[name] = dst
     _swap_pointer(
-        root, json.dumps({"staging": staging, "tables": new_tables}), token
+        root,
+        json.dumps(
+            {"staging": staging, "tables": new_tables, "meta": resolve_meta(root)}
+        ),
+        token,
     )
     return dst

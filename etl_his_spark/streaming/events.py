@@ -69,18 +69,25 @@ def windowed_counts(
     )
 
 
-def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: str, *, broadcast_dim: bool = False
+) -> DataFrame:
     """Stream-static dimension enrichment join.
 
     The streaming side joins a bounded dimension table on ``on``
     (left join — events with no dim match survive with NULLs, the
     standard fact-enrichment contract). Spark re-plans the static side
     each micro-batch, so a dim refreshed in place is picked up without
-    restarting the query; the static side is broadcast when small. This
-    is the streaming analog of the batch pipeline's J1-J9 catalog joins
-    (SURVEY.md §2.3).
+    restarting the query. This is the streaming analog of the batch
+    pipeline's J1-J9 catalog joins (SURVEY.md §2.3).
+
+    ``broadcast_dim`` defaults to False — Catalyst auto-broadcasts
+    under the threshold, and forcing it on a large dim would OOM every
+    executor (same rationale as surrogate.resolve_fk). Set True only
+    for dims known to be small.
     """
-    return events.join(F.broadcast(dim), on, "left")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, "left")
 
 
 def dedup_stream(
@@ -104,21 +111,24 @@ def stream_to_published(
 ):
     """Streaming → atomic-publish integration via foreachBatch.
 
-    Each micro-batch republishes the table under sources.writers'
-    stage-then-publish protocol: readers following the pointer always
-    see a complete batch boundary, never a half-written one. The
-    checkpoint makes the whole loop exactly-once per input file.
-    Returns the started StreamingQuery (caller awaits/stops).
+    Each micro-batch appends ONE part under sources.writers' manifest
+    protocol (``publish_append_atomic``): readers following the pointer
+    always see a complete batch boundary, never a half-written one, and
+    total write volume over N batches is O(N) batch sizes — the table
+    is never rewritten. Run ``compact_published`` periodically to fold
+    small parts.
+
+    foreachBatch itself is at-least-once (a crash after publish but
+    before the checkpoint commit re-delivers the micro-batch), so the
+    publish is keyed by ``epoch_id``: the manifest remembers the last
+    epoch per table and replayed batches are skipped — making the
+    visible table effectively-once. Returns the started StreamingQuery
+    (caller awaits/stops).
     """
-    from ..sources.writers import publish_atomic, read_published, resolve_current
+    from ..sources.writers import publish_append_atomic
 
     def publish_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if resolve_current(root) is not None:
-            merged = read_published(spark, root, table).unionByName(batch_df)
-        else:
-            merged = batch_df
-        publish_atomic({table: merged}, root)
+        publish_append_atomic(batch_df, root, table, epoch_id=epoch_id)
 
     return (
         stream.writeStream.foreachBatch(publish_batch)

@@ -41,9 +41,37 @@ def test_wide_fanout_from_dead_left_joins(spark, tables):
     assert counts[3] == 1  # no orden at all (left-join miss)
 
 
-def test_wide_has_27_column_shape(tables):
+def test_wide_has_28_column_shape(tables):
+    """Reference SELECT is 28 columns (Command.php:250-290), including
+    BOTH the display-name concat and the login name."""
     wide = extract_wide(tables)
-    assert len(wide.columns) == 16 + 11  # 16 scalars + 11 prestacion names
+    assert len(wide.columns) == 17 + 11  # 17 scalars + 11 prestacion names
+    assert "usuario_alta_usuario" in wide.columns
+    assert "usuario_alta_nombre" in wide.columns
+
+
+def test_turno_usuario_alta_is_login_name(tables):
+    """Command.php:164: the published usuario_alta is the login name,
+    not the Nombres+Apellido concat."""
+    from etl_his_spark.plans.his_pipeline import (
+        _with_row_ids,
+        build_paciente,
+        build_turno,
+    )
+
+    wide = _with_row_ids(extract_wide(tables))
+    turno = build_turno(wide, build_paciente(wide))
+    row = (
+        turno.join(
+            tables["Usuarios"].select(
+                F.col("NombreInicioSesion").alias("login")
+            ).distinct(),
+            F.col("usuario_alta") == F.col("login"),
+            "left_semi",
+        )
+    )
+    n_total = turno.filter(F.col("usuario_alta").isNotNull()).count()
+    assert row.count() == n_total and n_total > 0
 
 
 def test_null_propagating_concat(tables):

@@ -212,3 +212,54 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
     assert len(got) > 0
     # the left join must keep dim-miss events (NULL segment) if any exist
     assert len({e for e, s in expect}) == batch.count()
+
+
+def test_publish_append_epoch_idempotent(spark, tmp_path_factory):
+    """Replaying an epoch (foreachBatch's at-least-once crash path) must
+    not duplicate rows; appends are parts, not table rewrites."""
+    from etl_his_spark.sources.writers import (
+        publish_append_atomic,
+        read_published,
+        resolve_manifest,
+        resolve_meta,
+    )
+
+    root = str(tmp_path_factory.mktemp("pub_idem"))
+    b0 = spark.range(5).withColumnRenamed("id", "v")
+    b1 = spark.range(5, 8).withColumnRenamed("id", "v")
+
+    assert publish_append_atomic(b0, root, "t", epoch_id=0) is not None
+    assert publish_append_atomic(b1, root, "t", epoch_id=1) is not None
+    # replay epoch 1 (and a stale epoch 0): both must be skipped
+    assert publish_append_atomic(b1, root, "t", epoch_id=1) is None
+    assert publish_append_atomic(b0, root, "t", epoch_id=0) is None
+
+    rows = sorted(r["v"] for r in read_published(spark, root, "t").collect())
+    assert rows == list(range(8))
+    parts = resolve_manifest(root)["t"]
+    assert isinstance(parts, list) and len(parts) == 2  # one part per epoch
+    assert resolve_meta(root)["epochs"]["t"] == 1
+
+
+def test_publish_append_then_compact(spark, tmp_path_factory):
+    """Appended parts fold back into a single path via compaction,
+    preserving content."""
+    from etl_his_spark.sources.writers import (
+        compact_published,
+        publish_append_atomic,
+        read_published,
+        resolve_manifest,
+    )
+
+    root = str(tmp_path_factory.mktemp("pub_compact"))
+    for e in range(4):
+        publish_append_atomic(
+            spark.range(e * 10, e * 10 + 10).withColumnRenamed("id", "v"),
+            root, "t", epoch_id=e,
+        )
+    assert len(resolve_manifest(root)["t"]) == 4
+    compact_published(spark, root, "t")
+    entry = resolve_manifest(root)["t"]
+    assert isinstance(entry, str)  # single path again
+    rows = sorted(r["v"] for r in read_published(spark, root, "t").collect())
+    assert rows == list(range(40))
