@@ -1,0 +1,212 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three families, all pure column expressions / single-shuffle plans, all
+exactly reproducible in ANSI SQL (DuckDB oracles in
+``plans/queries_curation.py``):
+
+- Benchmark contamination: flag corpus docs sharing any word n-gram
+  with a benchmark/eval set (the standard n-gram decontamination used
+  before training). Production uses 13-grams; the synthetic corpus has
+  ~50-word docs so the registered query uses 3-grams — ``n`` is a
+  parameter.
+- Gopher-style repetition/quality stats: duplicated-word fraction and
+  most-frequent-2-gram character fraction per document (Rae et al.
+  2021 repetition rules), as exact integer ratios.
+- PII detection/redaction: regex lanes for emails and long digit runs
+  (IDs/account numbers), with a redacted projection. Patterns stay in
+  the POSIX-class subset that Java regex (Spark) and RE2 (DuckDB)
+  interpret identically.
+
+Scale notes (100 TB): contamination broadcasts the benchmark n-gram
+set (benchmarks are MBs even when the corpus is TBs) so the corpus
+side is a map-only probe — no shuffle of corpus grams. The quality and
+PII passes are scan→project(→one groupBy keyed on doc) with no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup_approx import seeded_hash60
+
+# ---------------------------------------------------------------------------
+# Word n-grams
+# ---------------------------------------------------------------------------
+
+
+def words(text_col: Column) -> Column:
+    """Non-empty whitespace tokens (split on single space, drop the
+    empty strings multi-space runs produce — same as the tokenization
+    used by the dedup family)."""
+    return F.filter(
+        F.split(F.trim(text_col), " "), lambda x: x != F.lit("")
+    )
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """All word n-grams of ``text_col`` joined by single spaces;
+    empty array when the doc has fewer than ``n`` words.
+
+    Guarded sequence: ``F.sequence(1, size-n+1)`` on a too-short doc
+    would produce a DESCENDING sequence (Spark's sequence walks
+    backwards when stop < start) — the WHEN guard makes it empty
+    instead.
+    """
+    ts = words(text_col)
+    idx = F.when(
+        F.size(ts) >= n, F.sequence(F.lit(1), F.size(ts) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(ts, i, n), " "))
+
+
+def contamination_hits(
+    docs: DataFrame,
+    n: int = 3,
+    bench_modulus: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus docs contaminated by the benchmark split: for each
+    non-benchmark doc, the number of distinct n-grams also present in
+    any benchmark doc (docs with ``id % bench_modulus == 0`` stand in
+    for the eval set).
+
+    Join key is the 60-bit md5 of the gram, not the gram string — the
+    shuffle/broadcast carries 8-byte keys instead of raw text. Both
+    engines hash identically, so a (vanishingly unlikely) collision
+    would produce the same extra hit on both sides: the oracle stays
+    exact by construction.
+
+    Plan shape: benchmark grams are DISTINCT'd then broadcast (an eval
+    set is MBs even under a TB corpus), so the corpus side is a
+    map-side semi probe + one groupBy(doc) — no corpus-wide gram
+    shuffle.
+    """
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(id_col, seeded_hash60(F.col("gram")).alias("gram_h"))
+    bench = (
+        grams.filter(F.col(id_col) % bench_modulus == 0)
+        .select("gram_h")
+        .distinct()
+    )
+    corpus = grams.filter(F.col(id_col) % bench_modulus != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram_h")).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition measures (Gopher rules 4/5 analogs):
+
+    - ``dup_word_frac``   — 1 - distinct_words/total_words.
+    - ``top2_frac``       — characters covered by occurrences of the
+      most frequent word 2-gram, over the doc's trimmed length.
+      Ties break to the lexically last gram (deterministic).
+    - ``flagged``         — either fraction above its threshold
+      (0.4 / 0.2 — tuned so the synthetic corpus splits non-trivially).
+
+    Exact-integer discipline: both fractions are ONE IEEE division of
+    exact integer counts, bit-equal across engines. Plan: explode →
+    two groupBy aggs keyed on doc → join back on doc id. Everything is
+    keyed on the doc id, so parallelism holds at corpus scale.
+    """
+    ts = words(F.col(text_col))
+    # The size guard keeps both ratio denominators nonzero (and the
+    # oracle filters identically) — a 0-word doc would yield NaN vs
+    # NULL drift between engines.
+    d = docs.filter(F.col(text_col).isNotNull() & (F.size(ts) > 0))
+    base = d.select(
+        F.col(id_col),
+        F.size(ts).alias("total_words"),
+        F.size(F.array_distinct(ts)).alias("distinct_words"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars_trim"),
+    )
+    two = d.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
+    )
+    top2 = (
+        two.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        # max of (cnt, gram) struct: field-by-field ordering = highest
+        # count, ties to the lexically LAST gram — deterministic; the
+        # oracle mirrors with ORDER BY cnt DESC, gram DESC LIMIT 1 per
+        # doc. Partial-aggregable (map-side max), unlike a row_number
+        # window which would shuffle every (doc, gram) count row.
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram").alias("g"))).alias("top"))
+        .select(
+            F.col(id_col),
+            F.col("top.g").alias("top2_gram"),
+            F.col("top.cnt").alias("top2_cnt"),
+        )
+    )
+    out = base.join(top2, id_col, "left").select(
+        F.col(id_col),
+        "total_words",
+        "distinct_words",
+        (
+            F.lit(1.0)
+            - F.col("distinct_words").cast("double") / F.col("total_words")
+        ).alias("dup_word_frac"),
+        F.coalesce(F.col("top2_gram"), F.lit("")).alias("top2_gram"),
+        F.coalesce(F.col("top2_cnt"), F.lit(0)).cast("long").alias("top2_cnt"),
+        (
+            (F.coalesce(F.col("top2_cnt"), F.lit(0))
+             * F.coalesce(F.length("top2_gram"), F.lit(0))).cast("double")
+            / F.col("n_chars_trim")
+        ).alias("top2_frac"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_word_frac") > 0.4) | (F.col("top2_frac") > 0.2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# POSIX-class-only patterns: identical semantics in Java regex (Spark)
+# and RE2 (DuckDB). No lookaround, no \d shorthand.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+DIGIT_RUN_RE = "[0-9]{6,}"
+
+
+def pii_scan(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Detect + redact PII-shaped substrings in ``text_col``.
+
+    Two lanes: emails and long digit runs (account/ID numbers — the
+    lane that fires on this dataset's ``Customer#000000042`` names).
+    Counts via ``regexp_count`` (Spark) / ``len(regexp_extract_all)``
+    (oracle) -- both count non-overlapping matches left-to-right, the
+    same semantics. Redaction via global regexp_replace (Spark
+    replaces all matches by default; the oracle passes the 'g' flag).
+
+    Output: id, n_emails, n_digit_runs, redacted text.
+    """
+    c = F.col(text_col)
+    n_emails = F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+    n_digits = F.regexp_count(c, F.lit(DIGIT_RUN_RE)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), DIGIT_RUN_RE, "[NUM]"
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_digits.alias("n_digit_runs"),
+        redacted.alias("redacted"),
+    )

@@ -56,6 +56,7 @@ from .plans import queries_incremental  # noqa: E402,F401
 from .plans import queries_bench  # noqa: E402,F401
 from .plans import queries_text2  # noqa: E402,F401
 from .plans import queries_lakehouse  # noqa: E402,F401
+from .plans import queries_curation  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -126,6 +127,10 @@ _CHECK_FIRST = [
     # Positions 51+: never-checked but lowest-risk (simple column
     # expressions locally verified, or rows-only bench lanes) — first in
     # line if the harness checks more than 50.
+    "text_word_tokens",
+    "curation_contamination",
+    "curation_repetition",
+    "curation_pii_redact",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
