@@ -57,6 +57,7 @@ from .plans import queries_bench  # noqa: E402,F401
 from .plans import queries_text2  # noqa: E402,F401
 from .plans import queries_lakehouse  # noqa: E402,F401
 from .plans import queries_curation  # noqa: E402,F401
+from .plans import queries_training  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -131,6 +132,8 @@ _CHECK_FIRST = [
     "curation_contamination",
     "curation_repetition",
     "curation_pii_redact",
+    "training_pack_sequences",
+    "training_mixture_sample",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
