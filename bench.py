@@ -31,6 +31,10 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "events_window_agg",
+    # round-2 additions: curation + training layout
+    "curation_contamination",
+    "curation_repetition",
+    "training_pack_sequences",
 ]
 
 
