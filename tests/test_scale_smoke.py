@@ -73,3 +73,18 @@ def test_salted_agg_at_5m_equals_direct(big):
         ).collect()
     }
     assert salted == direct
+
+
+def test_running_total_at_5m(big):
+    from etl_his_spark.operators.packing import running_total
+
+    out = running_total(big, [F.col("id")], F.col("v"), "cum", buckets=64)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"), F.max("cum").alias("total")
+    ).first()
+    # Σ v where v = id % 1000 over 5M ids = 5000 full cycles of 0..999
+    assert stats["n"] == N
+    assert stats["total"] == (999 * 1000 // 2) * (N // 1000)
+    # prefix property at a probe point: cum(id=999) = Σ 0..999
+    probe = out.filter(F.col("id") == 999).first()
+    assert probe["cum"] == 999 * 1000 // 2
