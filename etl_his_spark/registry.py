@@ -58,6 +58,7 @@ from .plans import queries_text2  # noqa: E402,F401
 from .plans import queries_lakehouse  # noqa: E402,F401
 from .plans import queries_curation  # noqa: E402,F401
 from .plans import queries_training  # noqa: E402,F401
+from .plans import queries_funnel  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -134,6 +135,8 @@ _CHECK_FIRST = [
     "curation_pii_redact",
     "training_pack_sequences",
     "training_mixture_sample",
+    "events_funnel_ordered",
+    "events_retention_cohorts",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
