@@ -113,3 +113,55 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_events(
         o, "o_custkey", ["o_orderpriority"], "o_orderdate", "o_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+from ..operators.zorder import (  # noqa: E402
+    interleave_bits_sql,
+    value_bin_sql,
+    zorder_keys,
+)
+
+_ZX = value_bin_sql("o_totalprice", "xmin", "xmax")
+_ZY = value_bin_sql("o_days", "ymin", "ymax")
+
+
+@register(
+    "lakehouse_zorder",
+    f"""
+    WITH d AS (
+        SELECT o_orderkey, o_totalprice,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS o_days
+        FROM orders
+    ),
+    ext AS (
+        SELECT min(o_totalprice) AS xmin, max(o_totalprice) AS xmax,
+               min(o_days) AS ymin, max(o_days) AS ymax
+        FROM d
+    ),
+    b AS (
+        SELECT o_orderkey, {_ZX} AS x_bin, {_ZY} AS y_bin FROM d, ext
+    )
+    SELECT o_orderkey, x_bin, y_bin,
+           {interleave_bits_sql("x_bin", "y_bin")} AS zval
+    FROM b
+    """,
+)
+def lakehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (price, order-date):
+    value-range bins interleaved bitwise. The oracle runs the LITERAL
+    same bin/interleave SQL (shared builder), so parity is by
+    construction. See operators/zorder.py for the layout rationale;
+    ``zorder_file_ids`` + tests/test_zorder.py show the 2-D pruning
+    win over row-order layout."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')").alias("o_days"),
+    )
+    return zorder_keys(o, "o_totalprice", "o_days").select(
+        "o_orderkey", "x_bin", "y_bin", "zval"
+    )

@@ -137,6 +137,7 @@ _CHECK_FIRST = [
     "training_mixture_sample",
     "events_funnel_ordered",
     "events_retention_cohorts",
+    "lakehouse_zorder",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
