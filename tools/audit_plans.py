@@ -40,6 +40,7 @@ SINGLE_PARTITION_ALLOW = {
     "tpch_q11_important",    # 1-row global-total scalar (then broadcast)
     "tpch_q15_top_supplier", # 1-row scalar MAX (then broadcast)
     "tpch_q22_dormant",      # 1-row scalar AVG (then broadcast)
+    "lakehouse_zorder",      # 1-row min/max extremes (then broadcast)
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -53,6 +54,7 @@ CROSS_JOIN_ALLOW = {
     # nested-loop degenerates to a per-row constant append, scale-safe):
     "tpch_q11_important",
     "tpch_q22_dormant",
+    "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
 }
 
 
