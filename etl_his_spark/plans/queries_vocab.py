@@ -1,0 +1,128 @@
+"""Vocabulary construction + document tokenization — the tokenizer-prep
+stage of a training pipeline (word-level stand-in for BPE: the vocab
+ranking/id-assignment and doc→id-sequence plumbing are the same shape
+regardless of the subword algorithm).
+
+Exact-oracle. Vocab ids are frequency-ranked dense ids minted with the
+PARALLEL scheme (`surrogate.dense_ids` — range repartition + broadcast
+offsets), never a global row_number window; the oracle's plain window
+is output-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.surrogate import dense_ids
+from ..registry import register
+from ..sources.readers import read_table
+
+MIN_FREQ = 5
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token) — 1-based positions over the single-space
+    split with empties dropped (the corpus-wide tokenization rule)."""
+    arr = F.filter(
+        F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(arr).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id, i AS pos, ts[i] AS token
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ) t, unnest(range(1, len(ts) + 1)) AS u(i)
+    )
+"""
+
+
+@register(
+    "training_vocab_build",
+    f"""
+    WITH {_TOKS_CTE},
+    cnt AS (
+        SELECT token, count(*) AS n FROM toks
+        GROUP BY 1 HAVING count(*) >= {MIN_FREQ}
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS vocab_id
+    FROM cnt
+    """,
+)
+def training_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with min-count threshold: token,
+    count, dense vocab id (most frequent = 1, ties lexical)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cnt = (
+        _tokens(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_FREQ)
+    )
+    return dense_ids(
+        cnt, [F.col("n").desc(), F.col("token")], "vocab_id", buckets=32
+    ).select("token", "n", "vocab_id")
+
+
+@register(
+    "training_tokenize_docs",
+    f"""
+    WITH {_TOKS_CTE},
+    cnt AS (
+        SELECT token, count(*) AS n FROM toks
+        GROUP BY 1 HAVING count(*) >= {MIN_FREQ}
+    ),
+    vocab AS (
+        SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token)
+                           AS BIGINT) AS vocab_id
+        FROM cnt
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           string_agg(CAST(coalesce(v.vocab_id, 0) AS VARCHAR), ','
+                      ORDER BY t.pos) AS token_ids
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def training_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs as vocab-id sequences (0 = OOV/unk), position order kept.
+
+    The id array is emitted as a comma-joined string: a stable scalar
+    encoding for the harness's hash compare (same device as
+    multimodal_features). Plan: posexplode → broadcast vocab join →
+    one groupBy(doc) re-assembling with a doc-keyed sort — parallelism
+    holds at corpus scale because everything is keyed on doc_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    vocab = training_vocab_build(spark, sf_dir).select("token", "vocab_id")
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id", "pos",
+            F.coalesce(F.col("vocab_id"), F.lit(0)).alias("vid"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # sort once inside the agg (struct order = pos first; pos is
+            # unique per doc) instead of a per-row running-list window
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+                    lambda s: s.vid.cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
+        )
+    )

@@ -59,6 +59,7 @@ from .plans import queries_lakehouse  # noqa: E402,F401
 from .plans import queries_curation  # noqa: E402,F401
 from .plans import queries_training  # noqa: E402,F401
 from .plans import queries_funnel  # noqa: E402,F401
+from .plans import queries_vocab  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -138,6 +139,8 @@ _CHECK_FIRST = [
     "events_funnel_ordered",
     "events_retention_cohorts",
     "lakehouse_zorder",
+    "training_vocab_build",
+    "training_tokenize_docs",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
