@@ -54,3 +54,14 @@ def write_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — self-describing columnar format (schema embedded in
+    the file, so no declared StructType needed); same predicate/column
+    pushdown machinery as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -131,3 +131,28 @@ def test_incremental_paciente_only_new_docs(spark):
     again = incremental_paciente(merged, wide2)
     assert again.count() == 0
     assert merged.count() == n0 + 1
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_his_spark.sources.formats import read_orc, write_orc
+    from etl_his_spark.sources.readers import read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/nation_orc"
+        write_orc(nation, path)
+        back = read_orc(spark, path)
+        assert back.schema == nation.schema
+        assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+            r.n_nationkey for r in nation.collect()
+        )
+        # filters reach the ORC scan (same pushdown machinery as parquet)
+        plan = (
+            back.filter(F.col("n_nationkey") == 3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan

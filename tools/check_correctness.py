@@ -90,6 +90,12 @@ def main() -> int:
     from etl_his_spark.session import get_spark
 
     spark = get_spark("check_correctness", cpus=8)
+    # oracle-engine provenance: a DuckDB version drift between this
+    # local gate and the external harness can alone explain a hash
+    # mismatch (e.g. decimal/regex behavior changes) — print it so
+    # every stored gate log records which engine produced the oracle.
+    print(f"oracle engine: duckdb {duckdb.__version__}, "
+          f"spark {spark.version}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
