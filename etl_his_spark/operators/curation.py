@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_approx import seeded_hash60
+from .dedup_approx import seeded_hash60, spread_small_input
 
 # ---------------------------------------------------------------------------
 # Word n-grams
@@ -83,7 +83,7 @@ def contamination_hits(
     map-side semi probe + one groupBy(doc) — no corpus-wide gram
     shuffle.
     """
-    grams = docs.filter(F.col(text_col).isNotNull()).select(
+    grams = spread_small_input(docs).filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     ).select(id_col, seeded_hash60(F.col("gram")).alias("gram_h"))
@@ -126,7 +126,9 @@ def repetition_stats(
     # The size guard keeps both ratio denominators nonzero (and the
     # oracle filters identically) — a 0-word doc would yield NaN vs
     # NULL drift between engines.
-    d = docs.filter(F.col(text_col).isNotNull() & (F.size(ts) > 0))
+    d = spread_small_input(docs).filter(
+        F.col(text_col).isNotNull() & (F.size(ts) > 0)
+    )
     base = d.select(
         F.col(id_col),
         F.size(ts).alias("total_words"),
