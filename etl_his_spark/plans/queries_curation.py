@@ -141,3 +141,75 @@ def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blob"),
     )
     return pii_scan(c, "c_custkey", "blob")
+
+
+# Shared oracle fragment: full repetition computation as CTEs ending in
+# rep(doc_id, flagged) — reused by the per-source report below.
+_REP_CTES = f"""
+    {_TOKS_CTE},
+    base AS (
+        SELECT doc_id, len(ts) AS total_words, len(list_distinct(ts))
+                   AS distinct_words, n_chars_trim
+        FROM toks WHERE len(ts) > 0
+    ),
+    g2 AS (
+        SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, greatest(len(ts), 1))) AS i
+              FROM toks) t
+    ),
+    cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM cnts
+    ),
+    rep AS (
+        SELECT b.doc_id,
+               b.total_words,
+               (1.0 - CAST(b.distinct_words AS DOUBLE) / b.total_words) > 0.4
+                   OR (CAST(coalesce(t.cnt, 0) * coalesce(length(t.gram), 0)
+                            AS DOUBLE) / b.n_chars_trim) > 0.2 AS flagged
+        FROM base b
+        LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    )
+"""
+
+
+@register(
+    "curation_source_report",
+    f"""
+    WITH {_REP_CTES}
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN r.flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN r.flagged THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS flag_rate,
+           CAST(sum(r.total_words) AS BIGINT) AS total_tokens
+    FROM rep r JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def curation_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc counts, repetition-flag rate
+    (exact integer ratio), token totals — the roll-up a pipeline
+    operator watches to spot a broken source. One doc-keyed join of
+    the repetition stats back to the source dim, one grouped agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    return (
+        rep.select("doc_id", "total_words", "flagged")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            (
+                F.sum(F.col("flagged").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("flag_rate"),
+            F.sum("total_words").cast("long").alias("total_tokens"),
+        )
+    )

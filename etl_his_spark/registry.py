@@ -141,6 +141,7 @@ _CHECK_FIRST = [
     "lakehouse_zorder",
     "training_vocab_build",
     "training_tokenize_docs",
+    "curation_source_report",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
