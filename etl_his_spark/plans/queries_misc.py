@@ -101,3 +101,41 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "skew_salted_pricing",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation gate: 5-value grouping key (the
+    skew shape where one hot key would own a whole reducer) computed
+    via operators/skew.salted_agg — partial agg on (key, salt) spreads
+    the hot key over n_salts reducers before the final key-only merge.
+    Output is identical to the direct groupBy, which is the oracle.
+    Exact cents arithmetic per the float rule."""
+    from ..operators.skew import salted_agg
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return salted_agg(
+        o,
+        ["o_orderpriority"],
+        F.col("o_orderkey"),
+        {
+            "n_orders": ("count", "cents"),
+            "total_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+        n_salts=32,
+    ).select("o_orderpriority", "n_orders", "total_cents", "max_cents")

@@ -142,6 +142,7 @@ _CHECK_FIRST = [
     "training_vocab_build",
     "training_tokenize_docs",
     "curation_source_report",
+    "skew_salted_pricing",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
