@@ -139,3 +139,59 @@ def skew_salted_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=32,
     ).select("o_orderpriority", "n_orders", "total_cents", "max_cents")
+
+
+# ---------------------------------------------------------------------------
+# Publish-protocol gate (S3/S4/S5 under the driver signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "publish_roundtrip",
+    """
+    SELECT o_orderdate AS fecha,
+           o_orderpriority AS prioridad,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/S5 under the hard signal: derive a daily summary, publish
+    it through the atomic manifest protocol (stage dir -> pointer
+    swap, partitioned on the 5-value priority column — the same
+    partitionBy code path as the turno fecha index analog without
+    exploding a tiny SF into one directory per date), then READ IT
+    BACK through the manifest — the returned frame has physically
+    round-tripped the sink. The oracle recomputes the summary
+    directly, so any write/read corruption (schema, partition column
+    type, row loss) hash-fails.
+
+    Partition-column caveat folded in: ``prioridad`` comes back as
+    the partition directory value (string, order re-pinned in the
+    final projection); ``fecha`` stays a data column and must survive
+    as DATE — a type-corrupting sink hash-fails.
+    """
+    import tempfile
+
+    from ..sources.writers import publish_atomic, read_published
+
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("fecha"),
+            F.col("o_orderpriority").alias("prioridad"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("total_cents"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="publish_gate_")
+    publish_atomic({"orders_daily": daily}, root,
+                   partition_by={"orders_daily": ["prioridad"]})
+    back = read_published(spark, root, "orders_daily")
+    return back.select("fecha", "prioridad", "n_orders", "total_cents")

@@ -143,6 +143,7 @@ _CHECK_FIRST = [
     "training_tokenize_docs",
     "curation_source_report",
     "skew_salted_pricing",
+    "publish_roundtrip",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
