@@ -70,3 +70,74 @@ def test_mixture_sample_integer_ceiling_and_determinism(spark):
     # deterministic: same rows both runs
     again = mixture_sample(docs, pct)
     assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PSETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40),
+                  min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@_PSETTINGS
+def test_pack_sequences_tiling_property(spark, toks, budget):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, toks long"
+    )
+    out = (
+        pack_sequences(docs, F.col("toks"), budget=budget, buckets=3)
+        .orderBy("start_offset")
+        .collect()
+    )
+    # zero-token docs are dropped; the rest tile [0, total) exactly
+    assert len(out) == sum(1 for t in toks if t > 0)
+    pos = 0
+    for r in out:
+        assert r.start_offset == pos
+        pos += r.n_tokens
+        assert 0 <= r.seq_pos < budget
+        assert r.seq_id * budget + r.seq_pos == r.start_offset
+        # a doc spans exactly the sequences its token span covers
+        assert r.n_seqs == (r.start_offset + r.n_tokens - 1) // budget - r.seq_id + 1
+    assert pos == sum(toks)
+
+
+@given(
+    pcts=st.lists(st.integers(min_value=0, max_value=100),
+                  min_size=1, max_size=4),
+    per_src=st.integers(min_value=1, max_value=12),
+)
+@_PSETTINGS
+def test_mixture_sample_keep_counts_property(spark, pcts, per_src):
+    rows = [
+        (src * 1000 + i, f"s{src}")
+        for src in range(len(pcts))
+        for i in range(per_src)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    pct = F.coalesce(
+        *[
+            F.when(F.col("source") == f"s{i}", F.lit(p))
+            for i, p in enumerate(pcts)
+        ]
+    ) if len(pcts) > 1 else F.lit(pcts[0])
+    got = {
+        r["source"]: r["n"]
+        for r in mixture_sample(docs, pct)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for i, p in enumerate(pcts):
+        want = (p * per_src + 99) // 100  # integer ceiling
+        assert got.get(f"s{i}", 0) == want
