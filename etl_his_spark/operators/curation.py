@@ -212,3 +212,43 @@ def pii_scan(
         n_digits.alias("n_digit_runs"),
         redacted.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span detection (substring-dedup primitive)
+# ---------------------------------------------------------------------------
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_occ: int = 2,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word n-gram spans repeated across documents — the detection
+    half of exact substring deduplication (Lee et al. 2021: repeated
+    ~50-token spans in a corpus are memorization hazards; ``n`` is a
+    parameter, small here for the short synthetic docs).
+
+    One explode + one groupBy(gram) with map-side partial counts; the
+    HAVING filters ride the aggregation. At corpus scale the shuffle
+    key would be the span HASH (seeded_hash60) rather than the text —
+    kept as text here so the report is human-readable and the oracle
+    trivially identical.
+    """
+    grams = spread_small_input(docs).filter(
+        F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter((F.col("n_occ") >= min_occ) & (F.col("n_docs") >= min_docs))
+    )

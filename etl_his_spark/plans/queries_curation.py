@@ -213,3 +213,30 @@ def curation_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_words").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "dedup_repeated_spans",
+    f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+        SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, ts,
+                     unnest(range(1, greatest(len(ts) - 3, 1))) AS i
+              FROM toks) t
+    )
+    SELECT gram, count(*) AS n_occ,
+           count(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY gram
+    HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-token spans (exact substring-dedup
+    detection pass). Training-data extension."""
+    from ..operators.curation import repeated_spans
+
+    return repeated_spans(
+        read_table(spark, sf_dir, "documents"), n=5, min_occ=2, min_docs=2
+    )

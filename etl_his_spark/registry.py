@@ -144,6 +144,7 @@ _CHECK_FIRST = [
     "curation_source_report",
     "skew_salted_pricing",
     "publish_roundtrip",
+    "dedup_repeated_spans",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",
