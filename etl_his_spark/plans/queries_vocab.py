@@ -126,3 +126,56 @@ def training_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, xs,
+               list_max(list_transform(xs, x -> abs(x))) AS max_abs
+        FROM e
+    )
+    SELECT vec_id, max_abs,
+           array_to_string(
+               list_transform(xs, x -> CAST(
+                   CASE WHEN max_abs = 0 THEN 0
+                        ELSE floor(x * 127 / max_abs + 0.5) END AS BIGINT)),
+               ',') AS q8
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (x → round(127·x/max|x|)).
+
+    Rounding is ``floor(x + 0.5)`` — round-half-up in BOTH engines
+    (Spark's round() is HALF_UP but DuckDB's is HALF_EVEN on doubles,
+    so the naive round() would hash-mismatch on exact .5 ties). All
+    arithmetic is elementwise IEEE on casted doubles — bit-identical.
+    Output int8 lanes ride as a comma-joined string (the stable scalar
+    encoding for the harness). Scan → project, no shuffle; the
+    linear-per-element lambdas are the acceptable HOF shape (the O(n²)
+    nested-lambda trap documented in operators/curation history does
+    not apply).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    mab = F.array_max(F.transform(xs, F.abs))
+    d = e.select("vec_id", xs.alias("xs"), mab.alias("max_abs"))
+    q = F.transform(
+        "xs",
+        lambda x: F.when(F.col("max_abs") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(x * 127 / F.col("max_abs") + F.lit(0.5)).cast("long")
+        ),
+    )
+    return d.select(
+        "vec_id",
+        "max_abs",
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q8"),
+    )

@@ -145,6 +145,7 @@ _CHECK_FIRST = [
     "skew_salted_pricing",
     "publish_roundtrip",
     "dedup_repeated_spans",
+    "embedding_quantize_int8",
     "json_schema_parse",
     "posexplode_positions",
     "date_parts",

@@ -263,3 +263,44 @@ def test_publish_append_then_compact(spark, tmp_path_factory):
     assert isinstance(entry, str)  # single path again
     rows = sorted(r["v"] for r in read_published(spark, root, "t").collect())
     assert rows == list(range(40))
+
+
+def test_streaming_contamination_agrees_with_batch(spark, tmp_path):
+    from etl_his_spark.operators.curation import contamination_hits
+    from etl_his_spark.operators.dedup_approx import seeded_hash60
+    from etl_his_spark.operators.curation import word_ngrams
+    from etl_his_spark.streaming.curation import (
+        contamination_matches_stream,
+        stream_docs,
+    )
+    from etl_his_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    # static benchmark grams (bounded side), same split rule as batch
+    bench = (
+        docs.filter((F.col("doc_id") % 97) == 0)
+        .select(
+            F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+        )
+        .select(seeded_hash60(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    # corpus docs as the unbounded side
+    corpus_dir = str(tmp_path / "docs_stream")
+    docs.filter((F.col("doc_id") % 97) != 0).repartition(4).write.parquet(corpus_dir)
+    stream = contamination_matches_stream(
+        stream_docs(spark, corpus_dir), bench, n=3
+    )
+    run_to_memory(stream, "contam_matches")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT doc_id, count(*) AS n FROM contam_matches GROUP BY 1"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(docs, n=3, bench_modulus=97).collect()
+    }
+    assert got == want
