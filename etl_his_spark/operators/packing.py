@@ -48,10 +48,18 @@ def running_total(
     ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without
     the single-partition sort.
     """
-    ranged = df.repartitionByRange(buckets, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Eager localCheckpoint, not persist(): the materialization pins
+    # spark_partition_id between the offsets collect and the join (same
+    # guarantee), but its blocks are released by the ContextCleaner as
+    # soon as the returned frame is unreferenced — persist() would sit
+    # in the CacheManager forever in a long-lived session (each call
+    # caching another copy of the full input) unless the CALLER
+    # remembered to unpersist a frame it never saw.
+    ranged = (
+        df.repartitionByRange(buckets, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    ranged = ranged.persist()
     part_sums = (
         ranged.groupBy("__pid")
         .agg(F.sum(value_col).alias("__s"))

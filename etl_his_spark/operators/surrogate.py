@@ -53,10 +53,16 @@ def dense_ids(
     # tuple is wrong for global ordering; instead sort-partition by range:
     # use repartitionByRange on the order columns, then per-partition
     # row_number + offsets via spark_partition_id counts.
-    ranged = df.repartitionByRange(buckets, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Eager localCheckpoint, not persist(): pins spark_partition_id
+    # between the counts collect and the join, and the blocks are
+    # GC-reclaimed with the frame — a persist() here leaks a cached
+    # copy of the input per call in long-lived sessions (see
+    # packing.running_total for the full rationale).
+    ranged = (
+        df.repartitionByRange(buckets, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    ranged = ranged.persist()
     counts = (
         ranged.groupBy("__pid").count().orderBy("__pid").collect()
     )  # ≤ buckets rows — driver-safe at any data scale

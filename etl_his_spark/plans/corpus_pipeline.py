@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, quality_score, token_count
-from ..operators.dedup_approx import jaccard_pairs
+from ..operators.dedup_approx import jaccard_pairs_prefix
 from ..registry import register
 from ..sources.readers import read_table
 
@@ -109,7 +109,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = filtered.join(exact_kept, "doc_id")
-    near = jaccard_pairs(survivors, _NEARDUP_THRESHOLD)
+    near = jaccard_pairs_prefix(survivors, _NEARDUP_THRESHOLD)
     drop = near.select(F.col("b_id").alias("doc_id")).distinct()
     return survivors.join(drop, "doc_id", "left_anti").select(
         "doc_id", "quality", "n_tokens"

@@ -374,5 +374,5 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, 0.8).select("a_id", "b_id")
+    pairs = jaccard_pairs_prefix(docs, 0.8).select("a_id", "b_id")
     return connected_components(docs.select("doc_id"), pairs)

@@ -84,20 +84,43 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy matching by edit distance ≤ 3 over part-name pairs —
     the classic record-linkage primitive (both engines implement the
-    same Levenshtein definition). All-pairs here; at scale this runs
-    AFTER a blocking stage (first-token or fingerprint buckets)."""
-    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    same Levenshtein definition).
+
+    Lossless length banding instead of a cartesian: edit distance ≤ 3
+    implies |len(a) − len(b)| ≤ 3, so one side is exploded to the 7
+    candidate partner lengths (len ± 0..3) and the join is a plain
+    hash equi-join on length with the Levenshtein residual — the pair
+    set is provably identical to all-pairs (each unordered pair meets
+    exactly once: the non-exploded side carries the smaller key).
+    At 100 TB the length key alone is coarse (tens of distinct
+    lengths → big buckets); the escalation path is to extend the join
+    key with a q-gram-count band (pairs within edit distance k share
+    ≥ maxlen + 1 − q·(k+1) positional q-grams) — same residual, finer
+    blocks. The oracle stays the naive all-pairs formulation."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .withColumn("name_len", F.length("p_name"))
+    )
     a = p.alias("a")
-    b = p.alias("b")
+    # Explode b to every partner length it can match (±3): the equi-join
+    # key is the *partner's* length, so (a, b) meets on a.name_len ==
+    # b.cand_len exactly when |len(a) - len(b)| <= 3, and exactly once.
+    b = p.select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_name").alias("b_name"),
+        F.explode(
+            F.sequence(F.col("name_len") - F.lit(3), F.col("name_len") + F.lit(3))
+        ).alias("cand_len"),
+    )
     return (
-        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .withColumn(
-            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-        )
+        a.join(b, F.col("a.name_len") == F.col("cand_len"))
+        .filter(F.col("a.p_partkey") < F.col("b_partkey"))
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b_name")))
         .filter(F.col("dist") <= 3)
         .select(
             F.col("a.p_partkey").alias("a_key"),
-            F.col("b.p_partkey").alias("b_key"),
+            F.col("b_partkey").alias("b_key"),
             F.col("dist").cast("int").alias("dist"),
         )
     )
@@ -173,10 +196,20 @@ def publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition directory value (string, order re-pinned in the
     final projection); ``fecha`` stays a data column and must survive
     as DATE — a type-corrupting sink hash-fails.
-    """
-    import tempfile
 
-    from ..sources.writers import publish_atomic, read_published
+    WRITE-EFFECTFUL: building this query's DataFrame performs a real
+    publish (that is the point of the gate). The write goes to ONE
+    managed per-process directory under the system temp dir; each
+    invocation prunes superseded stagings and the whole root is
+    removed at interpreter exit — repeated runs (correctness gate,
+    plan audit, bare-session gate, bench) reuse the same root and
+    leak nothing.
+    """
+    from ..sources.writers import (
+        prune_old_publishes,
+        publish_atomic,
+        read_published,
+    )
 
     daily = (
         read_table(spark, sf_dir, "orders")
@@ -190,8 +223,33 @@ def publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("total_cents"),
         )
     )
-    root = tempfile.mkdtemp(prefix="publish_gate_")
+    root = _publish_gate_root()
     publish_atomic({"orders_daily": daily}, root,
                    partition_by={"orders_daily": ["prioridad"]})
+    prune_old_publishes(root, keep=1)
     back = read_published(spark, root, "orders_daily")
     return back.select("fecha", "prioridad", "n_orders", "total_cents")
+
+
+_PUBLISH_GATE_CLEANUP_REGISTERED = False
+
+
+def _publish_gate_root() -> str:
+    """One managed publish root per process: ``$TMPDIR/
+    etl_his_spark_publish_gate_<pid>``, removed at interpreter exit.
+    Superseded stagings inside it are pruned per invocation, so even a
+    long-lived session holds at most one publish on disk."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    global _PUBLISH_GATE_CLEANUP_REGISTERED
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_his_spark_publish_gate_{os.getpid()}"
+    )
+    os.makedirs(root, exist_ok=True)
+    if not _PUBLISH_GATE_CLEANUP_REGISTERED:
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _PUBLISH_GATE_CLEANUP_REGISTERED = True
+    return root

@@ -59,9 +59,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS): read as long, convert
-        # to micros in sources.readers (Spark has no nanos TimestampType)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet stores TIMESTAMP(NANOS); sources.readers reads
+        # it with an explicit long schema and converts to micros — no
+        # session-wide nanosAsLong flag needed (it would silently turn
+        # every other nanos column into bigint).
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

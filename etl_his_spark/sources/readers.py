@@ -25,23 +25,79 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (``{sf_dir}/{name}.parquet``) as a DataFrame.
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark cannot
-    represent; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
-    as nanos-since-epoch and is converted here to a microsecond
-    TimestampType by integer division (same ns→µs truncation DuckDB
-    applies when reading the file).
-
-    The conf is set here on the *passed-in* session (runtime-settable),
-    not only in the session factory: callers — including external
-    harnesses — hand us arbitrary SparkSessions that never went through
-    ``session.get_spark``, and without the conf the scan dies with
-    PARQUET_TYPE_ILLEGAL before any plan is built.
+    represent natively. Instead of flipping the session-wide
+    ``spark.sql.legacy.parquet.nanosAsLong`` flag (which would leak to
+    every later parquet read on a caller's shared session, silently
+    turning any other nanos column into bigint), the events scan
+    requests an EXPLICIT schema with ``ts`` as LongType — parquet
+    happily serves INT64(NANOS) as a plain long when asked — and
+    converts to a microsecond TimestampType by integer division (the
+    same ns→µs truncation DuckDB applies when reading the file). The
+    caller's session conf is never touched. Works on bare, unconfigured
+    SparkSessions (external harnesses hand us those).
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
 
+
+# Per-path memo of "does ts need the explicit-long schema" — the footer
+# probe (or the failed native read it falls back to) runs once per file.
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _ts_is_nanos(path: str) -> bool | None:
+    """Driver-side footer probe: True/False if determinable, None if
+    not (multi-file dataset dir, pyarrow missing)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        return pa.types.is_timestamp(t) and t.unit == "ns"
+    except Exception:
+        return None
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..schemas import EVENTS
+
+    nanos = _EVENTS_TS_IS_NANOS.get(path)
+    if nanos is None:
+        nanos = _ts_is_nanos(path)
+        if nanos is None:
+            # Unprobeable: try the native scan; TIMESTAMP(NANOS) dies
+            # at schema inference (PARQUET_TYPE_ILLEGAL) before any
+            # plan is built, so the failure is safe to catch.
+            try:
+                spark.read.parquet(path)
+                nanos = False
+            except Exception:
+                nanos = True
+        _EVENTS_TS_IS_NANOS[path] = nanos
+    if nanos:
+        # Request ts as a plain long via an explicit schema — parquet
+        # serves INT64(NANOS) as int64 when asked, no session conf.
+        raw = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.LongType() if f.name == "ts" else f.dataType,
+                    f.nullable,
+                )
+                for f in EVENTS.fields
+            ]
+        )
+        df = spark.read.schema(raw).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long (either path): truncate ns→µs exactly as DuckDB
+        # does when reading the same file.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -48,7 +48,8 @@ SINGLE_PARTITION_ALLOW = {
 # defaults in round 2 and are no longer allowed a cartesian plan.
 CROSS_JOIN_ALLOW = {
     "ann_topk_bruteforce",
-    "fuzzy_name_match",
+    # fuzzy_name_match removed round 3: now a length-banded hash
+    # equi-join with Levenshtein residual (queries_misc.py).
     "bench_embedding_neardup_numpy",
     # 1-row scalar-subquery broadcasts (constant-size build side — the
     # nested-loop degenerates to a per-row constant append, scale-safe):
