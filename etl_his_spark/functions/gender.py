@@ -23,30 +23,90 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# (upper-cased first name, label)
-GENDER_LOOKUP_ROWS: list[tuple[str, str]] = [
-    ("JOSE", "Male"), ("JUAN", "Male"), ("CARLOS", "Male"), ("LUIS", "Male"),
-    ("PEDRO", "Male"), ("MIGUEL", "Male"), ("JORGE", "Male"), ("VICTOR", "Male"),
-    ("OSCAR", "Male"), ("RAUL", "Male"), ("ROBERTO", "Male"), ("FERNANDO", "Male"),
-    ("DIEGO", "Male"), ("PABLO", "Male"), ("MARIO", "Male"), ("RICARDO", "Male"),
-    ("EDUARDO", "Male"), ("SERGIO", "Male"), ("ANTONIO", "Male"), ("FRANCISCO", "Male"),
-    ("MANUEL", "Male"), ("ALEJANDRO", "Male"), ("DANIEL", "Male"), ("RODRIGO", "Male"),
-    ("HECTOR", "Male"), ("HUGO", "Male"), ("MARCOS", "Male"), ("RAMON", "Male"),
-    ("GUSTAVO", "Male"), ("CESAR", "Male"), ("NELSON", "Male"), ("OSVALDO", "Male"),
-    ("MARIA", "Female"), ("ANA", "Female"), ("ROSA", "Female"), ("CARMEN", "Female"),
-    ("LAURA", "Female"), ("MARTA", "Female"), ("ELENA", "Female"), ("SOFIA", "Female"),
-    ("LUCIA", "Female"), ("PAULA", "Female"), ("SARA", "Female"), ("JULIA", "Female"),
-    ("TERESA", "Female"), ("PATRICIA", "Female"), ("CLAUDIA", "Female"),
-    ("SILVIA", "Female"), ("GLORIA", "Female"), ("ADRIANA", "Female"),
-    ("VERONICA", "Female"), ("NATALIA", "Female"), ("GABRIELA", "Female"),
-    ("ALICIA", "Female"), ("BEATRIZ", "Female"), ("MONICA", "Female"),
-    ("SANDRA", "Female"), ("LILIANA", "Female"), ("GRACIELA", "Female"),
-    ("NORMA", "Female"), ("MIRTA", "Female"), ("BLANCA", "Female"),
-    ("ANDREA", "MostlyFemale"), ("GUADALUPE", "MostlyFemale"),
-    ("ROSARIO", "MostlyFemale"), ("PILAR", "MostlyFemale"),
-    ("JESUS", "MostlyMale"), ("ANGEL", "MostlyMale"), ("CRUZ", "Unisex"),
-    ("TRINIDAD", "Unisex"), ("REYES", "Unisex"), ("ALEX", "MostlyMale"),
-]
+# (upper-cased, accent-stripped first name, label). Rebuilt from public
+# knowledge of common Spanish / Latin-American given names (the same
+# population the classic public-domain gender.c dataset covers for the
+# 'PY' country hint); ~390 entries. Names must be unique across ALL
+# label groups — the broadcast join and the oracle's VALUES inline both
+# assume one row per name (asserted below at import).
+
+_MALE = """
+    JOSE JUAN CARLOS LUIS PEDRO MIGUEL JORGE VICTOR OSCAR RAUL ROBERTO
+    FERNANDO DIEGO PABLO MARIO RICARDO EDUARDO SERGIO ANTONIO FRANCISCO
+    MANUEL ALEJANDRO DANIEL RODRIGO HECTOR HUGO MARCOS RAMON GUSTAVO
+    CESAR NELSON OSVALDO
+    ABEL ABELARDO ABRAHAM ADALBERTO ADOLFO ADRIAN AGUSTIN ALBERTO
+    ALCIDES ALDO ALFONSO ALFREDO ALVARO AMADO AMADOR ANDRES ANIBAL
+    ANSELMO ARIEL ARISTIDES ARMANDO ARNALDO ARSENIO ARTURO ATILIO
+    AUGUSTO AURELIO BALTASAR BARTOLOME BASILIO BENITO BENJAMIN BERNABE
+    BERNARDO BLAS BRAULIO BRUNO CAMILO CANDIDO CAYETANO CECILIO
+    CELESTINO CIRIACO CIRILO CLAUDIO CLEMENTE CRISTIAN CRISTOBAL DAMIAN
+    DARIO DAVID DELFIN DEMETRIO DESIDERIO DOMINGO EDGAR EDGARDO EDMUNDO
+    EDWIN EFRAIN ELADIO ELIAS ELISEO ELOY EMILIANO EMILIO ENRIQUE
+    ERNESTO ESTANISLAO ESTEBAN EUGENIO EULOGIO EUSEBIO EVARISTO
+    EZEQUIEL FABIAN FABIO FABRICIO FAUSTINO FEDERICO FELICIANO FELIPE
+    FELIX FERMIN FIDEL FLORENCIO FLORENTIN FORTUNATO FULGENCIO GABRIEL
+    GASPAR GASTON GERARDO GERMAN GERVASIO GILBERTO GONZALO GREGORIO
+    GUILLERMO HERIBERTO HERMINIO HILARION HIPOLITO HORACIO HUMBERTO
+    IGNACIO ISAAC ISIDORO ISIDRO ISMAEL IVAN JACINTO JAIME JAVIER
+    JEREMIAS JERONIMO JOAQUIN JONAS JULIAN JULIO JUSTO LAUREANO LAUTARO
+    LAZARO LEANDRO LEON LEONARDO LEONCIO LEOPOLDO LISANDRO LORENZO
+    LUCAS LUCIANO MARCELINO MARCELO MARCIAL MARIANO MARTIN MATEO MATIAS
+    MAURICIO MAXIMILIANO MAXIMO MILCIADES MILTON MODESTO MOISES NARCISO
+    NESTOR NICANOR NICOLAS NORBERTO OCTAVIO OMAR ORLANDO PASCUAL
+    PATRICIO PAULINO PLACIDO PONCIANO PORFIRIO PRIMITIVO PRUDENCIO
+    RAFAEL RAMIRO REINALDO RENATO ROBUSTIANO RODOLFO ROGELIO ROLANDO
+    ROMAN ROMEO ROQUE ROSENDO RUBEN RUFINO RUPERTO SALOMON SALVADOR
+    SAMUEL SANTIAGO SATURNINO SEBASTIAN SEGUNDO SEVERO SILVANO SILVIO
+    SIMEON SIMON TADEO TEODORO TIBURCIO TIMOTEO TOMAS TORIBIO ULISES
+    VALENTIN VALERIANO VENANCIO VICENTE VIRGILIO WALTER WILFRIDO WILSON
+    ZACARIAS
+"""
+
+_FEMALE = """
+    MARIA ANA ROSA CARMEN LAURA MARTA ELENA SOFIA LUCIA PAULA SARA
+    JULIA TERESA PATRICIA CLAUDIA SILVIA GLORIA ADRIANA VERONICA
+    NATALIA GABRIELA ALICIA BEATRIZ MONICA SANDRA LILIANA GRACIELA
+    NORMA MIRTA BLANCA
+    ABIGAIL AGUSTINA AIDA ALBA ALEJANDRA AMALIA AMANDA AMELIA ANGELA
+    ANGELICA ANTONIA ARACELI AURORA AZUCENA BARBARA BASILIA BELEN BERTA
+    BIANCA BRIGIDA CAMILA CANDELARIA CAROLINA CATALINA CECILIA CELESTE
+    CELIA CINTIA CLARA CONSTANZA CONSUELO CORINA CRISTINA DAIANA DALILA
+    DANIELA DEBORA DELIA DIANA DIGNA DOLORES DOMINGA DORA EDITH ELBA
+    ELIANA ELISA ELOISA ELSA ELVIRA EMILIA ERICA ESMERALDA ESPERANZA
+    ESTELA ESTER EUGENIA EVA EVANGELINA FABIANA FATIMA FELICIA FELIPA
+    FERNANDA FLAVIA FLOR FLORENCIA FRANCISCA GEORGINA GIMENA GISELA
+    GRISELDA HAYDEE HERMINIA HILDA HORTENSIA INES IRENE IRIS ISABEL
+    ISIDORA IVANA JACINTA JAZMIN JESICA JIMENA JOHANA JOSEFA JOSEFINA
+    JUANA JULIANA JULIETA KARINA LARA LETICIA LIDIA LILA LILIA LORENA
+    LOURDES LUISA LUJAN LUZ MABEL MAGDALENA MAITE MANUELA MARCELA
+    MARGARITA MARIANA MARIBEL MARINA MARISA MARISOL MARLENE MATILDE
+    MAYRA MELISA MERCEDES MICAELA MILAGROS MIRIAM MIRNA NANCY NELIDA
+    NIDIA NILDA NOELIA NOEMI NORA OFELIA OLGA OLIVIA PABLA PAMELA PAOLA
+    PERLA PETRONA PRISCILA RAMONA RAQUEL REBECA REGINA RITA ROCIO
+    ROMINA ROSALBA ROSALIA ROSANA ROSAURA ROXANA RUTH SABRINA SALOME
+    SERAFINA SILVANA SOLEDAD SONIA SUSANA TAMARA TATIANA TOMASA URSULA
+    VALERIA VANESA VICTORIA VILMA VIOLETA VIRGINIA VIVIANA XIMENA
+    YOLANDA ZULMA ZUNILDA
+"""
+
+_MOSTLY_FEMALE = "ANDREA GUADALUPE ROSARIO PILAR AMPARO CONCEPCION NIEVES SOCORRO"
+_MOSTLY_MALE = "JESUS ANGEL ALEX RENE NOEL DENIS JUNIOR"
+_UNISEX = "CRUZ TRINIDAD REYES SANTOS ASCENSION"
+
+GENDER_LOOKUP_ROWS: list[tuple[str, str]] = (
+    [(n, "Male") for n in _MALE.split()]
+    + [(n, "Female") for n in _FEMALE.split()]
+    + [(n, "MostlyFemale") for n in _MOSTLY_FEMALE.split()]
+    + [(n, "MostlyMale") for n in _MOSTLY_MALE.split()]
+    + [(n, "Unisex") for n in _UNISEX.split()]
+)
+
+# One row per name or the lookup join fans out (and the oracle's
+# correlated VALUES lookup would raise): fail loudly at import.
+assert len({n for n, _ in GENDER_LOOKUP_ROWS}) == len(GENDER_LOOKUP_ROWS), (
+    "duplicate first name in GENDER_LOOKUP_ROWS"
+)
 
 
 def gender_lookup_df(spark: SparkSession) -> DataFrame:

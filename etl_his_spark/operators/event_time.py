@@ -20,6 +20,16 @@ streaming twins live in etl_his_spark/streaming/.
 - ``range_join_count`` — genuine bounded-interval join (count right
   rows within [t-Δ, t)); equi-join on entity + range predicate, which
   Spark executes as a hash join with the range as residual filter.
+  Fine at moderate scale, but a hot entity makes the residual
+  quadratic (every left×right pair of that entity is materialized
+  before the filter).
+- ``range_join_count_linear`` — the same count via ONE window with a
+  microsecond range frame over the unioned probe+marker stream: each
+  right row is a +1 marker at its timestamp, each left row a probe
+  whose frame [t-Δ µs, t-1 µs] sums the markers. One shuffle on the
+  entity key, linear work per entity even when skewed — the shape
+  that survives 100 TB. Output-identical to ``range_join_count``
+  (equivalence-tested); the registered gate query uses this form.
 """
 
 from __future__ import annotations
@@ -170,3 +180,59 @@ def range_join_count(
     return joined.groupBy(*[F.col(f"l.{c}") for c in left.columns]).agg(
         F.count(F.col(f"r.{right_ts}")).alias(count_name)
     )
+
+
+def range_join_count_linear(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    count_name: str = "n_in_range",
+) -> DataFrame:
+    """``range_join_count`` without the join: one window, linear work.
+
+    Right rows become +1 markers at ``right_ts``; left rows become
+    probes carrying their full row. Both are unioned and windowed per
+    entity, ordered by epoch MICROseconds (the storage resolution —
+    second-granularity ordering would merge distinct sub-second
+    timestamps), with a range frame of [t-Δ·10⁶, t-1] µs. Summing the
+    marker deltas over that frame IS the bounded-interval count:
+    markers at exactly t-Δ are included (≥ bound), markers at exactly
+    t are excluded (< bound, frame ends at t-1). Spark's WindowExec
+    evaluates range frames with a sliding two-pointer pass, so a hot
+    entity costs O(n) instead of the hash-join residual's O(n²).
+
+    Left rows with a NULL entity or NULL timestamp yield count 0,
+    matching the equi-join's null-rejecting left-join semantics
+    (markers with NULL entity are dropped: they can never match).
+    """
+    lcols = left.columns
+    probes = left.select(
+        *lcols,
+        F.unix_micros(F.col(left_ts)).alias("__us"),
+        F.lit(0).alias("__delta"),
+        F.lit(1).alias("__is_probe"),
+    )
+    markers = right.filter(F.col(on).isNotNull()).select(
+        *[
+            F.col(on).alias(c)
+            if c == on
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.unix_micros(F.col(right_ts)).alias("__us"),
+        F.lit(1).alias("__delta"),
+        F.lit(0).alias("__is_probe"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__us")
+        .rangeBetween(-lower_seconds * 1_000_000, -1)
+    )
+    counted = probes.unionByName(markers).withColumn(
+        count_name,
+        F.coalesce(F.sum("__delta").over(w), F.lit(0)).cast("long"),
+    )
+    return counted.filter(F.col("__is_probe") == 1).select(*lcols, count_name)

@@ -10,12 +10,16 @@ Design for a 100 TB multimodal corpus:
   ``mapInPandas`` stages: Python touches each batch once, the schema
   contract is explicit, and the stage parallelizes per partition like
   any narrow transform.
-- The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
-  environment, so decode is STUBBED: ``decode_media`` raises
-  NotImplementedError unless ``allow_fake=True``, in which case a
-  clearly-marked deterministic fake (byte-histogram features, fixed
-  frame splitter) exercises the identical Spark plumbing — schema,
-  batching, 1:N row fan-out — that a real decoder would use.
+- Image decode/resize have a REAL code path behind a runtime
+  ``import PIL`` (``decoder="pil"`` / ``resize_image``): Pillow decode
+  → grayscale → 16-bin luminance histogram, executed inside the same
+  Arrow-batched ``mapInPandas`` stage. When Pillow is not installed
+  (this container), those paths raise a NotImplementedError naming the
+  dependency, and the deterministic fake (byte-histogram features,
+  fixed frame splitter) remains available via ``allow_fake=True`` /
+  ``decoder="fake"`` — it exercises the identical Spark plumbing
+  (schema, batching, 1:N row fan-out). Video frame extraction stays a
+  stub: it needs ffmpeg, which has no optional pure-Python fallback.
 """
 
 from __future__ import annotations
@@ -76,32 +80,89 @@ def attach_fake_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
-    """Decode media to features. STUB: no codec libs in this container.
+def pil_available() -> bool:
+    """True when Pillow can be imported (runtime check, never required)."""
+    try:
+        import PIL  # noqa: F401
 
-    With ``allow_fake=True`` a deterministic byte-histogram stands in
-    for real features; the Spark contract (mapInPandas, Arrow batches,
-    FEATURES_SCHEMA) is exactly what a real decoder would use — swap
-    the inner function, keep the plumbing.
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_image_features(b: bytes) -> list[float] | None:
+    """Real image features: Pillow decode → grayscale → normalized
+    16-bin luminance histogram. None for undecodable bytes (a real
+    corpus has corrupt assets; dropping the row is the caller's call,
+    a NULL feature vector keeps the error visible)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(b)).convert("L")
+    except Exception:
+        return None
+    hist = img.histogram()  # 256 luminance bins
+    width = 256 // N_FEATURES
+    bins = [float(sum(hist[i * width : (i + 1) * width])) for i in range(N_FEATURES)]
+    total = sum(bins) or 1.0
+    return [v / total for v in bins]
+
+
+def _fake_byte_features(b: bytes) -> list[float]:
+    """Deterministic stand-in: normalized byte-value histogram mod 16."""
+    hist = [0.0] * N_FEATURES
+    for byte in b:
+        hist[byte % N_FEATURES] += 1.0
+    total = len(b) or 1
+    return [h / total for h in hist]
+
+
+def decode_media(
+    media: DataFrame, allow_fake: bool = False, decoder: str = "auto"
+) -> DataFrame:
+    """Decode media bytes to a feature vector per asset.
+
+    ``decoder`` picks the per-row decode function; the Spark contract
+    (mapInPandas, Arrow batches, FEATURES_SCHEMA) is identical for all:
+
+    - ``"pil"`` — REAL image decoding via Pillow (runtime import on
+      the executor): grayscale 16-bin luminance histogram; NULL
+      features for undecodable bytes. Raises NotImplementedError
+      naming the dependency when Pillow is not installed.
+    - ``"fake"`` — deterministic byte-histogram stub (requires
+      ``allow_fake=True``): stable output for gates/tests, no codec.
+    - ``"auto"`` — ``pil`` when Pillow is importable on the driver,
+      else ``fake`` when ``allow_fake=True``, else raise.
+
+    ``allow_fake=True`` with the default ``decoder="auto"`` keeps the
+    historical stub behavior deterministic ONLY where Pillow is absent;
+    gates that must be environment-independent pass ``decoder="fake"``.
     """
-    if not allow_fake:
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "fake"
+    if decoder == "pil" and not pil_available():
         raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg/librosa (not installed); "
+            "decoder='pil' requires Pillow (PIL), which is not installed "
+            "in this environment; install Pillow or use decoder='fake' "
+            "with allow_fake=True"
+        )
+    if decoder == "fake" and not allow_fake:
+        raise NotImplementedError(
+            "real media decoding needs PIL (not installed); "
             "pass allow_fake=True for the deterministic stub"
         )
+    if decoder not in ("pil", "fake"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+    use_pil = decoder == "pil"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pil_image_features if use_pil else _fake_byte_features
         for pdf in it:
-            feats = []
-            for b in pdf["media_bytes"]:
-                if b is None:
-                    feats.append(None)
-                    continue
-                hist = [0.0] * N_FEATURES
-                for byte in b:
-                    hist[byte % N_FEATURES] += 1.0
-                total = len(b) or 1
-                feats.append([h / total for h in hist])
+            feats = [
+                None if b is None else decode(b) for b in pdf["media_bytes"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -148,8 +209,47 @@ def frame_sample(
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — hard stub: meaningless without a real codec."""
-    raise NotImplementedError(
-        "image resize requires PIL (not installed in this container); "
-        "the pipeline slot exists so schemas/partitioning are designed in"
-    )
+    """Image resize via Pillow (runtime import): decode → LANCZOS
+    resize → re-encode PNG, per row inside an Arrow-batched
+    ``mapInPandas`` stage; undecodable bytes yield NULL. Raises
+    NotImplementedError naming the dependency when Pillow is missing —
+    a resize has no meaningful fake."""
+    if not pil_available():
+        raise NotImplementedError(
+            "image resize requires Pillow (PIL), not installed in this "
+            "container; the pipeline slot exists so schemas/partitioning "
+            "are designed in"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from io import BytesIO
+
+        from PIL import Image
+
+        def resize_one(b: bytes | None) -> bytes | None:
+            if b is None:
+                return None
+            try:
+                img = Image.open(BytesIO(b))
+                out = BytesIO()
+                img.resize((width, height), Image.LANCZOS).save(out, "PNG")
+                return out.getvalue()
+            except Exception:
+                return None
+
+        for pdf in it:
+            resized = [resize_one(b) for b in pdf["media_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "media_bytes": resized,
+                    "n_bytes": [
+                        None if r is None else len(r) for r in resized
+                    ],
+                    "declared_width": [width] * len(pdf),
+                    "declared_height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.event_time import (
     asof_join,
-    range_join_count,
+    range_join_count_linear,
     sessionize,
     tumbling_window_agg,
 )
@@ -152,12 +152,18 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-interval join: events of the same user in the hour
-    before each error event (equi-join on user + range residual)."""
+    before each error event.
+
+    Registered default is the LINEAR window form (one shuffle on
+    user_id, O(n) per entity even on hot users); the hash-join-with-
+    range-residual form (``range_join_count``) remains available and
+    is equivalence-tested against this one. The oracle is the plain
+    SQL range join — both implementations must reproduce it."""
     e = read_table(spark, sf_dir, "events")
     errors = e.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
-    out = range_join_count(
+    out = range_join_count_linear(
         errors, e.select("user_id", "ts"), "user_id", "ts", "ts", 3600
     )
     return out.select("event_id", "user_id", "ts", "n_in_range")

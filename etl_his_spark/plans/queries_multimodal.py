@@ -23,7 +23,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     this contract query flattens it.
     """
     media = attach_fake_media(read_table(spark, sf_dir, "documents"))
-    decoded = decode_media(media, allow_fake=True)
+    # decoder="fake" pinned explicitly: the gate's output must be
+    # environment-independent (decoder="auto" would switch to the real
+    # Pillow path wherever Pillow happens to be installed, and the fake
+    # text-payload media isn't decodable imagery).
+    decoded = decode_media(media, allow_fake=True, decoder="fake")
     return decoded.select(
         "media_id",
         "kind",

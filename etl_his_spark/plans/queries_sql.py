@@ -106,7 +106,7 @@ _GENDER_ORACLE = f"""
     named AS (
         SELECT c_custkey AS cliente_key,
                (SELECT first_name FROM dict
-                WHERE idx = c_custkey % {len(GENDER_LOOKUP_ROWS) + 8}) AS primer_nombre
+                WHERE idx = c_custkey % {len(GENDER_LOOKUP_ROWS) + max(8, len(GENDER_LOOKUP_ROWS) // 8)}) AS primer_nombre
         FROM customer
     )
     SELECT n.cliente_key, n.primer_nombre, d.gender AS sexo_inferido
@@ -119,8 +119,8 @@ def gender_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 (Command.php:359-375) as a broadcast lookup join.
 
     Each customer gets a deterministic pseudo first-name from the
-    dictionary (modulo over a range wider than the dictionary, so ~10%
-    of rows miss and yield NULL — the unknown-name path)."""
+    dictionary (modulo over a range ~12.5% wider than the dictionary,
+    so ~11% of rows miss and yield NULL — the unknown-name path)."""
     c = read_table(spark, sf_dir, "customer")
     n = len(GENDER_LOOKUP_ROWS)
     dict_df = spark.createDataFrame(
@@ -130,7 +130,7 @@ def gender_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     named = (
         c.select(
             F.col("c_custkey").alias("cliente_key"),
-            (F.col("c_custkey") % (n + 8)).alias("idx"),
+            (F.col("c_custkey") % (n + max(8, n // 8))).alias("idx"),
         )
         .join(F.broadcast(dict_df), "idx", "left")
         .select("cliente_key", "primer_nombre")

@@ -1,0 +1,86 @@
+"""Batch event-time operator tests — notably the equivalence between
+the hash-join range count and its linear single-window form."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_his_spark.operators.event_time import (
+    range_join_count,
+    range_join_count_linear,
+)
+from etl_his_spark.sources.readers import read_table
+
+
+def _sorted_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_range_join_linear_equivalent_on_events(spark, sf_dir):
+    """Same (left row → count) map as the join+residual form on the
+    real events table, including sub-second timestamp boundaries."""
+    e = read_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.select("user_id", "ts")
+    joined = range_join_count(errors, right, "user_id", "ts", "ts", 3600)
+    linear = range_join_count_linear(errors, right, "user_id", "ts", "ts", 3600)
+    assert _sorted_rows(joined) == _sorted_rows(linear)
+
+
+def test_range_join_linear_hot_entity_and_nulls(spark):
+    """Skewed key (one entity owns nearly all rows), NULL entities on
+    both sides, and exact boundary timestamps t-Δ (included) and t
+    (excluded)."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(seconds):
+        return t0 + datetime.timedelta(seconds=seconds)
+
+    # hot entity 1: marker every second for 500s; entity 2 sparse; NULLs
+    right_rows = [(1, ts(i)) for i in range(500)]
+    right_rows += [(2, ts(10)), (2, ts(100)), (None, ts(50))]
+    left_rows = [
+        (100, 1, ts(500)),   # window [440,500): 60 markers
+        (101, 1, ts(60)),    # window [0,60): 60 markers
+        (102, 1, ts(0)),     # nothing strictly before 0
+        (103, 2, ts(70)),    # window [10,70): marker at 10 in (>=), 100 out
+        (104, None, ts(100)),  # NULL entity: matches nothing
+    ]
+    right = spark.createDataFrame(right_rows, "user_id long, ts timestamp")
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp"
+    )
+    linear = range_join_count_linear(left, right, "user_id", "ts", "ts", 60)
+    got = {r["event_id"]: r["n_in_range"] for r in linear.collect()}
+    assert got == {100: 60, 101: 60, 102: 0, 103: 1, 104: 0}
+    joined = range_join_count(left, right, "user_id", "ts", "ts", 60)
+    assert _sorted_rows(joined) == _sorted_rows(linear)
+
+
+def test_range_join_linear_subsecond_boundary(spark):
+    """Markers offset by microseconds around the bounds: the frame is
+    evaluated at µs resolution, not whole seconds."""
+    t0 = datetime.datetime(2024, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    dt = datetime.timedelta(seconds=60)
+    left = spark.createDataFrame(
+        [(1, 7, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t0 - dt - us),  # just below lower bound: out
+            (7, t0 - dt),       # exactly lower bound: in (>=)
+            (7, t0 - us),       # just before t: in
+            (7, t0),            # exactly t: out (<)
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = range_join_count_linear(left, right, "user_id", "ts", "ts", 60)
+    assert got.first()["n_in_range"] == 2

@@ -11,6 +11,7 @@ from etl_his_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
     frame_sample,
+    pil_available,
     resize_image,
 )
 from etl_his_spark.sources.readers import read_table
@@ -28,15 +29,54 @@ def test_media_schema_and_bytes(media):
     assert row["kind"] == "image"
 
 
+@pytest.mark.skipif(
+    pil_available(), reason="Pillow installed: stub gates do not raise"
+)
 def test_decode_stub_gate_raises(media):
     with pytest.raises(NotImplementedError):
-        decode_media(media)  # allow_fake not set → explicit stub error
+        decode_media(media)  # no Pillow, allow_fake unset → explicit error
+    with pytest.raises(NotImplementedError):
+        decode_media(media, decoder="pil")  # names the missing dependency
     with pytest.raises(NotImplementedError):
         resize_image(media, 224, 224)
 
 
+@pytest.mark.skipif(
+    not pil_available(),
+    reason="real image decode requires Pillow (PIL), not installed here",
+)
+def test_decode_pil_real_images(spark):
+    """Real Pillow path: synthetic PNGs through decoder='pil' —
+    luminance histograms normalize to 1 and separate black from white."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png(color):
+        buf = BytesIO()
+        Image.new("L", (8, 8), color).save(buf, "PNG")
+        return buf.getvalue()
+
+    rows = [(0, "image", png(0), None, None, None),
+            (1, "image", png(255), None, None, None)]
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [(i, k, b, len(b), w, h) for i, k, b, _, w, h in rows], MEDIA_SCHEMA
+    )
+    feats = {r["media_id"]: r["features"]
+             for r in decode_media(media, decoder="pil").collect()}
+    assert abs(sum(feats[0]) - 1.0) < 1e-9
+    assert feats[0][0] == 1.0   # all-black image: lowest luminance bin
+    assert feats[1][-1] == 1.0  # all-white image: highest luminance bin
+    resized = resize_image(media, 4, 4).collect()
+    assert all(r["declared_width"] == 4 for r in resized)
+    assert all(Image.open(BytesIO(bytes(r["media_bytes"]))).size == (4, 4)
+               for r in resized)
+
+
 def test_decode_features_deterministic(spark, media):
-    out = decode_media(media, allow_fake=True)
+    out = decode_media(media, allow_fake=True, decoder="fake")
     rows = {r["media_id"]: r for r in out.collect()}
     assert len(rows) == media.count()
     f0 = rows[0]["features"]
@@ -44,7 +84,7 @@ def test_decode_features_deterministic(spark, media):
     assert abs(sum(f0) - 1.0) < 1e-9  # histogram normalized
     # deterministic across runs
     again = {r["media_id"]: r["features"] for r in
-             decode_media(media, allow_fake=True).collect()}
+             decode_media(media, allow_fake=True, decoder="fake").collect()}
     assert again[0] == f0
 
 
