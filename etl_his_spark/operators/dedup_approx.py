@@ -153,9 +153,12 @@ def jaccard_pairs(
     posting-list squares — use minhash_lsh_candidates at 100 TB and
     reserve this for verification of candidate pairs.
     """
-    # sh feeds three plan subtrees (sizes + both join sides): persist
-    # once or Spark recomputes the shingling per consumer
-    sh = shingle_rows(docs, id_col, text_col).persist()
+    # sh feeds three plan subtrees (sizes + both join sides): materialize
+    # once or Spark recomputes the shingling per consumer. Eager
+    # localCheckpoint, not persist(): blocks are GC-reclaimed with the
+    # frame; persist() leaks a CacheManager entry per call in long-lived
+    # sessions (see packing.running_total for the full rationale).
+    sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -203,7 +206,8 @@ def jaccard_pairs_prefix(
     lists), and only candidates get exact verification. Exactness is
     checked by the unchanged naive oracle.
     """
-    sh = shingle_rows(docs, id_col, text_col).persist()
+    # Eager localCheckpoint, not persist() — see jaccard_pairs.
+    sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle")
     w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("shingle"))
@@ -327,8 +331,9 @@ def minhash_lsh_candidates(
     high probability. est_sim = fraction of agreeing minhashes,
     computed column-wise from the wide signatures (no per-seed join).
     """
-    # sig feeds the bucket explode AND both est_sim join sides
-    sig = minhash_signatures(docs, id_col, text_col).persist()
+    # sig feeds the bucket explode AND both est_sim join sides; eager
+    # localCheckpoint, not persist() — see jaccard_pairs.
+    sig = minhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
     buckets = lsh_band_buckets(sig, id_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -425,7 +430,8 @@ def simhash_pairs(
     ``simhash_pairs_blocked`` (which is output-identical by pigeonhole
     and is the registered default). Do not use at scale.
     """
-    sig = simhash_signatures(docs, id_col, text_col).persist()
+    # Eager localCheckpoint, not persist() — see jaccard_pairs.
+    sig = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
     a = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"))
     return (

@@ -154,9 +154,12 @@ def run_pipeline(
     """Full E/T/(L): returns the 4 outputs; optionally publishes them
     atomically (stage-then-publish) under ``output_root``."""
     wide_ids = _with_row_ids(extract_wide(tables))
-    # One pass feeds all four outputs; cache the extraction rather than
-    # recompute the 22-table join per derivation.
-    wide_ids = wide_ids.persist()
+    # One pass feeds all four outputs; materialize the extraction rather
+    # than recompute the 22-table join per derivation. Eager
+    # localCheckpoint, not persist(): blocks die with the frame instead
+    # of leaking a CacheManager entry per call (packing.running_total
+    # has the full rationale).
+    wide_ids = wide_ids.localCheckpoint(eager=True)
     slot_rows = unpivot_wide_slots(wide_ids)
     paciente = build_paciente(wide_ids)
     turno = build_turno(wide_ids, paciente)

@@ -92,24 +92,110 @@ def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_approx_distinct")  # rows-only: HLL estimates are
-# engine-specific by design; accuracy asserted in tests vs exact counts
+@register(
+    "sketch_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS within_rsd_bound
+    FROM events GROUP BY 1
+    """,
+)
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type — the sketch
-    that replaces COUNT(DISTINCT) at 100 TB (mergeable, fixed memory)."""
+    that replaces COUNT(DISTINCT) at 100 TB (mergeable, fixed memory).
+
+    Hard-signal design: the HLL estimate itself is engine-specific, so
+    the registered output carries the EXACT side (count distinct, which
+    DuckDB reproduces) plus a ``within_rsd_bound`` boolean asserting the
+    estimate landed within 5× the configured rsd of the exact count —
+    a bound HLL++ meets with overwhelming probability, and
+    deterministically so for a fixed dataset (the sketch hash is
+    seedless). The oracle asserts the same boolean as literal TRUE, so
+    an out-of-bound sketch hash-mismatches and fails the gate.
+    """
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(1.0), F.col("exact_users") * F.lit(5 * 0.02)
+                )
+            ).alias("within_rsd_bound"),
+        )
     )
 
 
-@register("sketch_approx_quantiles")  # rows-only: t-digest-style
-# estimates are engine-specific; accuracy asserted in tests
+@register(
+    "sketch_approx_quantiles",
+    """
+    SELECT event_type, count(*) AS n_events,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events GROUP BY 1
+    """,
+)
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95/p99 of event value per type
-    (fixed-memory mergeable quantile sketch)."""
+    """Approximate p50/p95/p99 of event value per type (fixed-memory
+    mergeable quantile sketch, accuracy=10000 → rank error ≤ n/10000).
+
+    Hard-signal design: sketch values are engine-specific, so instead of
+    emitting the raw estimates (r3's array output also crashed the
+    harness canonicalizer) the query verifies each estimate's RANK
+    against the raw data: value v passes for percentile p iff
+    ``count(value < v) ≤ (p+ε)·n`` and ``count(value ≤ v) ≥ (p−ε)·n``
+    with ε = max(1/n, 2/accuracy) slack. The oracle asserts the same
+    booleans as literal TRUE — a mis-ranked sketch hash-mismatches.
+    """
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("quantiles")
+    sketched = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("qs"),
+    )
+    flat = sketched.select(
+        "event_type",
+        F.element_at("qs", 1).alias("p50"),
+        F.element_at("qs", 2).alias("p95"),
+        F.element_at("qs", 3).alias("p99"),
+    )
+    # Rank-check join: one broadcast join (≤ #event_types rows) + one
+    # keyed agg — no second shuffle of the raw events beyond the agg.
+    checked = (
+        e.join(F.broadcast(flat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                agg
+                for p in ("p50", "p95", "p99")
+                for agg in (
+                    F.sum((F.col("value") < F.col(p)).cast("long")).alias(f"lt_{p}"),
+                    F.sum((F.col("value") <= F.col(p)).cast("long")).alias(f"le_{p}"),
+                )
+            ],
+        )
+    )
+
+    def ok(p: str, frac: float) -> F.Column:
+        n = F.col("n_events").cast("double")
+        slack = F.greatest(F.lit(1.0), n * F.lit(2.0 / 10000))
+        return (F.col(f"lt_{p}") <= n * F.lit(frac) + slack) & (
+            F.col(f"le_{p}") >= n * F.lit(frac) - slack
+        )
+
+    return checked.select(
+        "event_type",
+        "n_events",
+        ok("p50", 0.5).alias("p50_ok"),
+        ok("p95", 0.95).alias("p95_ok"),
+        ok("p99", 0.99).alias("p99_ok"),
     )

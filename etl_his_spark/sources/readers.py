@@ -60,12 +60,8 @@ def _ts_is_nanos(path: str) -> bool | None:
         return None
 
 
-def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    from ..schemas import EVENTS
-
+def _events_nanos(spark: SparkSession, path: str) -> bool:
+    """Memoized: does this events file carry ts as TIMESTAMP(NANOS)?"""
     nanos = _EVENTS_TS_IS_NANOS.get(path)
     if nanos is None:
         nanos = _ts_is_nanos(path)
@@ -79,9 +75,29 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
             except Exception:
                 nanos = True
         _EVENTS_TS_IS_NANOS[path] = nanos
-    if nanos:
-        # Request ts as a plain long via an explicit schema — parquet
-        # serves INT64(NANOS) as int64 when asked, no session conf.
+    return nanos
+
+
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ``ts`` as raw nanos-since-epoch LongType — no
+    timestamp conversion.
+
+    This is the ONLY sanctioned way to read the nanos events file
+    without a timestamp column: a bare ``spark.read.parquet`` on it
+    throws ``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS,false))``
+    on any session that doesn't carry the legacy ``nanosAsLong`` conf
+    (which this repo deliberately never sets session-wide — see
+    ``read_table``). Streaming replay fixtures use this to materialize
+    source dirs whose ``ts`` stays long, matching
+    ``streaming.events.EVENTS_RAW_SCHEMA``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..schemas import EVENTS
+
+    path = f"{sf_dir}/events.parquet"
+    if _events_nanos(spark, path):
         raw = T.StructType(
             [
                 T.StructField(
@@ -92,13 +108,40 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
                 for f in EVENTS.fields
             ]
         )
-        df = spark.read.schema(raw).parquet(path)
+        return spark.read.schema(raw).parquet(path)
+    # Native-timestamp file: normalize to the same nanos-long contract.
+    df = spark.read.parquet(path)
+    dt = dict(df.dtypes).get("ts")
+    if dt != "bigint":
+        ts = F.col("ts")
+        if dt == "timestamp_ntz":
+            # unix_micros only takes LTZ; NTZ→LTZ cast is exact under
+            # the UTC session timezone this repo's sessions pin.
+            ts = ts.cast("timestamp")
+        df = df.withColumn("ts", F.unix_micros(ts) * F.lit(1000))
+    return df
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if _events_nanos(spark, path):
+        sf_dir = path[: -len("/events.parquet")]
+        df = read_events_raw(spark, sf_dir)
     else:
         df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # nanos-as-long (either path): truncate ns→µs exactly as DuckDB
         # does when reading the same file.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # Native TIMESTAMP(MICROS) parquet arrives as NTZ; normalize to
+        # TimestampType so downstream expressions (unix_micros, window
+        # arithmetic) see one type regardless of the file's flavor. The
+        # NTZ→LTZ cast is exact under the UTC session timezone this
+        # repo's sessions pin, matching DuckDB's naive-as-UTC reading.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

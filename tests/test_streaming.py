@@ -8,7 +8,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from etl_his_spark.sources.readers import read_table
+from etl_his_spark.sources.readers import read_events_raw, read_table
 from etl_his_spark.streaming.events import (
     dedup_stream,
     run_to_memory,
@@ -23,7 +23,7 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     # a parquet DIRECTORY (streaming sources need dirs, not single files)
     out = str(tmp_path_factory.mktemp("events_stream"))
     shutil.rmtree(out)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long
+    raw = read_events_raw(spark, sf_dir)  # ts stays nanos-long by contract
     raw.repartition(8).write.parquet(out)  # several files → several triggers
     return out
 
