@@ -118,9 +118,20 @@ def repetition_stats(
       (0.4 / 0.2 — tuned so the synthetic corpus splits non-trivially).
 
     Exact-integer discipline: both fractions are ONE IEEE division of
-    exact integer counts, bit-equal across engines. Plan: explode →
-    two groupBy aggs keyed on doc → join back on doc id. Everything is
-    keyed on the doc id, so parallelism holds at corpus scale.
+    exact integer counts, bit-equal across engines.
+
+    Plan: MAP-ONLY — zero shuffles, zero joins. Per-doc stats are
+    inherently per-row work, so the natural 100 TB plan is a pure
+    projection (embarrassingly parallel over input splits). The top
+    2-gram is found by sorting the row's gram array and taking the
+    longest run in one ``F.aggregate`` pass (JVM-side higher-order
+    function): in an ascending scan, replacing the best on
+    ``count >= best_count`` yields highest-count-ties-to-lexically-last
+    — identical to the previous groupBy(doc,gram)→max(struct) plan
+    (whose explode + two shuffles + join-back this replaces), and to
+    the oracle's ``ORDER BY cnt DESC, gram DESC LIMIT 1``. Per-row
+    cost is O(w log w) in the doc's word count, same asymptotics the
+    shuffled plan paid — just without moving the grams anywhere.
     """
     ts = words(F.col(text_col))
     # The size guard keeps both ratio denominators nonzero (and the
@@ -129,32 +140,35 @@ def repetition_stats(
     d = spread_small_input(docs).filter(
         F.col(text_col).isNotNull() & (F.size(ts) > 0)
     )
-    base = d.select(
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("cur_g"),
+        zero.alias("cur_c"),
+        F.lit("").alias("best_g"),
+        zero.alias("best_c"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        new_c = F.when(g == acc["cur_g"], acc["cur_c"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = new_c >= acc["best_c"]
+        return F.struct(
+            g.alias("cur_g"),
+            new_c.alias("cur_c"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
+            F.when(better, new_c).otherwise(acc["best_c"]).alias("best_c"),
+        )
+
+    top = F.aggregate(F.array_sort(word_ngrams(F.col(text_col), 2)), acc0, step)
+    out = d.select(
         F.col(id_col),
         F.size(ts).alias("total_words"),
         F.size(F.array_distinct(ts)).alias("distinct_words"),
         F.length(F.trim(F.col(text_col))).alias("n_chars_trim"),
-    )
-    two = d.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
-    )
-    top2 = (
-        two.groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        # max of (cnt, gram) struct: field-by-field ordering = highest
-        # count, ties to the lexically LAST gram — deterministic; the
-        # oracle mirrors with ORDER BY cnt DESC, gram DESC LIMIT 1 per
-        # doc. Partial-aggregable (map-side max), unlike a row_number
-        # window which would shuffle every (doc, gram) count row.
-        .agg(F.max(F.struct(F.col("cnt"), F.col("gram").alias("g"))).alias("top"))
-        .select(
-            F.col(id_col),
-            F.col("top.g").alias("top2_gram"),
-            F.col("top.cnt").alias("top2_cnt"),
-        )
-    )
-    out = base.join(top2, id_col, "left").select(
+        top["best_g"].alias("top2_gram"),
+        top["best_c"].alias("top2_cnt"),
+    ).select(
         F.col(id_col),
         "total_words",
         "distinct_words",
@@ -162,11 +176,10 @@ def repetition_stats(
             F.lit(1.0)
             - F.col("distinct_words").cast("double") / F.col("total_words")
         ).alias("dup_word_frac"),
-        F.coalesce(F.col("top2_gram"), F.lit("")).alias("top2_gram"),
-        F.coalesce(F.col("top2_cnt"), F.lit(0)).cast("long").alias("top2_cnt"),
+        "top2_gram",
+        "top2_cnt",
         (
-            (F.coalesce(F.col("top2_cnt"), F.lit(0))
-             * F.coalesce(F.length("top2_gram"), F.lit(0))).cast("double")
+            (F.col("top2_cnt") * F.length("top2_gram")).cast("double")
             / F.col("n_chars_trim")
         ).alias("top2_frac"),
     )

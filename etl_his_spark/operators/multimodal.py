@@ -10,13 +10,18 @@ Design for a 100 TB multimodal corpus:
   ``mapInPandas`` stages: Python touches each batch once, the schema
   contract is explicit, and the stage parallelizes per partition like
   any narrow transform.
-- Image decode/resize have a REAL code path behind a runtime
-  ``import PIL`` (``decoder="pil"`` / ``resize_image``): Pillow decode
-  → grayscale → 16-bin luminance histogram, executed inside the same
-  Arrow-batched ``mapInPandas`` stage. When Pillow is not installed
-  (this container), those paths raise a NotImplementedError naming the
-  dependency, and the deterministic fake (byte-histogram features,
-  fixed frame splitter) remains available via ``allow_fake=True`` /
+- Image decode/resize have REAL code paths: ``decoder="pil"`` (Pillow
+  behind a runtime import — any format Pillow reads) and
+  ``decoder="netpbm"`` (a dependency-free pure-numpy decoder for
+  binary PGM/PPM — P5/P6 netpbm rasters), both producing the same
+  grayscale 16-bin luminance histogram inside the same Arrow-batched
+  ``mapInPandas`` stage. The netpbm lane exists so the real-decode
+  contract is verifiable even where Pillow is not installed (this
+  container): netpbm is a real interchange format and the decode math
+  (BT.601 luminance, histogram binning) is the same. When Pillow is
+  missing, ``decoder="pil"`` raises NotImplementedError naming the
+  dependency; the deterministic fake (byte-histogram features, fixed
+  frame splitter) remains available via ``allow_fake=True`` /
   ``decoder="fake"`` — it exercises the identical Spark plumbing
   (schema, batching, 1:N row fan-out). Video frame extraction stays a
   stub: it needs ffmpeg, which has no optional pure-Python fallback.
@@ -110,6 +115,78 @@ def _pil_image_features(b: bytes) -> list[float] | None:
     return [v / total for v in bins]
 
 
+def parse_netpbm(b: bytes):
+    """Decode a binary netpbm raster (P5 grayscale / P6 RGB, maxval ≤
+    255) to a numpy array — HxW uint8 for P5, HxWx3 for P6. Returns
+    None for anything else (corrupt bytes, ASCII variants, 16-bit).
+
+    Pure numpy — no codec dependency; this is what makes the real
+    decode lane testable in codec-less environments.
+    """
+    import numpy as np
+
+    if not b or not b.startswith((b"P5", b"P6")):
+        return None
+    magic = b[:2].decode()
+    pos = 2
+    fields: list[int] = []
+    try:
+        while len(fields) < 3:
+            # skip whitespace and '#' comments between header tokens
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # single whitespace byte after maxval, then the raster
+    except (ValueError, IndexError):
+        return None
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        return None
+    channels = 1 if magic == "P5" else 3
+    need = w * h * channels
+    raster = b[pos : pos + need]
+    if len(raster) != need:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    return arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+
+
+def _netpbm_luminance(arr) -> "object":
+    """uint8 luminance plane: identity for P5; ITU-R BT.601 integer
+    weights with truncating division for P6 — the same formula (and
+    truncation) Pillow's ``convert("L")`` applies, so the two real
+    lanes agree bit-for-bit on netpbm inputs."""
+    if arr.ndim == 2:
+        return arr
+    r = arr[..., 0].astype("uint32")
+    g = arr[..., 1].astype("uint32")
+    bch = arr[..., 2].astype("uint32")
+    return ((r * 299 + g * 587 + bch * 114) // 1000).astype("uint8")
+
+
+def _netpbm_image_features(b: bytes) -> list[float] | None:
+    """Real image features without Pillow: netpbm decode → luminance →
+    normalized 16-bin histogram (same output contract as the PIL lane).
+    None for non-netpbm / corrupt bytes."""
+    import numpy as np
+
+    arr = parse_netpbm(b)
+    if arr is None:
+        return None
+    lum = _netpbm_luminance(arr)
+    hist = np.bincount(lum.ravel(), minlength=256).astype("float64")
+    bins = hist.reshape(N_FEATURES, 256 // N_FEATURES).sum(axis=1)
+    total = bins.sum() or 1.0
+    return list(bins / total)
+
+
 def _fake_byte_features(b: bytes) -> list[float]:
     """Deterministic stand-in: normalized byte-value histogram mod 16."""
     hist = [0.0] * N_FEATURES
@@ -131,34 +208,43 @@ def decode_media(
       the executor): grayscale 16-bin luminance histogram; NULL
       features for undecodable bytes. Raises NotImplementedError
       naming the dependency when Pillow is not installed.
+    - ``"netpbm"`` — REAL image decoding without any dependency:
+      binary PGM/PPM parsed in numpy, BT.601 luminance, the same
+      16-bin histogram; NULL features for non-netpbm bytes. Agrees
+      with the PIL lane bit-for-bit on netpbm inputs.
     - ``"fake"`` — deterministic byte-histogram stub (requires
       ``allow_fake=True``): stable output for gates/tests, no codec.
     - ``"auto"`` — ``pil`` when Pillow is importable on the driver,
-      else ``fake`` when ``allow_fake=True``, else raise.
+      else ``netpbm`` (always-available real lane).
 
-    ``allow_fake=True`` with the default ``decoder="auto"`` keeps the
-    historical stub behavior deterministic ONLY where Pillow is absent;
-    gates that must be environment-independent pass ``decoder="fake"``.
+    Gates that must be environment-independent pass an explicit
+    decoder (the registered query pins ``decoder="fake"``).
     """
     if decoder == "auto":
-        decoder = "pil" if pil_available() else "fake"
+        decoder = "pil" if pil_available() else "netpbm"
     if decoder == "pil" and not pil_available():
         raise NotImplementedError(
             "decoder='pil' requires Pillow (PIL), which is not installed "
-            "in this environment; install Pillow or use decoder='fake' "
-            "with allow_fake=True"
+            "in this environment; install Pillow, or use decoder='netpbm' "
+            "(dependency-free real lane) or decoder='fake' with "
+            "allow_fake=True"
         )
     if decoder == "fake" and not allow_fake:
         raise NotImplementedError(
-            "real media decoding needs PIL (not installed); "
-            "pass allow_fake=True for the deterministic stub"
+            "decoder='fake' is the no-codec stub; pass allow_fake=True "
+            "to acknowledge, or use the real 'pil'/'netpbm' decoders"
         )
-    if decoder not in ("pil", "fake"):
+    if decoder not in ("pil", "netpbm", "fake"):
         raise ValueError(f"unknown decoder: {decoder!r}")
-    use_pil = decoder == "pil"
+    decoders = {
+        "pil": _pil_image_features,
+        "netpbm": _netpbm_image_features,
+        "fake": _fake_byte_features,
+    }
+    chosen = decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _pil_image_features if use_pil else _fake_byte_features
+        decode = decoders[chosen]
         for pdf in it:
             feats = [
                 None if b is None else decode(b) for b in pdf["media_bytes"]
@@ -208,34 +294,72 @@ def frame_sample(
     return media.mapInPandas(batches, FRAMES_SCHEMA)
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize via Pillow (runtime import): decode → LANCZOS
-    resize → re-encode PNG, per row inside an Arrow-batched
-    ``mapInPandas`` stage; undecodable bytes yield NULL. Raises
-    NotImplementedError naming the dependency when Pillow is missing —
-    a resize has no meaningful fake."""
-    if not pil_available():
+def _netpbm_resize_bytes(b: bytes | None, width: int, height: int) -> bytes | None:
+    """Nearest-neighbor resize of a binary PGM/PPM, re-encoded in the
+    same format. Real image processing with zero dependencies; NULL
+    for non-netpbm bytes."""
+    import numpy as np
+
+    if b is None:
+        return None
+    arr = parse_netpbm(b)
+    if arr is None:
+        return None
+    h, w = arr.shape[:2]
+    # standard nearest-neighbor sample grid: center of each target cell
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    out = arr[rows][:, cols]
+    magic = b"P5" if out.ndim == 2 else b"P6"
+    header = magic + f"\n{width} {height}\n255\n".encode()
+    return header + out.tobytes()
+
+
+def resize_image(
+    media: DataFrame, width: int, height: int, codec: str = "auto"
+) -> DataFrame:
+    """Image resize inside an Arrow-batched ``mapInPandas`` stage;
+    undecodable bytes yield NULL.
+
+    - ``codec="pil"`` — Pillow (runtime import): any input format,
+      LANCZOS filter, re-encoded PNG. NotImplementedError naming the
+      dependency when Pillow is missing.
+    - ``codec="netpbm"`` — dependency-free real lane: binary PGM/PPM,
+      nearest-neighbor, re-encoded in the same netpbm format.
+    - ``codec="auto"`` — ``pil`` when importable, else ``netpbm``.
+    """
+    if codec == "auto":
+        codec = "pil" if pil_available() else "netpbm"
+    if codec == "pil" and not pil_available():
         raise NotImplementedError(
-            "image resize requires Pillow (PIL), not installed in this "
-            "container; the pipeline slot exists so schemas/partitioning "
-            "are designed in"
+            "codec='pil' requires Pillow (PIL), not installed in this "
+            "container; use codec='netpbm' for the dependency-free lane"
         )
+    if codec not in ("pil", "netpbm"):
+        raise ValueError(f"unknown codec: {codec!r}")
+    use_pil = codec == "pil"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from io import BytesIO
+        if use_pil:
+            from io import BytesIO
 
-        from PIL import Image
+            from PIL import Image
 
-        def resize_one(b: bytes | None) -> bytes | None:
-            if b is None:
-                return None
-            try:
-                img = Image.open(BytesIO(b))
-                out = BytesIO()
-                img.resize((width, height), Image.LANCZOS).save(out, "PNG")
-                return out.getvalue()
-            except Exception:
-                return None
+            def resize_one(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                try:
+                    img = Image.open(BytesIO(b))
+                    out = BytesIO()
+                    img.resize((width, height), Image.LANCZOS).save(out, "PNG")
+                    return out.getvalue()
+                except Exception:
+                    return None
+
+        else:
+
+            def resize_one(b: bytes | None) -> bytes | None:
+                return _netpbm_resize_bytes(b, width, height)
 
         for pdf in it:
             resized = [resize_one(b) for b in pdf["media_bytes"]]

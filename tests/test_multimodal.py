@@ -34,11 +34,70 @@ def test_media_schema_and_bytes(media):
 )
 def test_decode_stub_gate_raises(media):
     with pytest.raises(NotImplementedError):
-        decode_media(media)  # no Pillow, allow_fake unset → explicit error
-    with pytest.raises(NotImplementedError):
         decode_media(media, decoder="pil")  # names the missing dependency
     with pytest.raises(NotImplementedError):
-        resize_image(media, 224, 224)
+        decode_media(media, decoder="fake")  # fake needs allow_fake=True
+    with pytest.raises(NotImplementedError):
+        resize_image(media, 224, 224, codec="pil")
+
+
+def _pgm(pixels: list[list[int]]) -> bytes:
+    """Binary PGM (P5) encoder for golden test images."""
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(v for row in pixels for v in row)
+    return b"P5\n# golden\n" + f"{w} {h}\n255\n".encode() + body
+
+
+def _ppm(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(c for row in pixels for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_decode_netpbm_real_images(spark):
+    """Dependency-free REAL decode lane: golden PGM/PPM rasters through
+    decoder='netpbm' — exact luminance histograms, no codec library."""
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+    black = _pgm([[0] * 4 for _ in range(4)])
+    white = _pgm([[255] * 4 for _ in range(4)])
+    # pure red 2x2: BT.601 luminance = 255*299//1000 = 76 → bin 76//16=4
+    red = _ppm([[(255, 0, 0)] * 2 for _ in range(2)])
+    junk = b"not an image"
+    rows = [
+        (0, "image", black, len(black), 4, 4),
+        (1, "image", white, len(white), 4, 4),
+        (2, "image", red, len(red), 2, 2),
+        (3, "image", junk, len(junk), None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in decode_media(media, decoder="netpbm").collect()
+    }
+    assert feats[0][0] == 1.0  # all-black: lowest luminance bin
+    assert feats[1][-1] == 1.0  # all-white: highest luminance bin
+    assert feats[2][76 // 16] == 1.0  # red → luminance 76
+    assert feats[3] is None  # corrupt asset stays visible as NULL
+
+
+def test_resize_netpbm_nearest_neighbor(spark):
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA, parse_netpbm
+
+    # 4x4 quadrant image: TL=10 TR=20 BL=30 BR=40; 2x2 nearest-neighbor
+    # at cell centers samples one pixel per quadrant.
+    px = [
+        [10, 10, 20, 20],
+        [10, 10, 20, 20],
+        [30, 30, 40, 40],
+        [30, 30, 40, 40],
+    ]
+    img = _pgm(px)
+    media = spark.createDataFrame([(0, "image", img, len(img), 4, 4)], MEDIA_SCHEMA)
+    out = resize_image(media, 2, 2, codec="netpbm").collect()[0]
+    assert out["declared_width"] == 2 and out["declared_height"] == 2
+    arr = parse_netpbm(bytes(out["media_bytes"]))
+    assert arr.tolist() == [[10, 20], [30, 40]]
 
 
 @pytest.mark.skipif(
