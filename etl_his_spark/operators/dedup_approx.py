@@ -89,13 +89,25 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     Parquet splits at row-group granularity, so a small corpus file
     becomes ONE task no matter how many cores exist — and the md5/
     tokenize map work of the dedup family then runs serially. This
-    repartitions (tiny shuffle of raw text) only when partitions <
-    cores; at 100 TB the input already arrives in thousands of splits
+    repartitions (tiny shuffle of raw text) only when the source is
+    small; at 100 TB the input already arrives in thousands of splits
     and this is a no-op — the branch exists precisely so the fix for
     small inputs cannot hurt large ones.
+
+    The smallness probe is ``inputFiles()`` (scan metadata — cheap,
+    no RDD instantiation; ``df.rdd.getNumPartitions()`` would convert
+    the whole plan to an RDD on every operator call). File count
+    under-approximates split count for huge multi-row-group files, but
+    a corpus big enough to hit that has ≥ cores files anyway; frames
+    with no file lineage (in-memory test inputs) report 0 files and
+    get spread, which is the right call for their size.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_src = len(df.inputFiles())
+    except Exception:
+        n_src = 0
+    if n_src < target:
         return df.repartition(target)
     return df
 
@@ -154,10 +166,13 @@ def jaccard_pairs(
     reserve this for verification of candidate pairs.
     """
     # sh feeds three plan subtrees (sizes + both join sides): materialize
-    # once or Spark recomputes the shingling per consumer. Eager
+    # once or Spark recomputes the shingling per consumer. LAZY
     # localCheckpoint, not persist(): blocks are GC-reclaimed with the
-    # frame; persist() leaks a CacheManager entry per call in long-lived
-    # sessions (see packing.running_total for the full rationale).
+    # frame, while persist() leaks a CacheManager entry per call in
+    # long-lived sessions (see packing.running_total). Eager, because
+    # the three consumers' stages launch concurrently and a lazy
+    # checkpoint lets each race-recompute the shingle pipeline (see
+    # jaccard_pairs_prefix for the measurement).
     sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -206,7 +221,14 @@ def jaccard_pairs_prefix(
     lists), and only candidates get exact verification. Exactness is
     checked by the unchanged naive oracle.
     """
-    # Eager localCheckpoint, not persist() — see jaccard_pairs.
+    # EAGER localCheckpoint, measured deliberately: sh feeds FOUR
+    # subtrees (freq, the ranked join side, both verify sides) whose
+    # stages the scheduler launches concurrently — with a lazy
+    # checkpoint each racing stage
+    # recomputes the un-materialized shingle pipeline before any block
+    # lands (measured 4× slower than eager at sf0.1), so the one-pass
+    # eager materialization is the cheapest correct option. persist()
+    # would leak a CacheManager entry per call (see jaccard_pairs).
     sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle")
@@ -218,10 +240,18 @@ def jaccard_pairs_prefix(
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(wsize).alias("size"),
     )
+    # Prefix rows CARRY the doc's shingle-set size (the window already
+    # computed it), so candidates come out of the prefix join holding
+    # both Jaccard denominator terms — no separate sizes aggregate and
+    # no size join-backs (the carry-the-payload trick of
+    # minhash_lsh_candidates / simhash_pairs_blocked). Carrying the
+    # full shingle ARRAY instead (verify via array_intersect, no verify
+    # joins at all) was measured SLOWER: the array must ride every
+    # pre-filter window row, a per-doc quadratic payload.
     prefix = pos.filter(
         F.col("pos")
         <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
-    ).select(id_col, "shingle")
+    ).select(id_col, "shingle", "size")
 
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -232,15 +262,17 @@ def jaccard_pairs_prefix(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.size").alias("na"),
+            F.col("b.size").alias("nb"),
         )
         .distinct()
     )
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sha = sh.select(F.col(id_col).alias("a_id"), F.col("shingle").alias("shingle_a"))
     shb = sh.select(F.col(id_col).alias("bb_id"), F.col("shingle").alias("shingle_b"))
-    inter = (
+    return (
         cand.join(sha, "a_id")
         # equi-join on BOTH (doc, shingle) so this stays a hash join,
         # not a per-pair cartesian of shingle sets
@@ -249,14 +281,8 @@ def jaccard_pairs_prefix(
             (F.col("b_id") == F.col("bb_id"))
             & (F.col("shingle_a") == F.col("shingle_b")),
         )
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -328,47 +354,77 @@ def minhash_lsh_candidates(
     Same-bucket join on (band, band_sig) — the only pairwise work is
     within buckets, which is what makes this the 100 TB strategy; with
     16 hashes in 4 bands of 4, pairs with Jaccard ≥ ~0.7 are found with
-    high probability. est_sim = fraction of agreeing minhashes,
-    computed column-wise from the wide signatures (no per-seed join).
+    high probability.
+
+    The full signature (array of 16 longs, 128 bytes) RIDES ALONG the
+    band explode, exactly like ``simhash_pairs_blocked`` carries its
+    8-byte signature: candidates coming out of the band join already
+    hold both signature arrays, so est_sim (fraction of agreeing
+    minhashes) is one ``zip_with`` — no join back to the signature
+    frame and therefore no shared multi-consumer subtree to
+    materialize (the eager localCheckpoint this replaces cost a full
+    extra shingle+groupBy pass per call, BENCH r4 +57%). The signature
+    frame still appears on both sides of the self-join — recomputing
+    the groupBy twice is cheaper than checkpoint materialization at
+    every scale we measured, and keeps the whole plan visible to
+    Catalyst/AQE. Shuffle payload is n_bands × 128 B per doc — the
+    same order as shuffling the signature once.
     """
-    # sig feeds the bucket explode AND both est_sim join sides; eager
-    # localCheckpoint, not persist() — see jaccard_pairs.
-    sig = minhash_signatures(docs, id_col, text_col).localCheckpoint(eager=True)
-    buckets = lsh_band_buckets(sig, id_col)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    n_bands = N_MINHASH // BAND_SIZE
+    sig = minhash_signatures(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * BAND_SIZE + j + 1).cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_sig"),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
-        )
-        .distinct()
+        for b in range(n_bands)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        id_col,
+        "sig",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
     )
-    siga = sig.select(
-        F.col(id_col).alias("a_id"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_MINHASH)],
+    a = exploded.select(
+        F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"), "band", "band_sig"
     )
-    sigb = sig.select(
-        F.col(id_col).alias("b_id"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_MINHASH)],
+    b = exploded.select(
+        F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"), "band", "band_sig"
     )
-    matches = sum(
-        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-        for i in range(N_MINHASH)
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
+    # est_sim is a pure function of the pair, so distinct over
+    # (a_id, b_id, est_sim) collapses multi-band hits identically to
+    # a distinct on the ids alone.
     return (
-        cand.join(siga, "a_id")
-        .join(sigb, "b_id")
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
             (matches.cast("double") / N_MINHASH).alias("est_sim"),
         )
+        .distinct()
     )
 
 

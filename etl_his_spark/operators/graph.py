@@ -79,7 +79,10 @@ def connected_components(
         halved = stepped.join(
             parent, stepped.label == parent.p_node
         ).select("node", F.col("p_label").alias("label"))
-        halved = halved.localCheckpoint(eager=True)
+        # Lazy: the convergence count() just below is the round's
+        # action and materializes the checkpoint blocks — eager would
+        # run a dedicated extra job per round for the same blocks.
+        halved = halved.localCheckpoint(eager=False)
         changed = (
             halved.alias("n")
             .join(labels.alias("o"), "node")

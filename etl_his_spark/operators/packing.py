@@ -48,17 +48,28 @@ def running_total(
     ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without
     the single-partition sort.
     """
-    # Eager localCheckpoint, not persist(): the materialization pins
-    # spark_partition_id between the offsets collect and the join (same
-    # guarantee), but its blocks are released by the ContextCleaner as
-    # soon as the returned frame is unreferenced — persist() would sit
-    # in the CacheManager forever in a long-lived session (each call
-    # caching another copy of the full input) unless the CALLER
-    # remembered to unpersist a frame it never saw.
+    # LAZY localCheckpoint, not persist() and not eager: the
+    # ``part_sums`` collect below is already an action, so it is the
+    # materialization — the checkpoint blocks are written as that job
+    # computes, pinning spark_partition_id for the final join (same
+    # guarantee as eager, minus eager's dedicated extra pass over the
+    # input, which BENCH r4 measured at +59% on pack_sequences).
+    # persist() would sit in the CacheManager forever in a long-lived
+    # session (each call caching another copy of the full input)
+    # unless the CALLER remembered to unpersist a frame it never saw.
+    #
+    # Fault-tolerance tradeoff, stated explicitly: localCheckpoint
+    # blocks are NOT replicated and the lineage is truncated — on a
+    # real cluster, losing an executor after materialization fails the
+    # job (Spark resubmits it from the source) where persist() would
+    # transparently recompute the lost blocks. That is the right trade
+    # here: correctness REQUIRES pinned partition ids (a silent
+    # recompute that repartitioned differently would corrupt offsets),
+    # so fail-and-rerun is safer than recompute. See SCALE.md.
     ranged = (
         df.repartitionByRange(buckets, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     part_sums = (
         ranged.groupBy("__pid")

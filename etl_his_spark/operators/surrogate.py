@@ -53,15 +53,18 @@ def dense_ids(
     # tuple is wrong for global ordering; instead sort-partition by range:
     # use repartitionByRange on the order columns, then per-partition
     # row_number + offsets via spark_partition_id counts.
-    # Eager localCheckpoint, not persist(): pins spark_partition_id
-    # between the counts collect and the join, and the blocks are
-    # GC-reclaimed with the frame — a persist() here leaks a cached
-    # copy of the input per call in long-lived sessions (see
-    # packing.running_total for the full rationale).
+    # LAZY localCheckpoint, not persist() and not eager: the counts
+    # collect below is already an action, so it materializes the
+    # checkpoint blocks as a side effect — pinning spark_partition_id
+    # for the final join without eager's dedicated extra pass over the
+    # input. Blocks are GC-reclaimed with the frame — a persist() here
+    # would leak a cached copy of the input per call in long-lived
+    # sessions (see packing.running_total for the full rationale,
+    # including the stated non-replicated-blocks fault tradeoff).
     ranged = (
         df.repartitionByRange(buckets, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = (
         ranged.groupBy("__pid").count().orderBy("__pid").collect()

@@ -155,11 +155,14 @@ def run_pipeline(
     atomically (stage-then-publish) under ``output_root``."""
     wide_ids = _with_row_ids(extract_wide(tables))
     # One pass feeds all four outputs; materialize the extraction rather
-    # than recompute the 22-table join per derivation. Eager
+    # than recompute the 22-table join per derivation. Lazy
     # localCheckpoint, not persist(): blocks die with the frame instead
     # of leaking a CacheManager entry per call (packing.running_total
-    # has the full rationale).
-    wide_ids = wide_ids.localCheckpoint(eager=True)
+    # has the full rationale, including the fault tradeoff). Lazy, not
+    # eager: the first consuming action (the dense_ids counts collect
+    # inside the bridge build, or the first output write) populates
+    # the same blocks eager would have — without a dedicated pass.
+    wide_ids = wide_ids.localCheckpoint(eager=False)
     slot_rows = unpivot_wide_slots(wide_ids)
     paciente = build_paciente(wide_ids)
     turno = build_turno(wide_ids, paciente)
