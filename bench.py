@@ -35,6 +35,17 @@ HEADLINE = [
     "curation_contamination",
     "curation_repetition",
     "training_pack_sequences",
+    # round-5 additions: the heaviest r2+ operators were invisible to
+    # BENCH (regressions there went unmeasured — r4 verdict item 5),
+    # plus the new capped-LSH + cluster-collapse deliverables. The
+    # total is NOT comparable to BENCH_r04 and earlier; compare
+    # per-query or over the pre-r5 subset.
+    "dedup_components",
+    "training_vocab_build",
+    "training_tokenize_docs",
+    "corpus_pipeline",
+    "corpus_dedup_collapse",
+    "dedup_lsh_capped",
 ]
 
 

@@ -166,13 +166,13 @@ def jaccard_pairs(
     reserve this for verification of candidate pairs.
     """
     # sh feeds three plan subtrees (sizes + both join sides): materialize
-    # once or Spark recomputes the shingling per consumer. LAZY
+    # once or Spark recomputes the shingling per consumer. Eager
     # localCheckpoint, not persist(): blocks are GC-reclaimed with the
     # frame, while persist() leaks a CacheManager entry per call in
-    # long-lived sessions (see packing.running_total). Eager, because
-    # the three consumers' stages launch concurrently and a lazy
-    # checkpoint lets each race-recompute the shingle pipeline (see
-    # jaccard_pairs_prefix for the measurement).
+    # long-lived sessions (see packing.running_total). Eager, not lazy,
+    # because the three consumers' stages launch concurrently and a
+    # lazy checkpoint lets each race-recompute the shingle pipeline
+    # (see jaccard_pairs_prefix for the measurement).
     sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -346,6 +346,56 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
+def _banded_sig_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, sig array, band, band_sig) rows — the LSH bucket index
+    with the full signature riding along (projection + explode over
+    the wide signatures; no extra shuffle)."""
+    n_bands = N_MINHASH // BAND_SIZE
+    sig = minhash_signatures(docs, id_col, text_col).select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * BAND_SIZE + j + 1).cast("string")
+                        for j in range(BAND_SIZE)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        id_col,
+        "sig",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
+def _est_sim() -> Column:
+    """Fraction of agreeing minhashes between ``sig_a`` and ``sig_b``."""
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / N_MINHASH
+
+
 def minhash_lsh_candidates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -370,48 +420,12 @@ def minhash_lsh_candidates(
     Catalyst/AQE. Shuffle payload is n_bands × 128 B per doc — the
     same order as shuffling the signature once.
     """
-    n_bands = N_MINHASH // BAND_SIZE
-    sig = minhash_signatures(docs, id_col, text_col).select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * BAND_SIZE + j + 1).cast("string")
-                        for j in range(BAND_SIZE)
-                    ],
-                )
-            ).alias("band_sig"),
-        )
-        for b in range(n_bands)
-    ]
-    exploded = sig.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(
-        id_col,
-        "sig",
-        F.col("bs.band").alias("band"),
-        F.col("bs.band_sig").alias("band_sig"),
-    )
+    exploded = _banded_sig_rows(docs, id_col, text_col)
     a = exploded.select(
         F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"), "band", "band_sig"
     )
     b = exploded.select(
         F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"), "band", "band_sig"
-    )
-    matches = F.aggregate(
-        F.zip_with(
-            "sig_a",
-            "sig_b",
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
     )
     # est_sim is a pure function of the pair, so distinct over
     # (a_id, b_id, est_sim) collapses multi-band hits identically to
@@ -419,12 +433,81 @@ def minhash_lsh_candidates(
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            (matches.cast("double") / N_MINHASH).alias("est_sim"),
-        )
+        .select("a_id", "b_id", _est_sim().alias("est_sim"))
         .distinct()
+    )
+
+
+def minhash_lsh_candidates_capped(
+    docs: DataFrame,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs with a HOT-BUCKET GUARD — the form to run
+    on a real skewed corpus.
+
+    ``minhash_lsh_candidates`` joins same-bucket rows with no cap on
+    bucket size, so one degenerate bucket (boilerplate pages, empty
+    docs — any band signature shared by m documents) contributes
+    m·(m−1)/2 join rows and its task dominates the stage: the same
+    skew class ``operators/skew.py`` guards aggregations against.
+    This variant counts each (band, band_sig) bucket with a window
+    over the SAME hash partitioning the join needs (no extra shuffle
+    pattern) and joins only buckets with ≤ ``cap`` members. Oversized
+    buckets are excluded here and reported by
+    ``minhash_lsh_giant_buckets`` — their members agree on an entire
+    band of minhashes, so they are one near-dup cluster by
+    construction and feed ``graph.connected_components`` (or a direct
+    collapse) WITHOUT pairwise expansion.
+
+    A pair sharing both a small and a giant bucket still surfaces via
+    the small one; per-bucket work is bounded by cap² regardless of
+    corpus skew.
+    """
+    w = Window.partitionBy("band", "band_sig")
+    sized = (
+        _banded_sig_rows(docs, id_col, text_col)
+        .withColumn("n_bucket", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_bucket") <= cap)
+    )
+    a = sized.select(
+        F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"), "band", "band_sig"
+    )
+    b = sized.select(
+        F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"), "band", "band_sig"
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", _est_sim().alias("est_sim"))
+        .distinct()
+    )
+
+
+def minhash_lsh_giant_buckets(
+    docs: DataFrame,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The flagged side-channel of ``minhash_lsh_candidates_capped``:
+    one row per oversized (band, band_sig) bucket with its size and
+    canonical member (min doc id).
+
+    Members of one bucket share a full band of minhashes — a
+    degenerate near-dup cluster. Downstream, emit (member,
+    keeper=min_doc_id) edges straight into the component/collapse
+    step: linear in bucket size, never |bucket|² pairs.
+    """
+    return (
+        _banded_sig_rows(docs, id_col, text_col)
+        .groupBy("band", "band_sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > cap)
     )
 
 

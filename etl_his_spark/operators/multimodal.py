@@ -159,16 +159,23 @@ def parse_netpbm(b: bytes):
 
 
 def _netpbm_luminance(arr) -> "object":
-    """uint8 luminance plane: identity for P5; ITU-R BT.601 integer
-    weights with truncating division for P6 — the same formula (and
-    truncation) Pillow's ``convert("L")`` applies, so the two real
-    lanes agree bit-for-bit on netpbm inputs."""
+    """uint8 luminance plane: identity for P5; for P6, Pillow's EXACT
+    fixed-point ITU-R 601-2 formula ``L = (R*19595 + G*38470 + B*7471
+    + 0x8000) >> 16`` (libImaging's L24/convert.c scheme) — not the
+    textbook ``(299R+587G+114B)//1000``, whose truncation differs from
+    Pillow's rounding on many triples (e.g. (1,3,210) → 25 vs 26) and
+    could shift a pixel across a 16-bin histogram boundary. Using the
+    identical arithmetic keeps the pil and netpbm lanes bit-for-bit
+    equal on P6 inputs (cross-checked by the Pillow-gated lane-equality
+    test in tests/test_multimodal.py)."""
     if arr.ndim == 2:
         return arr
     r = arr[..., 0].astype("uint32")
     g = arr[..., 1].astype("uint32")
     bch = arr[..., 2].astype("uint32")
-    return ((r * 299 + g * 587 + bch * 114) // 1000).astype("uint8")
+    return ((r * 19595 + g * 38470 + bch * 7471 + 0x8000) >> 16).astype(
+        "uint8"
+    )
 
 
 def _netpbm_image_features(b: bytes) -> list[float] | None:
@@ -215,13 +222,32 @@ def decode_media(
     - ``"fake"`` — deterministic byte-histogram stub (requires
       ``allow_fake=True``): stable output for gates/tests, no codec.
     - ``"auto"`` — ``pil`` when Pillow is importable on the driver,
-      else ``netpbm`` (always-available real lane).
+      else ``netpbm`` (always-available real lane). NOTE the
+      degradation this implies: on a JPEG/PNG corpus without Pillow,
+      auto's netpbm fallback decodes nothing and every row comes back
+      with NULL features — real but silent-looking. A RuntimeWarning
+      is emitted at fallback time so the job log records that no
+      general-format decoding is happening; pass ``decoder="pil"``
+      to fail loudly instead.
 
     Gates that must be environment-independent pass an explicit
     decoder (the registered query pins ``decoder="fake"``).
     """
     if decoder == "auto":
-        decoder = "pil" if pil_available() else "netpbm"
+        if pil_available():
+            decoder = "pil"
+        else:
+            import warnings
+
+            warnings.warn(
+                "decode_media(decoder='auto'): Pillow is not installed — "
+                "falling back to the netpbm-only lane. Non-netpbm media "
+                "(JPEG/PNG/...) will yield NULL features; pass "
+                "decoder='pil' to require Pillow loudly.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            decoder = "netpbm"
     if decoder == "pil" and not pil_available():
         raise NotImplementedError(
             "decoder='pil' requires Pillow (PIL), which is not installed "

@@ -173,6 +173,7 @@ def banded_neardup_pairs(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold, banded sign-LSH blocking.
 
@@ -189,6 +190,16 @@ def banded_neardup_pairs(
     4-bit band ⇒ ≥ 0.9997 over 4 bands) and is intentionally loose at
     weak thresholds. At larger corpus scale, raise band_bits (finer
     buckets) and n_bands together — the plan shape is unchanged.
+
+    ``bucket_cap``: hot-bucket guard for skewed corpora (zero vectors,
+    repeated boilerplate embeddings collapse into one (band, pattern)
+    cell whose |bucket|² join work dominates the stage). When set,
+    buckets with more than ``bucket_cap`` members are excluded from
+    the pair join — counted by a window over the same (band, pattern)
+    partitioning the join shuffles on. Such a bucket's members agree
+    on a whole sign band and should be collapsed as one cluster (see
+    ``dedup_approx.minhash_lsh_giant_buckets`` for the side-channel
+    pattern). None = uncapped (the oracle-mirrored default).
     """
     v = _prep(vectors, id_col, vec_col, "v").withColumn(
         "v_norm", norm(F.col("v_vec"))
@@ -208,6 +219,11 @@ def banded_neardup_pairs(
     exploded = v.select("v_id", F.explode(bands).alias("b")).select(
         "v_id", F.col("b.band").alias("band"), F.col("b.pat").alias("pat")
     )
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "pat")
+        exploded = exploded.withColumn(
+            "__n_bucket", F.count(F.lit(1)).over(wb)
+        ).filter(F.col("__n_bucket") <= bucket_cap).drop("__n_bucket")
     cand = (
         exploded.select(F.col("v_id").alias("a_id"), "band", "pat")
         .join(exploded.select(F.col("v_id").alias("b_id"), "band", "pat"),

@@ -9,7 +9,7 @@ hashing exclusively through md5 (see dedup_approx module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup_approx import (
@@ -22,6 +22,8 @@ from ..operators.dedup_approx import (
     jaccard_pairs,
     jaccard_pairs_prefix,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_capped,
+    minhash_lsh_giant_buckets,
     simhash_pairs_blocked,
     simhash_signatures,
 )
@@ -171,6 +173,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4×4) candidate pairs with estimated similarity —
     the linear-shuffle scale path for near-dup detection."""
     return minhash_lsh_candidates(read_table(spark, sf_dir, "documents"))
+
+
+# The minhash band/bucket CTE chain shared by the capped variants.
+_MINHASH_BANDS_CTE = f"""
+    WITH {_SHINGLES_CTE},
+    based AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {MINHASH_FOLD} AS h30
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, {_MINHASH_MIN_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS (
+        {_MINHASH_BAND_UNION}
+    )
+"""
+
+_LSH_CAP = 2  # max bucket at sf0.01 is 3, at sf0.1 is 4 — cap 2 bites at both
+
+
+@register(
+    "dedup_lsh_capped",
+    f"""
+    {_MINHASH_BANDS_CTE},
+    sized AS (
+        SELECT doc_id, band, band_sig,
+               count(*) OVER (PARTITION BY band, band_sig) AS n_bucket
+        FROM bands
+    ),
+    small AS (SELECT * FROM sized WHERE n_bucket <= {_LSH_CAP}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a
+        JOIN small b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(({_MINHASH_MATCH_SUM}) AS DOUBLE) / 16 AS est_sim
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    """,
+)
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the hot-bucket guard (cap=2 here so the
+    synthetic data exercises the exclusion path; production would use
+    ~64): buckets over the cap produce NO pairwise work — they are
+    flagged wholesale by ``dedup_lsh_giant_buckets``. This is the
+    skew-safe form for a real corpus, where one boilerplate band
+    signature shared by 10^5 docs would otherwise own the stage."""
+    return minhash_lsh_candidates_capped(
+        read_table(spark, sf_dir, "documents"), cap=_LSH_CAP
+    )
+
+
+@register(
+    "dedup_lsh_giant_buckets",
+    f"""
+    {_MINHASH_BANDS_CTE}
+    SELECT band, band_sig, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM bands GROUP BY band, band_sig HAVING count(*) > {_LSH_CAP}
+    """,
+)
+def dedup_lsh_giant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagged side-channel of ``dedup_lsh_capped``: oversized
+    (band, band_sig) buckets with size and canonical keeper. Members
+    share an entire minhash band, so each bucket is one near-dup
+    cluster by construction — collapse it via min-id (or feed the
+    membership to connected_components) in O(|bucket|), never
+    |bucket|² pairs."""
+    return minhash_lsh_giant_buckets(
+        read_table(spark, sf_dir, "documents"), cap=_LSH_CAP
+    )
 
 
 @register(
@@ -376,3 +454,86 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs_prefix(docs, 0.8).select("a_id", "b_id")
     return connected_components(docs.select("doc_id"), pairs)
+
+
+# est_sim ≥ 12/16: both engines compare exactly (est_sim is a k/16
+# dyadic rational; the oracle uses the integer match count directly).
+_COLLAPSE_MIN_MATCHES = 12
+
+
+@register(
+    "corpus_dedup_collapse",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    based AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                   % {MINHASH_FOLD} AS h30
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, {_MINHASH_MIN_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS (
+        {_MINHASH_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+        WHERE ({_MINHASH_MATCH_SUM}) >= {_COLLAPSE_MIN_MATCHES}
+    ),
+    bidir AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN bidir e ON e.src = w.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component, (doc_id = component) AS keep,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def corpus_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup deliverable of a training-data pipeline, as one
+    composition: MinHash-LSH candidate pairs (est_sim ≥ 0.75) →
+    transitive closure (``connected_components``) → per-document keep
+    decision (keeper = min doc id of the cluster) with cluster size.
+    Downstream, ``filter(keep)`` IS the deduped corpus.
+
+    Scale: the pair stage is the banded equi-join (hot-bucket guard
+    available via ``dedup_lsh_capped`` + wholesale collapse of
+    ``dedup_lsh_giant_buckets``); the closure is O(log diameter)
+    label-propagation rounds; the final keep/size pass is one window
+    over the component key. No stage holds more than the pair list."""
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_candidates(docs)
+        .filter(F.col("est_sim") * N_MINHASH >= _COLLAPSE_MIN_MATCHES)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(docs.select("doc_id"), pairs)
+    wc = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+    )

@@ -169,11 +169,19 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Rank-check join: one broadcast join (≤ #event_types rows) + one
     # keyed agg — no second shuffle of the raw events beyond the agg.
+    # NULL discipline: percentile_approx skips NULL values, and the
+    # lt_/le_ sums below skip them too (NULL comparison → NULL → sum
+    # ignores) — so the rank bound must be based on count(value)
+    # (non-null), NOT count(*). With count(*) a NULL-heavy group would
+    # fail its le bound spuriously; an all-NULL group (NULL sketch,
+    # NULL sums) passes vacuously via the coalesces, matching the
+    # oracle's literal TRUE.
     checked = (
         e.join(F.broadcast(flat), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.count("value").alias("n_vals"),
             *[
                 agg
                 for p in ("p50", "p95", "p99")
@@ -186,10 +194,10 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ok(p: str, frac: float) -> F.Column:
-        n = F.col("n_events").cast("double")
+        n = F.col("n_vals").cast("double")
         slack = F.greatest(F.lit(1.0), n * F.lit(2.0 / 10000))
-        return (F.col(f"lt_{p}") <= n * F.lit(frac) + slack) & (
-            F.col(f"le_{p}") >= n * F.lit(frac) - slack
+        return (F.coalesce(F.col(f"lt_{p}"), F.lit(0)) <= n * F.lit(frac) + slack) & (
+            F.coalesce(F.col(f"le_{p}"), F.lit(0)) >= n * F.lit(frac) - slack
         )
 
     return checked.select(

@@ -77,57 +77,58 @@ from .plans import queries_vocab  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- Round 4 window (50 slots). ---
-    # Positions 1-33: last verified in the ROUND-2 window (full TPC-H
-    # suite, SCD2/merge-delete, stratified sample, tfidf, pivot/window
-    # families) — rotated in so they get a green row against post-r3
-    # code, per the round-3 verdict item 6. With this window the union
-    # of r3+r4 re-covers everything touched since round 2.
-    "tpch_q2_min_cost",
-    "tpch_q4_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q11_important",
-    "tpch_q12_shipmode",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_partsupp",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q20_promo_shippers",
-    "tpch_q21_waiting",
-    "tpch_q22_dormant",
-    "sql_q3_shipping_priority",
-    "sql_q5_national_revenue",
-    "sql_q10_returned_items",
-    "agg_collect_sorted",
-    "dedup_simhash_pairs",
-    "explode_wordcount_topk",
-    "incremental_new_keys",
-    "merge_delete_orders",
-    "pivot_status",
-    "quality_rule_violations",
-    "sample_stratified",
-    "scd2_customer_priority",
-    "stats_p95_group",
-    "text_tfidf_topk",
-    "window_dist_functions",
-    # Positions 34-40: code paths CHANGED or ADDED in round 4 — must
-    # verify. (events reader NTZ normalization + read_events_raw,
-    # sketch queries rebuilt with hard oracles, curation_repetition
-    # map-only rewrite, his_pipeline/dedup localCheckpoint conversion,
-    # new hard-oracled real-decode multimodal query.)
-    "sketch_approx_distinct",
-    "sketch_approx_quantiles",
-    "curation_repetition",
+    # --- Round 5 window (50 slots). ---
+    # Positions 1-8: queries ADDED or whose code paths CHANGED in
+    # round 5 — must verify. (New: capped-LSH pair generation, the
+    # giant-bucket side channel, the LSH→components→keeper collapse.
+    # Changed: the localCheckpoint→lazy/carry-payload rewrites in
+    # dedup_approx/packing/surrogate/graph/his_pipeline feed
+    # training_pack_sequences, surrogate_dense_ids, dedup_components,
+    # corpus_pipeline, publish_roundtrip.)
+    "dedup_lsh_capped",
+    "dedup_lsh_giant_buckets",
+    "corpus_dedup_collapse",
+    "training_pack_sequences",
+    "surrogate_dense_ids",
+    "dedup_components",
+    "corpus_pipeline",
     "publish_roundtrip",
-    "events_window_agg",
-    "events_sessionize",
-    "multimodal_netpbm_decode",
+    # Positions 9-40: the 32 queries whose last DRIVER check was round
+    # 1 (everything else has an r3/r4 row) — rotated in per the r4
+    # verdict item 3 so the union of r4+r5 windows re-covers all
+    # registered queries with nothing older than two rounds.
+    "agg_pricing_summary",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "cube_agg",
+    "dedup_distinct_name",
+    "dedup_first_per_key",
+    "doc_fingerprint",
+    "filter_nonempty",
+    "first_token",
+    "grouping_sets_explicit",
+    "his_bridge_derivation",
+    "join_anti_new_keys",
+    "join_full_outer",
+    "join_inner_broadcast",
+    "join_left_fanout",
+    "join_self_roles",
+    "join_semi_existing",
+    "median_disc",
+    "proj_alias_concat",
+    "rollup_agg",
+    "set_operations",
+    "sort_global_desc",
+    "string_clean",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "topk_customers",
+    "unpivot_measures",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_sum",
     # Positions 41-50: permanent sentinels — one high-value query per
     # operator family, pinned inside the window every round so a
     # regression in a rotated-out family is still caught by the hard
@@ -143,7 +144,7 @@ _CHECK_FIRST = [
     "merge_upsert_orders",
     "json_extract_stats",
     # Positions 51+: everything else keeps registration order; all were
-    # driver-green in r1/r2/r3 and remain covered by pytest + the local
+    # driver-green in r3/r4 and remain covered by pytest + the local
     # DuckDB oracle gate (tools/check_correctness.py) every round.
 ]
 

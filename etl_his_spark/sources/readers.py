@@ -112,14 +112,28 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Native-timestamp file: normalize to the same nanos-long contract.
     df = spark.read.parquet(path)
     dt = dict(df.dtypes).get("ts")
-    if dt != "bigint":
-        ts = F.col("ts")
-        if dt == "timestamp_ntz":
-            # unix_micros only takes LTZ; NTZ→LTZ cast is exact under
-            # the UTC session timezone this repo's sessions pin.
-            ts = ts.cast("timestamp")
-        df = df.withColumn("ts", F.unix_micros(ts) * F.lit(1000))
+    if dt == "timestamp_ntz":
+        # Timezone-INDEPENDENT epoch micros: timestampdiff on two NTZ
+        # values never consults the session timezone, so a naive file
+        # value is read as the UTC instant with the same wall clock —
+        # exactly DuckDB's naive-as-UTC semantics — even on a bare
+        # session pinned to some local zone (an NTZ→LTZ cast there
+        # would shift ts by the session offset).
+        df = df.withColumn("ts", _ntz_epoch_micros("ts") * F.lit(1000))
+    elif dt != "bigint":
+        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
+
+
+def _ntz_epoch_micros(col: str):
+    """Microseconds since epoch of a TIMESTAMP_NTZ column, treating the
+    naive value as UTC — computed wholly inside NTZ arithmetic (no
+    session-timezone dependence)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    ).cast("long")
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -138,10 +152,14 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     elif dt == "timestamp_ntz":
         # Native TIMESTAMP(MICROS) parquet arrives as NTZ; normalize to
         # TimestampType so downstream expressions (unix_micros, window
-        # arithmetic) see one type regardless of the file's flavor. The
-        # NTZ→LTZ cast is exact under the UTC session timezone this
-        # repo's sessions pin, matching DuckDB's naive-as-UTC reading.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # arithmetic) see one type regardless of the file's flavor.
+        # Naive-as-UTC (DuckDB's reading) via tz-free NTZ arithmetic —
+        # a bare .cast("timestamp") would be exact only under a UTC
+        # session timezone, and read_table's contract includes bare,
+        # unconfigured sessions in any zone.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(_ntz_epoch_micros("ts"))
+        )
     return df
 
 

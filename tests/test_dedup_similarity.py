@@ -200,3 +200,78 @@ def test_banded_neardup_subset_and_recall(spark, sf_dir):
         for r in banded_neardup_pairs(with_dup, 0.99).collect()
     }
     assert (0, 10_000_000) in pairs
+
+
+def test_lsh_hot_bucket_guard_planted_cluster(spark):
+    """A planted 1000-doc identical cluster must produce ZERO pairwise
+    work in the capped path (its ~500k pairs never exist) while the
+    giant-bucket side channel reports the whole cluster per band; the
+    ordinary near-dups around it still surface as pairs."""
+    from etl_his_spark.operators.dedup_approx import (
+        minhash_lsh_candidates_capped,
+        minhash_lsh_giant_buckets,
+    )
+
+    boiler = [(i, "same boilerplate page repeated verbatim across the crawl")
+              for i in range(1000)]
+    normal = [
+        (2001, "the quick brown fox jumps over the lazy dog"),
+        (2002, "the quick brown fox jumps over the lazy cat"),
+        (3001, "completely different content about spark engines"),
+    ]
+    docs = spark.createDataFrame(boiler + normal, "doc_id long, text string")
+
+    pairs = minhash_lsh_candidates_capped(docs, cap=64).collect()
+    pair_ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    # the planted cluster contributes no pairs at all — bounded work
+    assert all(a > 1000 and b > 1000 for a, b in pair_ids)
+    assert (2001, 2002) in pair_ids  # normal near-dups unaffected
+
+    giants = minhash_lsh_giant_buckets(docs, cap=64).collect()
+    # identical docs share every band → one oversized bucket per band
+    assert len(giants) == 4
+    assert all(r["n_docs"] == 1000 and r["keep_doc_id"] == 0 for r in giants)
+
+
+def test_lsh_capped_equals_uncapped_when_cap_is_loose(spark):
+    """With a cap above every bucket size, the guard is a no-op: capped
+    output == uncapped output (same pairs, same est_sim)."""
+    from etl_his_spark.operators.dedup_approx import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_capped,
+    )
+
+    docs = _docs(spark)
+    uncapped = sorted(map(tuple, minhash_lsh_candidates(docs).collect()))
+    capped = sorted(
+        map(tuple, minhash_lsh_candidates_capped(docs, cap=10_000).collect())
+    )
+    assert capped == uncapped
+
+
+def test_banded_neardup_bucket_cap(spark, sf_dir):
+    """similarity.banded_neardup_pairs bucket_cap: a planted 500-copy
+    vector cluster vanishes from the pair join under the cap while
+    unrelated pairs survive; cap=None reproduces today's behavior."""
+    from etl_his_spark.operators.similarity import banded_neardup_pairs
+    from etl_his_spark.sources.readers import read_table
+
+    base = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    clones = (
+        base.filter(F.col("vec_id") == 0)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(500))).alias("k"),
+                "embedding")
+        .select((F.col("k") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    with_clones = base.union(clones)
+
+    capped = banded_neardup_pairs(with_clones, 0.99, bucket_cap=64)
+    assert all(
+        r["a_id"] < 10_000_000 and r["b_id"] < 10_000_000
+        for r in capped.collect()
+    )
+    uncapped = banded_neardup_pairs(with_clones, 0.99).collect()
+    assert any(r["a_id"] >= 10_000_000 or r["b_id"] >= 10_000_000
+               for r in uncapped)

@@ -61,7 +61,8 @@ def test_decode_netpbm_real_images(spark):
 
     black = _pgm([[0] * 4 for _ in range(4)])
     white = _pgm([[255] * 4 for _ in range(4)])
-    # pure red 2x2: BT.601 luminance = 255*299//1000 = 76 → bin 76//16=4
+    # pure red 2x2: Pillow fixed-point L = (255*19595 + 0x8000) >> 16
+    # = 76 → bin 76//16 = 4
     red = _ppm([[(255, 0, 0)] * 2 for _ in range(2)])
     junk = b"not an image"
     rows = [
@@ -79,6 +80,35 @@ def test_decode_netpbm_real_images(spark):
     assert feats[1][-1] == 1.0  # all-white: highest luminance bin
     assert feats[2][76 // 16] == 1.0  # red → luminance 76
     assert feats[3] is None  # corrupt asset stays visible as NULL
+
+
+@pytest.mark.skipif(
+    not pil_available(),
+    reason="cross-lane equality needs Pillow (PIL), not installed here",
+)
+def test_netpbm_and_pil_lanes_agree_on_p6(spark):
+    """The claim the netpbm luminance formula makes — bit-for-bit
+    agreement with Pillow's convert('L') — checked where Pillow exists,
+    over triples (including (1,3,210), where the textbook
+    299/587/114//1000 formula disagrees with Pillow by 1)."""
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+    triples = [
+        (1, 3, 210), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+        (17, 200, 33), (128, 128, 128), (254, 1, 7), (90, 200, 250),
+    ]
+    rows = []
+    for i, t in enumerate(triples):
+        img = _ppm([[t] * 4 for _ in range(4)])
+        rows.append((i, "image", img, len(img), 4, 4))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    by_lane = {}
+    for lane in ("netpbm", "pil"):
+        by_lane[lane] = {
+            r["media_id"]: r["features"]
+            for r in decode_media(media, decoder=lane).collect()
+        }
+    assert by_lane["netpbm"] == by_lane["pil"]
 
 
 def test_resize_netpbm_nearest_neighbor(spark):

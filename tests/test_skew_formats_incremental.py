@@ -156,3 +156,38 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+
+
+def test_events_native_ntz_reads_naive_as_utc_any_timezone(spark, tmp_path):
+    """A native TIMESTAMP(MICROS) (NTZ) events file must read as
+    naive-as-UTC — DuckDB's semantics — regardless of the session
+    timezone (read_table's contract covers bare sessions in any zone;
+    an NTZ→LTZ cast would shift ts by the session offset)."""
+    import datetime
+
+    from etl_his_spark.sources.readers import read_events_raw, read_table
+
+    naive = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, 100, "click", naive, 1.0)],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    root = str(tmp_path / "sfntz")
+    df.write.parquet(f"{root}/events.parquet")
+    expected_us = int(
+        naive.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        raw_ns = read_events_raw(spark, root).select("ts").first()["ts"]
+        assert raw_ns == expected_us * 1000
+        got_us = (
+            read_table(spark, root, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .first()["us"]
+        )
+        assert got_us == expected_us
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
