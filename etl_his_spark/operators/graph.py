@@ -54,12 +54,27 @@ def connected_components(
     ``(id_col, component)`` where component = min id in the node's
     connected component.
     """
-    labels = vertices.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    )
     bidir = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+    # The edge list joins into EVERY round's plan; without
+    # materialization the upstream pair computation (e.g. the whole
+    # prefix-filtered Jaccard pipeline) re-executes once per round.
+    # Lazy, measured against eager: round 0's convergence count
+    # materializes the blocks inline; eager's dedicated construction
+    # pass measured ~30% slower for the full query despite round 0
+    # referencing bidir from two stages.
+    bidir = bidir.localCheckpoint(eager=False)
+
+    # Iterate ONLY over edge endpoints: a vertex with no edges is its
+    # own component and can never change, so it skips the loop and
+    # unions back at the end. Near-dup graphs are sparse — at corpus
+    # scale this shrinks the iterated frame from |V| (every document)
+    # to ~2|E| (documents that matched anything), which is what keeps
+    # k rounds of joins affordable when |V| is 10^11 and |E| is 10^7.
+    labels = bidir.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
 
     for _ in range(max_iter):
         nbr = (
@@ -67,8 +82,12 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The PREVIOUS label rides through the round as __old, so
+        # convergence is a filter on the round's own output — no
+        # separate halved-vs-labels join per round.
         stepped = labels.join(nbr, labels.node == nbr.v, "left").select(
             "node",
+            F.col("label").alias("__old"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
@@ -78,22 +97,21 @@ def connected_components(
         )
         halved = stepped.join(
             parent, stepped.label == parent.p_node
-        ).select("node", F.col("p_label").alias("label"))
+        ).select("node", "__old", F.col("p_label").alias("label"))
         # Lazy: the convergence count() just below is the round's
         # action and materializes the checkpoint blocks — eager would
         # run a dedicated extra job per round for the same blocks.
         halved = halved.localCheckpoint(eager=False)
         changed = (
-            halved.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            halved.filter(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = halved
+        labels = halved.drop("__old")
         if changed == 0:
             break
 
-    return labels.select(
+    singletons = vertices.select(F.col(id_col).alias("node")).join(
+        bidir.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return labels.union(singletons).select(
         F.col("node").alias(id_col), F.col("label").alias("component")
     )

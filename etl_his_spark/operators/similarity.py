@@ -214,8 +214,12 @@ def banded_neardup_pairs(
         ]
     )
     # Band rows carry only (id, band, pattern) — vectors join back
-    # AFTER candidate dedup, so the n_bands× explode doesn't multiply
-    # the shuffled vector payload.
+    # AFTER candidate dedup. The carry-the-payload trick of
+    # minhash_lsh_candidates was MEASURED SLOWER here: band buckets
+    # are coarse (2^band_bits cells), so candidates outnumber distinct
+    # pairs ~4×, and scoring the 64-dim cosine per band hit costs more
+    # than the two hash joins the carry would save (minhash wins that
+    # trade only because its est_sim compares 16 longs).
     exploded = v.select("v_id", F.explode(bands).alias("b")).select(
         "v_id", F.col("b.band").alias("band"), F.col("b.pat").alias("pat")
     )

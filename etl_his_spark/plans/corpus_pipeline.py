@@ -108,7 +108,12 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = filtered.join(exact_kept, "doc_id")
+    # survivors feeds the near-dup stage (whose eager shingle
+    # materialization runs at construction) AND the final anti-join;
+    # eager checkpoint computes the score→filter→exact-dedup chain
+    # once instead of once per consumer (cache-hygiene-safe: blocks
+    # die with the frame).
+    survivors = filtered.join(exact_kept, "doc_id").localCheckpoint(eager=True)
     near = jaccard_pairs_prefix(survivors, _NEARDUP_THRESHOLD)
     drop = near.select(F.col("b_id").alias("doc_id")).distinct()
     return survivors.join(drop, "doc_id", "left_anti").select(
