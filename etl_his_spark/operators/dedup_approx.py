@@ -113,10 +113,25 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
 
 
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (doc, shingle) pairs — the inverted-index input."""
+    """Distinct (doc, shingle) pairs — the inverted-index input.
+
+    ``shingle`` is the 60-bit md5 hash of the shingle STRING, not the
+    string itself (the ``contamination_hits`` discipline): every
+    downstream shuffle — the distinct here, the df-frequency groupBy,
+    the prefix and verify joins, the minhash aggregation — moves and
+    compares 8-byte longs instead of ~25-char strings. Set semantics
+    are unchanged up to md5 collisions, which are engine-identical
+    (both sides hash the same way, so the oracle stays exact by
+    construction) and vanishingly unlikely to exist at all
+    (~n²/2^61 for n distinct shingles).
+    """
     return (
         spread_small_input(docs)
-        .select(F.col(id_col), F.explode(word_shingles(text_col)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col)).alias("shingle_s"),
+        )
+        .select(id_col, seeded_hash60(F.col("shingle_s")).alias("shingle"))
         .distinct()
     )
 
@@ -307,8 +322,10 @@ def minhash_signatures(
     same (doc)-keyed groupBy; each h_i is a cheap affine rehash of the
     single md5-based h30, computed inline in the projection.
     """
+    # shingle_rows already emits the 60-bit md5 hash — fold it to 30
+    # bits directly (no second hashing pass).
     sh = shingle_rows(docs, id_col, text_col).withColumn(
-        "h30", seeded_hash60(F.col("shingle")) % MINHASH_FOLD
+        "h30", F.col("shingle") % MINHASH_FOLD
     )
     aggs = [
         F.min(

@@ -62,11 +62,17 @@ survivors AS (
 words AS (
     SELECT doc_id, string_split(trim(text), ' ') AS w FROM survivors
 ),
+shs AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+    FROM words WHERE len(w) >= 3
+),
+-- shingles as 60-bit md5 hashes, mirroring dedup_approx.shingle_rows
 sh AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(range(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM words WHERE len(w) >= 3
+           CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT) AS shingle
+    FROM shs
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (

@@ -58,11 +58,18 @@ _SHINGLES_CTE = r"""
 words AS (
     SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
 ),
+shs AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+    FROM words WHERE len(w) >= 3
+),
+-- shingles are carried as 60-bit md5 hashes (8-byte join/shuffle keys)
+-- on BOTH engines — identical hashing keeps the comparison exact
 sh AS (
     SELECT DISTINCT doc_id,
-           unnest(list_transform(range(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM words WHERE len(w) >= 3
+           CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT) AS shingle
+    FROM shs
 )
 """
 
@@ -144,9 +151,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_CTE},
     based AS (
-        SELECT doc_id,
-               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
-                   % {MINHASH_FOLD} AS h30
+        SELECT doc_id, shingle % {MINHASH_FOLD} AS h30
         FROM sh
     ),
     sig AS (
@@ -179,9 +184,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_BANDS_CTE = f"""
     WITH {_SHINGLES_CTE},
     based AS (
-        SELECT doc_id,
-               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
-                   % {MINHASH_FOLD} AS h30
+        SELECT doc_id, shingle % {MINHASH_FOLD} AS h30
         FROM sh
     ),
     sig AS (
@@ -466,9 +469,7 @@ _COLLAPSE_MIN_MATCHES = 12
     f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     based AS (
-        SELECT doc_id,
-               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
-                   % {MINHASH_FOLD} AS h30
+        SELECT doc_id, shingle % {MINHASH_FOLD} AS h30
         FROM sh
     ),
     sig AS (
