@@ -245,8 +245,12 @@ def jaccard_pairs_prefix(
     # eager materialization is the cheapest correct option. persist()
     # would leak a CacheManager entry per call (see jaccard_pairs).
     sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=True)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "shingle")
+    # Document frequency via a count window over the shingle partition:
+    # ONE shuffle of sh keyed on shingle, where a groupBy(shingle) +
+    # join-back would shuffle sh twice (once to aggregate, once as the
+    # join probe side).
+    wdf = Window.partitionBy("shingle")
+    ranked = sh.withColumn("df", F.count(F.lit(1)).over(wdf))
     w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("shingle"))
     wsize = Window.partitionBy(id_col)
     pos = ranked.select(
@@ -498,6 +502,41 @@ def minhash_lsh_candidates_capped(
         a.join(b, ["band", "band_sig"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", _est_sim().alias("est_sim"))
+        .distinct()
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates of NEW documents against an EXISTING corpus
+    — the production shape for incremental ingestion (dedup each crawl
+    batch against what is already indexed, never re-pairing the corpus
+    with itself).
+
+    Same banded equi-join as ``minhash_lsh_candidates`` but across two
+    inputs: pair work is |new ∩ bucket| × |existing ∩ bucket| per
+    bucket, so a small batch against a huge corpus does tiny joins —
+    and at steady state the existing side's signatures would be read
+    from a signature store (written once per batch by
+    ``minhash_signatures``), not recomputed. Output keeps the sides
+    apart: (new_id, existing_id, est_sim).
+    """
+    a = _banded_sig_rows(new_docs, id_col, text_col).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"), "band", "band_sig"
+    )
+    b = _banded_sig_rows(existing_docs, id_col, text_col).select(
+        F.col(id_col).alias("existing_id"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_sig",
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .select("new_id", "existing_id", _est_sim().alias("est_sim"))
         .distinct()
     )
 

@@ -24,6 +24,7 @@ from ..operators.dedup_approx import (
     minhash_lsh_candidates,
     minhash_lsh_candidates_capped,
     minhash_lsh_giant_buckets,
+    minhash_lsh_incremental,
     simhash_pairs_blocked,
     simhash_signatures,
 )
@@ -231,6 +232,37 @@ def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature shared by 10^5 docs would otherwise own the stage."""
     return minhash_lsh_candidates_capped(
         read_table(spark, sf_dir, "documents"), cap=_LSH_CAP
+    )
+
+
+@register(
+    "dedup_lsh_incremental",
+    f"""
+    {_MINHASH_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    )
+    SELECT c.new_id, c.existing_id,
+           CAST(({_MINHASH_MATCH_SUM}) AS DOUBLE) / 16 AS est_sim
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.new_id
+    JOIN sig sb ON sb.doc_id = c.existing_id
+    """,
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: near-dup candidates of a NEW batch
+    (doc_id % 10 == 0 stands in for the incoming crawl) against the
+    EXISTING corpus (the rest) — banded equi-join across the two sides
+    only, never corpus×corpus. The production loop would persist
+    ``minhash_signatures`` per batch and join new signatures against
+    the store."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
     )
 
 

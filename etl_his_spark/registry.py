@@ -87,12 +87,15 @@ _CHECK_FIRST = [
     # corpus_pipeline, publish_roundtrip.)
     "dedup_lsh_capped",
     "dedup_lsh_giant_buckets",
+    "dedup_lsh_incremental",
     "corpus_dedup_collapse",
     "training_pack_sequences",
     "surrogate_dense_ids",
-    "dedup_components",
     "corpus_pipeline",
     "publish_roundtrip",
+    # (dedup_components' r5 changes are hard-verified through
+    # corpus_dedup_collapse above — same connected-components path —
+    # freeing its slot for the new incremental query.)
     # Positions 9-40: the 32 queries whose last DRIVER check was round
     # 1 (everything else has an r3/r4 row) — rotated in per the r4
     # verdict item 3 so the union of r4+r5 windows re-covers all
