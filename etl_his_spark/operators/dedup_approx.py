@@ -567,6 +567,40 @@ def minhash_lsh_giant_buckets(
     )
 
 
+def minhash_lsh_giant_bucket_edges(
+    docs: DataFrame,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(keeper, member) star edges for every oversized bucket — the
+    O(|bucket|) wholesale-collapse form of the giant-bucket side
+    channel, ready to union with capped pairs ahead of
+    ``graph.connected_components``. One window over the same
+    (band, band_sig) partitioning the cap check uses: keeper = min doc
+    id in the bucket; self-edges dropped; multi-band duplicates
+    collapse in the distinct.
+    """
+    w = Window.partitionBy("band", "band_sig")
+    sized = (
+        _banded_sig_rows(docs, id_col, text_col)
+        .select(
+            F.col(id_col),
+            "band",
+            "band_sig",
+        )
+        .withColumn("n_bucket", F.count(F.lit(1)).over(w))
+        .withColumn("keeper", F.min(id_col).over(w))
+    )
+    return (
+        sized.filter(
+            (F.col("n_bucket") > cap) & (F.col(id_col) != F.col("keeper"))
+        )
+        .select(F.col("keeper").alias("a_id"), F.col(id_col).alias("b_id"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from ..operators.dedup_approx import (
     jaccard_pairs_prefix,
     minhash_lsh_candidates,
     minhash_lsh_candidates_capped,
+    minhash_lsh_giant_bucket_edges,
     minhash_lsh_giant_buckets,
     minhash_lsh_incremental,
     simhash_pairs_blocked,
@@ -494,6 +495,92 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # est_sim ≥ 12/16: both engines compare exactly (est_sim is a k/16
 # dyadic rational; the oracle uses the integer match count directly).
 _COLLAPSE_MIN_MATCHES = 12
+
+
+@register(
+    "corpus_dedup_collapse_guarded",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    based AS (
+        SELECT doc_id, shingle % {MINHASH_FOLD} AS h30
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, {_MINHASH_MIN_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS (
+        {_MINHASH_BAND_UNION}
+    ),
+    sized AS (
+        SELECT doc_id, band, band_sig,
+               count(*) OVER (PARTITION BY band, band_sig) AS n_bucket,
+               min(doc_id) OVER (PARTITION BY band, band_sig) AS keeper
+        FROM bands
+    ),
+    small AS (SELECT * FROM sized WHERE n_bucket <= {_LSH_CAP}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a
+        JOIN small b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+        WHERE ({_MINHASH_MATCH_SUM}) >= {_COLLAPSE_MIN_MATCHES}
+        UNION
+        SELECT DISTINCT keeper AS a_id, doc_id AS b_id
+        FROM sized WHERE n_bucket > {_LSH_CAP} AND doc_id <> keeper
+    ),
+    bidir AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN bidir e ON e.src = w.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component, (doc_id = component) AS keep,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def corpus_dedup_collapse_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe production composition end to end: capped LSH
+    pairs (bounded per-bucket join work) PLUS wholesale star edges for
+    oversized buckets (keeper → member, linear in bucket size — no
+    pairwise expansion, no similarity verification: sharing a full
+    minhash band IS the cluster criterion for degenerate buckets) →
+    connected components → per-doc keep decision. This is what a 100 TB
+    corpus actually runs; ``corpus_dedup_collapse`` is the uncapped
+    reference semantics."""
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_candidates_capped(docs, cap=_LSH_CAP)
+        .filter(F.col("est_sim") * N_MINHASH >= _COLLAPSE_MIN_MATCHES)
+        .select("a_id", "b_id")
+    )
+    giant_edges = minhash_lsh_giant_bucket_edges(docs, cap=_LSH_CAP)
+    comp = connected_components(
+        docs.select("doc_id"), pairs.union(giant_edges)
+    )
+    wc = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+    )
 
 
 @register(

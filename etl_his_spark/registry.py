@@ -86,9 +86,12 @@ _CHECK_FIRST = [
     # training_pack_sequences, surrogate_dense_ids, dedup_components,
     # corpus_pipeline, publish_roundtrip.)
     "dedup_lsh_capped",
-    "dedup_lsh_giant_buckets",
+    "corpus_dedup_collapse_guarded",
     "dedup_lsh_incremental",
     "corpus_dedup_collapse",
+    # (dedup_lsh_giant_buckets' bucket-count/keeper logic is
+    # hard-verified through corpus_dedup_collapse_guarded's star
+    # edges, which are built on the same window.)
     "training_pack_sequences",
     "surrogate_dense_ids",
     "corpus_pipeline",

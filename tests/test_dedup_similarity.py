@@ -232,6 +232,24 @@ def test_lsh_hot_bucket_guard_planted_cluster(spark):
     assert len(giants) == 4
     assert all(r["n_docs"] == 1000 and r["keep_doc_id"] == 0 for r in giants)
 
+    # the star-edge form collapses the cluster in O(|bucket|): every
+    # member links to keeper 0, nothing pairwise
+    from etl_his_spark.operators.dedup_approx import (
+        minhash_lsh_giant_bucket_edges,
+    )
+    from etl_his_spark.operators.graph import connected_components
+
+    edges = minhash_lsh_giant_bucket_edges(docs, cap=64)
+    assert edges.count() == 999  # keeper → each other member, deduped
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            docs.select("doc_id"), edges
+        ).collect()
+    }
+    assert all(comp[i] == 0 for i in range(1000))
+    assert comp[3001] == 3001  # untouched singleton
+
 
 def test_lsh_capped_equals_uncapped_when_cap_is_loose(spark):
     """With a cap above every bucket size, the guard is a no-op: capped
