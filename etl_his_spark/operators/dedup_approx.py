@@ -341,32 +341,6 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc, band, band_sig) rows: md5 over each band's minhash run.
-
-    Pure projection + explode over the wide signature — no shuffle.
-    """
-    n_bands = N_MINHASH // BAND_SIZE
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{b * BAND_SIZE + j}").cast("string")
-                        for j in range(BAND_SIZE)
-                    ],
-                )
-            ).alias("band_sig"),
-        )
-        for b in range(n_bands)
-    ]
-    return signatures.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-
-
 def _banded_sig_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

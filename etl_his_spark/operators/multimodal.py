@@ -23,8 +23,12 @@ Design for a 100 TB multimodal corpus:
   dependency; the deterministic fake (byte-histogram features, fixed
   frame splitter) remains available via ``allow_fake=True`` /
   ``decoder="fake"`` — it exercises the identical Spark plumbing
-  (schema, batching, 1:N row fan-out). Video frame extraction stays a
-  stub: it needs ffmpeg, which has no optional pure-Python fallback.
+  (schema, batching, 1:N row fan-out). Video frame extraction has a
+  REAL lane too: ``frame_sample(decoder="y4m")`` parses uncompressed
+  YUV4MPEG2 and re-encodes each sampled frame's luminance plane as
+  binary PGM, so frames feed straight into the netpbm image lane —
+  only compressed containers (mp4/webm/...) still require ffmpeg,
+  which has no pure-Python fallback.
 """
 
 from __future__ import annotations
@@ -204,9 +208,17 @@ def _fake_byte_features(b: bytes) -> list[float]:
 
 
 def decode_media(
-    media: DataFrame, allow_fake: bool = False, decoder: str = "auto"
+    media: DataFrame,
+    allow_fake: bool = False,
+    decoder: str = "auto",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Decode media bytes to a feature vector per asset.
+
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged (e.g. ``frame_index`` when decoding frames produced by
+    ``frame_sample`` — real pipelines need their metadata to survive
+    the decode stage).
 
     ``decoder`` picks the per-row decode function; the Spark contract
     (mapInPandas, Arrow batches, FEATURES_SCHEMA) is identical for all:
@@ -268,6 +280,10 @@ def decode_media(
         "fake": _fake_byte_features,
     }
     chosen = decoder
+    out_schema = T.StructType(
+        list(FEATURES_SCHEMA.fields)
+        + [media.schema[c] for c in passthrough]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = decoders[chosen]
@@ -275,31 +291,127 @@ def decode_media(
             feats = [
                 None if b is None else decode(b) for b in pdf["media_bytes"]
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["n_bytes"],
-                    "features": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["n_bytes"],
+                "features": feats,
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, FEATURES_SCHEMA)
+    return media.mapInPandas(batches, out_schema)
+
+
+def parse_y4m(b: bytes):
+    """Decode an uncompressed YUV4MPEG2 (``.y4m``) stream to
+    ``(width, height, [Y-plane bytes per frame])`` — pure byte/numpy
+    work, no codec dependency (the video analog of ``parse_netpbm``).
+
+    Supports ``Cmono`` (luma only) and the planar ``C420*``/``C422``/
+    ``C444`` colorspaces; only the Y (luminance) plane is extracted,
+    chroma planes are skipped by size. Returns None for anything else
+    (corrupt header, truncated frame, non-y4m bytes). Compressed
+    containers (mp4/webm/...) still require ffmpeg — see
+    ``frame_sample``.
+    """
+    if not b or not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    cs = "420"
+    for tok in b[:nl].decode("ascii", "replace").split(" ")[1:]:
+        if not tok:
+            continue
+        try:
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                cs = tok[1:]
+        except ValueError:
+            return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    ysize = w * h
+    if cs.startswith("mono"):
+        fsize = ysize
+    elif cs.startswith("420"):
+        fsize = ysize + ysize // 2
+    elif cs.startswith("422"):
+        fsize = ysize * 2
+    elif cs.startswith("444"):
+        fsize = ysize * 3
+    else:
+        return None
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or not b[pos:fnl].startswith(b"FRAME"):
+            return None
+        pos = fnl + 1
+        y = b[pos : pos + ysize]
+        if len(y) != ysize:
+            return None
+        frames.append(bytes(y))
+        pos += fsize
+    return (w, h, frames)
 
 
 def frame_sample(
-    media: DataFrame, every_n: int = 2, allow_fake: bool = False
+    media: DataFrame,
+    every_n: int = 2,
+    allow_fake: bool = False,
+    decoder: str = "fake",
 ) -> DataFrame:
-    """Sample every n-th fixed-size 'frame' from video bytes (1:N rows).
+    """Sample every n-th frame from video bytes (1:N row fan-out).
 
-    STUB decoder: frames are FRAME_BYTES-sized byte slices. The row
-    fan-out shape (one input row → many frame rows, batch-preserving)
-    is the real contract a video pipeline needs from Spark.
+    - ``decoder="y4m"`` — REAL video decoding without any dependency:
+      uncompressed YUV4MPEG2 parsed by ``parse_y4m``; each sampled
+      frame's luminance plane is re-encoded as a binary PGM (P5), so
+      the frames compose directly with the real image lane
+      (``decode_media(decoder="netpbm")``, ``resize_image``).
+      Non-y4m / corrupt media yield no frame rows.
+    - ``decoder="fake"`` — deterministic stub (requires
+      ``allow_fake=True``): frames are FRAME_BYTES-sized byte slices.
+      Kept for environment-independent gates; compressed formats
+      (mp4/webm/...) genuinely need ffmpeg, which has no pure-Python
+      fallback — the y4m lane exists so the real 1:N decode contract
+      is still verified end to end without it.
     """
+    if decoder == "y4m":
+
+        def y4m_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, idxs, frames = [], [], []
+                for mid, b in zip(pdf["media_id"], pdf["media_bytes"]):
+                    parsed = None if b is None else parse_y4m(bytes(b))
+                    if parsed is None:
+                        continue
+                    w, h, planes = parsed
+                    header = f"P5\n{w} {h}\n255\n".encode()
+                    for fi in range(0, len(planes), every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(header + planes[fi])
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_index": idxs, "frame_bytes": frames}
+                )
+
+        return media.mapInPandas(y4m_batches, FRAMES_SCHEMA)
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder!r}")
     if not allow_fake:
         raise NotImplementedError(
-            "real frame extraction needs ffmpeg (not installed); "
-            "pass allow_fake=True for the deterministic stub"
+            "real frame extraction for compressed video needs ffmpeg "
+            "(not installed); use decoder='y4m' for uncompressed "
+            "YUV4MPEG2, or pass allow_fake=True for the deterministic "
+            "stub"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

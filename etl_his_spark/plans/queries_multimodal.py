@@ -88,6 +88,77 @@ def multimodal_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_y4m_frames",
+    """
+    SELECT doc_id AS media_id, fi AS frame_index,
+           CAST(75 AS BIGINT) AS n_bytes,
+           array_to_string(
+               list_transform(range(0, 16), i -> CASE
+                   WHEN i = ((doc_id * 7 + fi * 11) % 256) // 16
+                   THEN '1.000000' ELSE '0.000000' END),
+               ',') AS features_enc
+    FROM documents CROSS JOIN (SELECT unnest([0, 2]) AS fi)
+    """,
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under a hard oracle — no codec library.
+
+    Spark-side: each doc becomes a valid 4-frame uncompressed
+    YUV4MPEG2 (Cmono) video built with pure column expressions —
+    header + per-frame ``FRAME\\n`` markers + an 8x8 luma plane of the
+    constant byte ``(doc_id*7 + frame*11) % 256`` — then run through
+    the COMPLETE real multimodal pipeline: ``frame_sample`` (y4m
+    parse, every 2nd frame, luma re-encoded as binary PGM) feeding
+    ``decode_media(decoder="netpbm")`` (PGM parse → luminance
+    histogram) with frame_index passed through. The oracle states the
+    expected histogram analytically (one-hot at
+    ``((doc_id*7 + frame*11) % 256) // 16`` for frames 0 and 2) —
+    a hash-verified end-to-end check of y4m header parse, frame
+    walking, plane extraction, PGM re-encode, image decode, and the
+    1:N fan-out row contract.
+    """
+    from ..operators.multimodal import decode_media as _decode
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    header = F.lit(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono\n")
+    parts = [header]
+    for fi in range(4):
+        v = F.pmod(F.col("doc_id") * 7 + F.lit(fi * 11), F.lit(256)).cast("int")
+        hexbyte = F.lpad(F.lower(F.hex(v)), 2, "0")
+        plane = F.unhex(F.concat_ws("", F.array_repeat(hexbyte, 64)))
+        parts.append(F.lit(b"FRAME\n"))
+        parts.append(plane)
+    media_bytes = F.concat(*parts)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        media_bytes.alias("media_bytes"),
+        F.length(media_bytes).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("declared_width"),
+        F.lit(None).cast("int").alias("declared_height"),
+    )
+    frames = frame_sample(media, every_n=2, decoder="y4m")
+    fmedia = frames.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("frame_bytes").alias("media_bytes"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("declared_width"),
+        F.lit(None).cast("int").alias("declared_height"),
+        "frame_index",
+    )
+    decoded = _decode(fmedia, decoder="netpbm", passthrough=("frame_index",))
+    return decoded.select(
+        "media_id",
+        "frame_index",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_enc"),
+    )
+
+
 @register("multimodal_frame_sample")  # no oracle: 1:N binary fan-out
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: one media row → N frame rows via

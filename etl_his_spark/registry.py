@@ -93,9 +93,13 @@ _CHECK_FIRST = [
     # hard-verified through corpus_dedup_collapse_guarded's star
     # edges, which are built on the same window.)
     "training_pack_sequences",
-    "surrogate_dense_ids",
+    "multimodal_y4m_frames",
     "corpus_pipeline",
     "publish_roundtrip",
+    # (surrogate_dense_ids' r5 lazy-checkpoint change is hard-verified
+    # through his_bridge_derivation + publish_roundtrip in this window
+    # — both drive dense_ids on the bridge path — freeing its slot for
+    # the new real-video-decode query.)
     # (dedup_components' r5 changes are hard-verified through
     # corpus_dedup_collapse above — same connected-components path —
     # freeing its slot for the new incremental query.)

@@ -190,3 +190,57 @@ def test_frame_sample_fanout(spark, media):
     # frame bytes bounded
     bad = frames.filter(F.length("frame_bytes") > FRAME_BYTES).count()
     assert bad == 0
+
+
+def _y4m(frames: list[bytes], w: int, h: int, cs: str = "mono",
+         chroma: bytes = b"") -> bytes:
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode()
+    return header + b"".join(b"FRAME\n" + f + chroma for f in frames)
+
+
+def test_parse_y4m_real_decode(spark):
+    """parse_y4m: mono and 4:2:0 layouts, Y-plane extraction, corrupt
+    inputs — the dependency-free REAL video lane."""
+    from etl_his_spark.operators.multimodal import parse_y4m
+
+    y0, y1 = bytes([10] * 16), bytes([200] * 16)
+    w, h, frames = parse_y4m(_y4m([y0, y1], 4, 4))
+    assert (w, h) == (4, 4) and frames == [y0, y1]
+    # 4:2:0: U+V planes (ysize/2 bytes) are skipped, Y still exact
+    chroma = bytes([128] * 8)
+    w, h, frames = parse_y4m(_y4m([y0, y1], 4, 4, cs="420jpeg", chroma=chroma))
+    assert frames == [y0, y1]
+    assert parse_y4m(b"not a video") is None
+    assert parse_y4m(_y4m([y0], 4, 4)[:-3]) is None  # truncated frame
+    assert parse_y4m(b"YUV4MPEG2 W4 H4 Cmono\nJUNK\n" + y0) is None
+
+
+def test_frame_sample_y4m_composes_with_netpbm_decode(spark):
+    """The real video pipeline end to end: y4m → every-2nd-frame PGM →
+    netpbm decode; frame luminance histograms land in the right bins."""
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+    planes = [bytes([v] * 64) for v in (5, 100, 250)]
+    vid = _y4m(planes, 8, 8)
+    junk = b"definitely not yuv4mpeg2"
+    media = spark.createDataFrame(
+        [(0, "video", vid, len(vid), 8, 8),
+         (1, "video", junk, len(junk), None, None)],
+        MEDIA_SCHEMA,
+    )
+    frames = frame_sample(media, every_n=2, decoder="y4m")
+    rows = frames.collect()
+    assert {(r["media_id"], r["frame_index"]) for r in rows} == {(0, 0), (0, 2)}
+    fmedia = frames.select(
+        "media_id", F.lit("image").alias("kind"),
+        F.col("frame_bytes").alias("media_bytes"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("declared_width"),
+        F.lit(None).cast("int").alias("declared_height"),
+        "frame_index",
+    )
+    decoded = decode_media(fmedia, decoder="netpbm",
+                           passthrough=("frame_index",))
+    feats = {r["frame_index"]: r["features"] for r in decoded.collect()}
+    assert feats[0][5 // 16] == 1.0    # frame 0: constant 5 → bin 0
+    assert feats[2][250 // 16] == 1.0  # frame 2: constant 250 → bin 15
