@@ -46,6 +46,9 @@ HEADLINE = [
     "corpus_pipeline",
     "corpus_dedup_collapse",
     "dedup_lsh_capped",
+    "corpus_dedup_collapse_guarded",
+    "dedup_lsh_incremental",
+    "multimodal_y4m_frames",
 ]
 
 

@@ -541,6 +541,54 @@ def minhash_lsh_giant_buckets(
     )
 
 
+def minhash_lsh_guarded_edges(
+    docs: DataFrame,
+    cap: int,
+    min_matches: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass edge list for the GUARDED collapse: capped LSH pairs
+    (est_sim ≥ min_matches/16) unioned with giant-bucket star edges.
+
+    ``minhash_lsh_candidates_capped`` + ``minhash_lsh_giant_bucket_edges``
+    each rebuild the banded-signature frame and its bucket window; the
+    composition computes the windowed frame ONCE (eager localCheckpoint
+    — both the small-bucket join sides and the giant filter consume it
+    from concurrent stages, see jaccard_pairs_prefix for the eager
+    rationale) and derives both edge kinds from the blocks.
+    """
+    w = Window.partitionBy("band", "band_sig")
+    sized = (
+        _banded_sig_rows(docs, id_col, text_col)
+        .withColumn("n_bucket", F.count(F.lit(1)).over(w))
+        .withColumn("keeper", F.min(id_col).over(w))
+        .localCheckpoint(eager=True)
+    )
+    small = sized.filter(F.col("n_bucket") <= cap)
+    a = small.select(
+        F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a"), "band", "band_sig"
+    )
+    b = small.select(
+        F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b"), "band", "band_sig"
+    )
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_est_sim() * N_MINHASH >= min_matches)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    giant = (
+        sized.filter(
+            (F.col("n_bucket") > cap) & (F.col(id_col) != F.col("keeper"))
+        )
+        .select(F.col("keeper").alias("a_id"), F.col(id_col).alias("b_id"))
+        .distinct()
+    )
+    return pairs.union(giant)
+
+
 def minhash_lsh_giant_bucket_edges(
     docs: DataFrame,
     cap: int = 64,

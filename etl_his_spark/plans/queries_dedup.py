@@ -23,8 +23,8 @@ from ..operators.dedup_approx import (
     jaccard_pairs_prefix,
     minhash_lsh_candidates,
     minhash_lsh_candidates_capped,
-    minhash_lsh_giant_bucket_edges,
     minhash_lsh_giant_buckets,
+    minhash_lsh_guarded_edges,
     minhash_lsh_incremental,
     simhash_pairs_blocked,
     simhash_signatures,
@@ -565,15 +565,10 @@ def corpus_dedup_collapse_guarded(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.graph import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = (
-        minhash_lsh_candidates_capped(docs, cap=_LSH_CAP)
-        .filter(F.col("est_sim") * N_MINHASH >= _COLLAPSE_MIN_MATCHES)
-        .select("a_id", "b_id")
+    edges = minhash_lsh_guarded_edges(
+        docs, cap=_LSH_CAP, min_matches=_COLLAPSE_MIN_MATCHES
     )
-    giant_edges = minhash_lsh_giant_bucket_edges(docs, cap=_LSH_CAP)
-    comp = connected_components(
-        docs.select("doc_id"), pairs.union(giant_edges)
-    )
+    comp = connected_components(docs.select("doc_id"), edges)
     wc = Window.partitionBy("component")
     return comp.select(
         "doc_id",
