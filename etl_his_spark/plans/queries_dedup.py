@@ -400,6 +400,79 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_label_purity",
+    f"""
+    WITH vl AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM vl WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               vl.vec_id AS neighbor_id, vl.label AS n_label,
+               list_cosine_similarity(q.e, vl.e) AS sim
+        FROM q CROSS JOIN vl WHERE q.vec_id <> vl.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank FROM scored
+    )
+    SELECT q_label AS label, count(*) AS n_neighbors,
+           -- CAST: DuckDB SUM(int) is HUGEINT, which pandas renders as
+           -- float64 and hash-mismatches Spark's long
+           CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label,
+           round(CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS purity
+    FROM ranked WHERE rank <= 10 GROUP BY q_label
+    """,
+)
+def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation against ground truth: for the exact
+    top-10 of each query vector, the fraction of neighbors sharing the
+    query's ``label`` (embedding-space purity per label class) — the
+    check a real pipeline runs on its ANN index before trusting it for
+    dedup or curation. Counts ride the existing top-k; one small
+    groupBy on label."""
+    vectors = read_table(spark, sf_dir, "embeddings")
+    labels = vectors.select("vec_id", "label")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    topk = brute_force_topk(vectors, queries, 10)
+    joined = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    same = F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+    return (
+        joined.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(same).alias("n_same_label"),
+        )
+        .select(
+            "label",
+            "n_neighbors",
+            "n_same_label",
+            F.round(
+                F.col("n_same_label").cast("double") / F.col("n_neighbors"), 6
+            ).alias("purity"),
+        )
+    )
+
+
+@register(
     "ann_topk_bucketed",
     f"""
     WITH {_VECS_CTE},

@@ -103,6 +103,49 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_langid_eval",
+    r"""
+    WITH pred AS (
+        SELECT doc_id, lang,
+           CASE
+             WHEN text IS NULL THEN 'unknown'
+             WHEN (len(string_split_regex(lower(text),
+                   '\b(the|and|with|for|that|this|from)\b')) - 1)
+                > (len(string_split_regex(lower(text),
+                   '\b(el|la|los|las|que|para|con|una)\b')) - 1)
+              AND (len(string_split_regex(lower(text),
+                   '\b(the|and|with|for|that|this|from)\b')) - 1) > 0
+             THEN 'en'
+             WHEN (len(string_split_regex(lower(text),
+                   '\b(el|la|los|las|que|para|con|una)\b')) - 1)
+                > (len(string_split_regex(lower(text),
+                   '\b(the|and|with|for|that|this|from)\b')) - 1)
+              AND (len(string_split_regex(lower(text),
+                   '\b(el|la|los|las|que|para|con|una)\b')) - 1) > 0
+             THEN 'es'
+             ELSE 'unknown'
+           END AS lang_pred
+        FROM documents
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation against ground truth: the confusion matrix
+    of the langid heuristic vs the corpus's labeled ``lang`` column —
+    the quality-control step a real pipeline runs before trusting a
+    heuristic at scale. One groupBy on (truth, prediction); the
+    accuracy/precision cells fall out of the counts."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", langid_heuristic("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "doc_fingerprint",
     r"""
     SELECT doc_id,

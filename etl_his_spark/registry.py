@@ -113,7 +113,10 @@ _CHECK_FIRST = [
     "cube_agg",
     "dedup_distinct_name",
     "dedup_first_per_key",
-    "doc_fingerprint",
+    # doc_fingerprint's md5(normalized_text) expression is the same
+    # one dedup_exact (permanent sentinel below) hard-verifies every
+    # round; its slot goes to the new ann_label_purity eval query.
+    "ann_label_purity",
     "filter_nonempty",
     "first_token",
     "grouping_sets_explicit",
@@ -130,7 +133,9 @@ _CHECK_FIRST = [
     "set_operations",
     "sort_global_desc",
     "string_clean",
-    "text_langid",
+    # text_langid's CASE logic is a strict subset of the new
+    # confusion-matrix eval query, which takes its slot.
+    "text_langid_eval",
     "text_quality",
     "text_tokens",
     "topk_customers",

@@ -48,6 +48,9 @@ SINGLE_PARTITION_ALLOW = {
 # defaults in round 2 and are no longer allowed a cartesian plan.
 CROSS_JOIN_ALLOW = {
     "ann_topk_bruteforce",
+    # purity eval scores the EXACT top-k (ground truth by design) —
+    # same documented brute-force baseline, 10-row broadcast side:
+    "ann_label_purity",
     # fuzzy_name_match removed round 3: now a length-banded hash
     # equi-join with Levenshtein residual (queries_misc.py).
     "bench_embedding_neardup_numpy",
