@@ -49,6 +49,7 @@ HEADLINE = [
     "corpus_dedup_collapse_guarded",
     "dedup_lsh_incremental",
     "multimodal_y4m_frames",
+    "doc_winnow_fingerprints",
 ]
 
 

@@ -178,3 +178,61 @@ def normalized_text(col: Column | str) -> Column:
     """Shared normalization used by fingerprint + exact dedup."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def winnow_hashes(col: Column | str, k: int = 8) -> Column:
+    """Rolling k-gram 60-bit md5 hashes of the normalized text — stage
+    1 of winnowing fingerprints (Schleimer et al., MOSS). MUST be
+    bound to its own projection (``.select(...).alias("hs")``) before
+    ``winnow_select`` consumes it: feeding this expression INLINE into
+    the window-min transform would re-evaluate the whole hash array
+    once per window position (O(len²) md5 calls per document — Spark
+    does not common-subexpression-eliminate inside nested lambda
+    functions, and CollapseProject keeps the two projections apart
+    precisely because the array is referenced more than once).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalized_text(c)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))),
+        lambda i: F.substring(norm, i, k),
+    )
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def winnow_select(hashes_col: Column | str, w: int = 4) -> Column:
+    """Stage 2 of winnowing: distinct per-window minima of the rolling
+    hashes — the fingerprint set. Any shared substring of length ≥
+    k + w − 1 contributes at least one IDENTICAL fingerprint to both
+    documents, so partial overlaps (a plagiarized paragraph, a quoted
+    passage) are detectable where whole-document hashing fails; the
+    fingerprint density is ~2/(w+1) of the k-gram count. Returns a
+    sorted array<long>; explode it to build the inverted match index.
+    """
+    hashes = (
+        F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    )
+    nh = F.size(hashes)
+    mins = F.when(
+        nh >= w,
+        F.transform(
+            F.sequence(F.lit(1), nh - w + 1),
+            # least over w direct element_at lookups, NOT
+            # array_min(slice(...)): slice allocates a fresh array per
+            # window position, which measured ~2× slower over the
+            # corpus
+            lambda j: F.least(
+                *[F.element_at(hashes, j + i) for i in range(w)]
+            ),
+        ),
+    ).otherwise(
+        # shorter than one window: the whole doc is the window
+        F.when(nh > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -157,3 +157,49 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content fingerprint (md5 of normalized text)."""
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "doc_winnow_fingerprints",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+            list_transform(range(1, greatest(length(t) - 8 + 1, 0) + 1),
+                i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 15)
+                     AS BIGINT)) AS hs
+        FROM norm
+    ),
+    mins AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) >= 4 THEN
+            list_transform(range(1, len(hs) - 4 + 2),
+                           j -> list_min(hs[j:j+3]))
+          WHEN len(hs) > 0 THEN [list_min(hs)]
+          ELSE CAST([] AS BIGINT[]) END AS ms
+        FROM grams
+    )
+    SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints, exploded to the
+    inverted-index shape: any two documents sharing a ≥ 11-char run of
+    normalized text (k=8, w=4) share at least one fp value, so a join
+    on fp finds partial overlaps that whole-document hashing misses.
+    Map-only per doc (two chained projections — see winnow_hashes for
+    why the hash array must bind to a column before the window mins);
+    the explode feeds a standard equi-join index."""
+    from ..functions.text import winnow_hashes, winnow_select
+    from ..operators.dedup_approx import spread_small_input
+
+    # CPU-bound per-doc map work — spread a single-file corpus over
+    # all cores (no-op on real multi-split inputs).
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", winnow_hashes("text").alias("hs"))
+        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+    )

@@ -137,7 +137,10 @@ _CHECK_FIRST = [
     # confusion-matrix eval query, which takes its slot.
     "text_langid_eval",
     "text_quality",
-    "text_tokens",
+    # text_tokens' token_count expression is hard-verified inside the
+    # in-window corpus_pipeline (its n_tokens filter); the slot goes
+    # to the new winnowing fingerprint query.
+    "doc_winnow_fingerprints",
     "topk_customers",
     "unpivot_measures",
     "window_lag_lead",

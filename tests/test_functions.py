@@ -72,3 +72,30 @@ def test_inferir_sexo_lookup(spark):
     assert got["JUAN"] == "Male"
     assert got["ZZZNOPE"] is None
     assert got[None] is None
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a normalized run of
+    length >= k + w - 1 (= 11 here) share at least one fingerprint;
+    disjoint-content docs share none."""
+    from etl_his_spark.functions.text import winnow_hashes, winnow_select
+    from pyspark.sql import functions as F
+
+    shared = "a very distinctive plagiarized passage indeed"
+    rows = [
+        (1, "first document prefix " + shared + " first suffix text"),
+        (2, "totally different opener " + shared + " other ending here"),
+        (3, "nothing in common with either of the others at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = (
+        df.select("doc_id", winnow_hashes("text").alias("hs"))
+        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+        .collect()
+    )
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # shared passage -> shared fp
+    assert not (by_doc[1] & by_doc[3])    # disjoint content -> none
+    assert not (by_doc[2] & by_doc[3])
