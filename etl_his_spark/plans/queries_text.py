@@ -203,3 +203,79 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", winnow_hashes("text").alias("hs"))
         .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
     )
+
+
+@register(
+    "overlap_pairs_winnow",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+            list_transform(range(1, greatest(length(t) - 8 + 1, 0) + 1),
+                i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 15)
+                     AS BIGINT)) AS hs
+        FROM norm
+    ),
+    mins AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) >= 4 THEN
+            list_transform(range(1, len(hs) - 4 + 2),
+                           j -> list_min(hs[j:j+3]))
+          WHEN len(hs) > 0 THEN [list_min(hs)]
+          ELSE CAST([] AS BIGINT[]) END AS ms
+        FROM grams
+    ),
+    fps AS (
+        SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins
+    ),
+    -- posting-list cap: a fingerprint present in many documents is
+    -- boilerplate, carries no overlap signal, and would dominate the
+    -- self-join (the winnowing analog of the LSH hot-bucket guard)
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def overlap_pairs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection, end to end: winnowing fingerprints →
+    posting-list-capped inverted index → pairs sharing ≥ 3 fingerprints
+    (i.e. multiple distinct ≥11-char runs in common). The cap drops
+    boilerplate fingerprints present in > 50 docs — no signal, and
+    their |posting|² join work would own the stage at corpus scale
+    (the winnowing analog of the LSH hot-bucket guard). All keyed
+    equi-joins; detects copied passages between documents whose overall
+    Jaccard similarity is far below any dedup threshold."""
+    from ..functions.text import winnow_hashes, winnow_select
+    from ..operators.dedup_approx import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
+    fps = (
+        d.select("doc_id", winnow_hashes("text").alias("hs"))
+        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+    )
+    # fps feeds the rarity window and both join sides — materialize
+    # once (eager: concurrent consumer stages, see jaccard_pairs_prefix)
+    fps = fps.localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    wfp = Window.partitionBy("fp")
+    kept = fps.withColumn("df", F.count(F.lit(1)).over(wfp)).filter(
+        F.col("df") <= 50
+    ).select("doc_id", "fp")
+    a = kept.select(F.col("doc_id").alias("a_id"), "fp")
+    b = kept.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -117,7 +117,10 @@ _CHECK_FIRST = [
     # one dedup_exact (permanent sentinel below) hard-verifies every
     # round; its slot goes to the new ann_label_purity eval query.
     "ann_label_purity",
-    "filter_nonempty",
+    # filter_nonempty's P3 predicate is the slot filter inside the
+    # his_unpivot_slots sentinel; its slot goes to the new
+    # overlap-pair composition.
+    "overlap_pairs_winnow",
     "first_token",
     "grouping_sets_explicit",
     "his_bridge_derivation",
