@@ -28,7 +28,10 @@ Design for a 100 TB multimodal corpus:
   YUV4MPEG2 and re-encodes each sampled frame's luminance plane as
   binary PGM, so frames feed straight into the netpbm image lane —
   only compressed containers (mp4/webm/...) still require ffmpeg,
-  which has no pure-Python fallback.
+  which has no pure-Python fallback. Audio likewise:
+  ``decoder="wav"`` really decodes RIFF/WAVE PCM-16 (chunk walker,
+  amplitude histogram) — every modality has a dependency-free real
+  lane, with optional libraries only extending format coverage.
 """
 
 from __future__ import annotations
@@ -231,6 +234,10 @@ def decode_media(
       binary PGM/PPM parsed in numpy, BT.601 luminance, the same
       16-bin histogram; NULL features for non-netpbm bytes. Agrees
       with the PIL lane bit-for-bit on netpbm inputs.
+    - ``"wav"`` — REAL audio decoding without any dependency:
+      RIFF/WAVE PCM-16 parsed in numpy (chunk walker), normalized
+      16-bin amplitude histogram; NULL features for non-WAV bytes.
+      Compressed audio (mp3/ogg/...) needs ffmpeg/soundfile.
     - ``"fake"`` — deterministic byte-histogram stub (requires
       ``allow_fake=True``): stable output for gates/tests, no codec.
     - ``"auto"`` — ``pil`` when Pillow is importable on the driver,
@@ -272,11 +279,12 @@ def decode_media(
             "decoder='fake' is the no-codec stub; pass allow_fake=True "
             "to acknowledge, or use the real 'pil'/'netpbm' decoders"
         )
-    if decoder not in ("pil", "netpbm", "fake"):
+    if decoder not in ("pil", "netpbm", "wav", "fake"):
         raise ValueError(f"unknown decoder: {decoder!r}")
     decoders = {
         "pil": _pil_image_features,
         "netpbm": _netpbm_image_features,
+        "wav": _wav_audio_features,
         "fake": _fake_byte_features,
     }
     chosen = decoder
@@ -515,3 +523,58 @@ def resize_image(
             )
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def parse_wav(b: bytes):
+    """Decode a RIFF/WAVE PCM file to ``(sample_rate, n_channels,
+    int16 numpy samples — interleaved)`` — pure byte/numpy work, no
+    codec dependency (the audio analog of ``parse_netpbm`` /
+    ``parse_y4m``). Supports PCM (format 1) at 16 bits; walks chunks
+    so extra metadata chunks (LIST, fact, ...) are skipped. Returns
+    None for anything else (compressed codecs need ffmpeg/soundfile).
+    """
+    import numpy as np
+
+    if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16 or n_ch < 1:
+                return None
+            fmt = (rate, n_ch)
+        elif cid == b"data":
+            if fmt is None or len(body) != csize or csize % 2 != 0:
+                return None
+            samples = np.frombuffer(body, dtype="<i2")
+            return (fmt[0], fmt[1], samples)
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += 8 + csize + (csize % 2)
+    return None
+
+
+def _wav_audio_features(b: bytes) -> list[float] | None:
+    """Real audio features without any dependency: WAV PCM decode →
+    normalized 16-bin amplitude histogram (signed int16 range split
+    into 4096-wide bins — the audio analog of the luminance
+    histogram). None for non-WAV / corrupt bytes."""
+    import numpy as np
+
+    parsed = parse_wav(b)
+    if parsed is None:
+        return None
+    _, _, samples = parsed
+    if len(samples) == 0:
+        return None
+    bins = ((samples.astype(np.int32) + 32768) // 4096).clip(0, N_FEATURES - 1)
+    hist = np.bincount(bins, minlength=N_FEATURES).astype("float64")
+    total = hist.sum() or 1.0
+    return list(hist / total)

@@ -168,3 +168,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_index", F.length("frame_bytes").alias("frame_len")
     )
+
+
+def _wav_header(n_samples: int, rate: int = 8000) -> bytes:
+    """Fixed RIFF/WAVE PCM-16 mono header for the analytic fixture."""
+    data_size = n_samples * 2
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little")
+    )
+
+
+@register(
+    "multimodal_wav_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(172 AS BIGINT) AS n_bytes,
+           array_to_string(
+               list_transform(range(0, 16), i -> CASE
+                   WHEN i = ((doc_id % 65536 + 32768) % 65536) // 4096
+                   THEN '1.000000' ELSE '0.000000' END),
+               ',') AS features_enc
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under a hard oracle — no codec library.
+
+    Spark-side: each doc becomes a valid RIFF/WAVE PCM-16 mono file
+    built with pure column expressions — fixed header + 64
+    little-endian samples of the constant value ``doc_id % 65536``
+    (interpreted signed) — then decoded by the dependency-free WAV
+    lane (mapInPandas → chunk walk → int16 samples → 16-bin amplitude
+    histogram). The oracle states the histogram analytically (one-hot
+    at ``((doc_id%65536 + 32768) % 65536) // 4096``) WITHOUT doing
+    audio work — hash-verifying header/chunk parsing, PCM decode,
+    signed binning, and the scalar encoding end to end. Completes the
+    real-decode modality triple: netpbm (image), y4m (video), wav
+    (audio)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    u = F.pmod(F.col("doc_id"), F.lit(65536)).cast("int")
+    lo = F.lpad(F.lower(F.hex(F.pmod(u, F.lit(256)))), 2, "0")
+    hi = F.lpad(F.lower(F.hex((u / 256).cast("int"))), 2, "0")
+    sample_hex = F.concat(lo, hi)  # little-endian int16
+    data = F.unhex(F.concat_ws("", F.array_repeat(sample_hex, 64)))
+    media_bytes = F.concat(F.lit(_wav_header(64)), data)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        media_bytes.alias("media_bytes"),
+        F.length(media_bytes).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("declared_width"),
+        F.lit(None).cast("int").alias("declared_height"),
+    )
+    decoded = decode_media(media, decoder="wav")
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_enc"),
+    )

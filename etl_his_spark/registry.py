@@ -121,7 +121,10 @@ _CHECK_FIRST = [
     # his_unpivot_slots sentinel; its slot goes to the new
     # overlap-pair composition.
     "overlap_pairs_winnow",
-    "first_token",
+    # first_token (F3 substring_index) is exercised in-window through
+    # publish_roundtrip's paciente build (primer_nombre feeds the
+    # gender lookup); its slot goes to the new real-audio-decode query.
+    "multimodal_wav_decode",
     "grouping_sets_explicit",
     "his_bridge_derivation",
     "join_anti_new_keys",

@@ -244,3 +244,58 @@ def test_frame_sample_y4m_composes_with_netpbm_decode(spark):
     feats = {r["frame_index"]: r["features"] for r in decoded.collect()}
     assert feats[0][5 // 16] == 1.0    # frame 0: constant 5 → bin 0
     assert feats[2][250 // 16] == 1.0  # frame 2: constant 250 → bin 15
+
+
+def _wav(samples: list[int], n_ch: int = 1, rate: int = 8000,
+         extra_chunk: bytes = b"") -> bytes:
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + (36 + len(extra_chunk) + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2 * n_ch).to_bytes(4, "little")
+        + (2 * n_ch).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + extra_chunk
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def test_parse_wav_real_decode(spark):
+    """parse_wav: PCM-16 mono/stereo, chunk skipping, corrupt inputs —
+    the dependency-free REAL audio lane."""
+    from etl_his_spark.operators.multimodal import parse_wav
+
+    rate, ch, s = parse_wav(_wav([0, 100, -100, 32767, -32768]))
+    assert (rate, ch) == (8000, 1)
+    assert s.tolist() == [0, 100, -100, 32767, -32768]
+    # stereo interleaved + an extra LIST chunk between fmt and data
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    rate, ch, s = parse_wav(_wav([1, 2, 3, 4], n_ch=2, extra_chunk=extra))
+    assert ch == 2 and s.tolist() == [1, 2, 3, 4]
+    assert parse_wav(b"not audio at all") is None
+    assert parse_wav(_wav([1, 2, 3])[:-2]) is None  # truncated data
+
+
+def test_decode_wav_features(spark):
+    """WAV lane through decode_media: amplitude histogram bins."""
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+    silent = _wav([0] * 64)          # 0 -> bin (0+32768)//4096 = 8
+    loud = _wav([32767] * 64)        # -> bin 15
+    quietneg = _wav([-32768] * 64)   # -> bin 0
+    junk = b"definitely not riff"
+    rows = [
+        (0, "audio", silent, len(silent), None, None),
+        (1, "audio", loud, len(loud), None, None),
+        (2, "audio", quietneg, len(quietneg), None, None),
+        (3, "audio", junk, len(junk), None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"]
+             for r in decode_media(media, decoder="wav").collect()}
+    assert feats[0][8] == 1.0
+    assert feats[1][15] == 1.0
+    assert feats[2][0] == 1.0
+    assert feats[3] is None
