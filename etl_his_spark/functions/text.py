@@ -194,10 +194,18 @@ def winnow_hashes(col: Column | str, k: int = 8) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = normalized_text(c)
     n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))),
-        lambda i: F.substring(norm, i, k),
-    )
+    # WHEN guard, not greatest(...): Spark's sequence(1, 0) walks
+    # BACKWARDS ([1, 0]) for too-short docs, which would fabricate
+    # sub-k grams (and a NULL text would yield a NULL fingerprint row)
+    # where the oracle's empty range yields no rows — same guard
+    # pattern as word_shingles.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.substring(norm, i, k),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),

@@ -99,3 +99,27 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2]          # shared passage -> shared fp
     assert not (by_doc[1] & by_doc[3])    # disjoint content -> none
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_fingerprints_degenerate_docs(spark):
+    """Sub-k, empty, and NULL texts yield NO fingerprints (Spark's
+    sequence(1,0) walks backwards — without the WHEN guard a 3-char doc
+    would fabricate sub-k grams and a NULL text a NULL fingerprint,
+    diverging from the oracle's empty range)."""
+    from etl_his_spark.functions.text import winnow_hashes, winnow_select
+    from pyspark.sql import functions as F
+
+    rows = [(1, "abc"), (2, ""), (3, None), (4, "exactly8"),
+            (5, "this one is comfortably longer than any window")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        df.select("doc_id", winnow_hashes("text").alias("hs"))
+        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["fp"])
+    assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc
+    assert len(by_doc[4]) == 1          # single gram -> single fp
+    assert all(fp is not None for fps in by_doc.values() for fp in fps)
