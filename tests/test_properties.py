@@ -93,3 +93,31 @@ def test_nonempty_matches_python_semantics_property(spark, batch):
     # this test's hypothesis search, which found the divergence).
     expect = [v for v in batch if v is not None and v.strip(" ") != ""]
     assert sorted(kept, key=repr) == sorted(expect, key=repr)
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+DOC_WORDS = st.lists(WORD, min_size=0, max_size=20)
+
+
+@given(DOC_WORDS, DOC_WORDS, st.text(alphabet="xyz", min_size=11, max_size=24))
+@_SETTINGS
+def test_winnow_shared_run_property(spark, words_a, words_b, shared):
+    """Winnowing guarantee under random surroundings: planting the same
+    ≥ k+w−1 = 11-char run into two otherwise random documents always
+    yields at least one common fingerprint."""
+    from etl_his_spark.functions.text import winnow_hashes, winnow_select
+
+    doc_a = " ".join(words_a) + " " + shared
+    doc_b = shared + " " + " ".join(words_b)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    rows = (
+        df.select("doc_id", winnow_hashes("text").alias("hs"))
+        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+        .collect()
+    )
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]
