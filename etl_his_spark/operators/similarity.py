@@ -115,6 +115,70 @@ def bucketed_topk(
     )
 
 
+def bucketed_topk_multiprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style top-k with MULTI-PROBE: each query searches its own
+    sign bucket plus every bucket at Hamming distance 1 (flip one of
+    ``bits`` sign bits) — ``bits + 1`` cells instead of 1.
+
+    Near-axis vectors are the classic nprobe=1 failure (a dimension
+    hovering near 0 lands true neighbors across the hyperplane);
+    probing the adjacent cells recovers them for (bits+1)/2^bits of
+    the scan cost of brute force. The probe fan-out rides a query-side
+    explode, so the plan stays the same broadcast equi-join on the
+    bucket id; recall ≥ the single-probe form by construction (the
+    probe set contains the home bucket).
+    """
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << j) for j in range(bits)]
+    )
+    q = (
+        _prep(queries, id_col, vec_col, "query")
+        .withColumn("bucket", sign_bucket(F.col("query_vec"), bits))
+        .withColumn("q_norm", norm(F.col("query_vec")))
+        .select(
+            "query_id",
+            "query_vec",
+            "q_norm",
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    v = (
+        _prep(vectors, id_col, vec_col, "cand")
+        .withColumn("bucket", sign_bucket(F.col("cand_vec"), bits))
+        .withColumn("c_norm", norm(F.col("cand_vec")))
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            (
+                dot(F.col("query_vec"), F.col("cand_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -33,6 +33,7 @@ from ..operators.similarity import (
     banded_neardup_pairs,
     brute_force_topk,
     bucketed_topk,
+    bucketed_topk_multiprobe,
 )
 from ..registry import register
 from ..sources.readers import read_table
@@ -470,6 +471,50 @@ def ann_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purity"),
         )
     )
+
+
+@register(
+    "ann_topk_multiprobe",
+    f"""
+    WITH {_VECS_CTE},
+    b AS (
+        SELECT vec_id, e,
+               (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM v
+    ),
+    q0 AS (SELECT * FROM b WHERE vec_id < 10),
+    q AS (
+        SELECT vec_id, e,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        FROM q0
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, b.e) AS sim
+        FROM q JOIN b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-5: each query scans its own sign bucket plus
+    the 4 Hamming-1 neighbor cells — recovering the near-hyperplane
+    neighbors that nprobe=1 misses, at 5/16 of the brute-force scan.
+    Recall dominance over the single-probe form is asserted in tests
+    against the brute-force ground truth."""
+    vectors = read_table(spark, sf_dir, "embeddings")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    return bucketed_topk_multiprobe(vectors, queries, 5, bits=4)
 
 
 @register(

@@ -366,3 +366,32 @@ def test_incremental_lsh_against_parquet_signature_store(spark, sf_dir, tmp_path
     assert sorted(map(tuple, from_store.collect())) == sorted(
         map(tuple, recomputed.collect())
     )
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe IVF: recall vs brute-force ground truth is >= the
+    single-probe bucketed form (probe set contains the home bucket),
+    and every reported neighbor carries its exact cosine."""
+    from etl_his_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+        bucketed_topk_multiprobe,
+    )
+    from etl_his_spark.sources.readers import read_table
+
+    v = read_table(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 10)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(v, q, 5).collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in bucketed_topk(v, q, 5, bits=4).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in bucketed_topk_multiprobe(v, q, 5, bits=4).collect()}
+    assert len(multi & truth) >= len(single & truth)
+    # exact sims: multiprobe's scores agree with brute force on shared pairs
+    bf_sims = {(r["query_id"], r["neighbor_id"]): r["sim"]
+               for r in brute_force_topk(v, q, 5).collect()}
+    mp_sims = {(r["query_id"], r["neighbor_id"]): r["sim"]
+               for r in bucketed_topk_multiprobe(v, q, 5, bits=4).collect()}
+    for pair in set(bf_sims) & set(mp_sims):
+        assert bf_sims[pair] == mp_sims[pair]
