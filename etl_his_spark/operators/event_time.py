@@ -54,22 +54,22 @@ def tumbling_window_agg(
     )
 
 
-def sessionize(
+def assign_sessions(
     events: DataFrame,
     entity_col: str,
     ts_col: str,
     gap_minutes: int,
     order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Sessions = maximal event runs with gaps < ``gap_minutes``.
-
-    Returns one row per session: entity, session_id (1-based per
-    entity), session_start, session_end, n_events.
+    """Event-level session assignment: the input rows plus a 1-based
+    ``session_id`` per entity (gaps-and-islands over one window — a
+    single shuffle on the entity key). ``sessionize`` aggregates this;
+    attribution/funnel compositions consume it row-level.
     """
     tiebreak = [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), *tiebreak)
     gap_sec = gap_minutes * 60
-    marked = events.withColumn(
+    return events.withColumn(
         "__new_session",
         F.when(
             F.col(ts_col).cast("long")
@@ -86,6 +86,23 @@ def sessionize(
             )
             + 1
         ).cast("long"),
+    ).drop("__new_session")
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_minutes: int,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sessions = maximal event runs with gaps < ``gap_minutes``.
+
+    Returns one row per session: entity, session_id (1-based per
+    entity), session_start, session_end, n_events.
+    """
+    marked = assign_sessions(
+        events, entity_col, ts_col, gap_minutes, order_tiebreak
     )
     return marked.groupBy(entity_col, "session_id").agg(
         F.min(ts_col).alias("session_start"),

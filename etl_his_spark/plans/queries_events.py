@@ -167,3 +167,68 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, e.select("user_id", "ts"), "user_id", "ts", "ts", 3600
     )
     return out.select("event_id", "user_id", "ts", "n_in_range")
+
+
+@register(
+    "events_attribution",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1 AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           -- composite (ts, event_id) tiebreak as a zero-padded string
+           -- (this DuckDB's arg_min has no list-key overload)
+           arg_min(event_type,
+                   printf('%020d-%020d', epoch_us(ts), event_id))
+               AS first_touch,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END), 0) AS BIGINT) AS purchase_cents
+    FROM numbered
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for every session that converted
+    (contains a purchase), the event type that OPENED the session,
+    with purchase count and integer-cent revenue. Composes the
+    event-level session assignment with one grouped aggregate — the
+    session window and the attribution agg ride the SAME user-keyed
+    shuffle. Exact-integer revenue (cents) keeps the oracle hash-exact
+    (summing raw doubles would drift with aggregation order)."""
+    from ..operators.event_time import assign_sessions
+
+    e = read_table(spark, sf_dir, "events")
+    s = assign_sessions(e, "user_id", "ts", 30, order_tiebreak=["event_id"])
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("first_touch"),
+            F.sum(is_purchase).alias("n_purchases"),
+            F.coalesce(F.sum(cents), F.lit(0)).alias("purchase_cents"),
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
