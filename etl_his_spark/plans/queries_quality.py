@@ -165,3 +165,64 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
     ).cast("long")
     return o.filter(h % 10 == 0).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "sample_weighted_quality",
+    r"""
+    WITH scored AS (
+        SELECT doc_id,
+           round((
+             least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+             + CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END
+             + CASE WHEN (
+                   CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                        THEN (CAST(length(text) AS DOUBLE)
+                              - (len(string_split_regex(trim(text), '\s+')) - 1))
+                             / len(string_split_regex(trim(text), '\s+'))
+                        ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+                    THEN 1.0 ELSE 0.5 END
+           ) / 3.0, 6) AS quality,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1073741824 AS DOUBLE)
+               / 1073741824.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, quality, round(u, 9) AS u
+    FROM scored WHERE u < quality
+    """,
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept
+    with probability equal to its quality score — a deterministic
+    Bernoulli draw from the md5 of the doc id (u = hash mod 2^30 over
+    2^30), so high-quality docs are up-weighted in one map-only pass,
+    reproducibly across runs and engines. The standard corpus
+    rebalancing between uniform sampling (sample_deterministic) and
+    hard filtering (corpus_pipeline's quality gate)."""
+    from ..functions.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1 << 30)
+        ).cast("double")
+        / F.lit(float(1 << 30))
+    )
+    return (
+        d.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("quality"))
+        .select("doc_id", "quality", F.round("u", 9).alias("u"))
+    )
