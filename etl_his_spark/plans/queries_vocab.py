@@ -179,3 +179,58 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs",
         F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q8"),
     )
+
+
+@register(
+    "training_oov_rate",
+    f"""
+    WITH {_TOKS_CTE},
+    cnt AS (
+        SELECT token, count(*) AS n FROM toks
+        GROUP BY 1 HAVING count(*) >= {MIN_FREQ}
+    ),
+    joined AS (
+        SELECT d.source,
+               CASE WHEN c.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t
+        JOIN documents d ON t.doc_id = d.doc_id
+        LEFT JOIN cnt c ON t.token = c.token
+    )
+    SELECT source, count(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           round(CAST(SUM(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM joined GROUP BY source
+    """,
+)
+def training_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage QC: per corpus source, the fraction of token
+    occurrences falling outside the MIN_FREQ vocabulary (what becomes
+    unk id 0 in training_tokenize_docs) — the out-of-vocabulary rate a
+    pipeline checks before committing to a tokenizer. Vocab membership
+    is a broadcast semi probe; one groupBy on source."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_FREQ)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(docs.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
