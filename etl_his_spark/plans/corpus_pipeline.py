@@ -125,3 +125,100 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(drop, "doc_id", "left_anti").select(
         "doc_id", "quality", "n_tokens"
     )
+
+
+@register(
+    "corpus_dedup_report",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ),
+    exact_kept AS (
+        SELECT min(doc_id) AS doc_id
+        FROM scored
+        GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    ),
+    survivors AS (
+        SELECT s.doc_id, s.source FROM scored s
+        JOIN exact_kept k ON s.doc_id = k.doc_id
+    ),
+    words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM survivors)
+    ),
+    shs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+        FROM words WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT) AS shingle
+        FROM shs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_drop AS (
+        SELECT DISTINCT i.b_id AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_exact,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL AND nd.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near
+    FROM documents d
+    LEFT JOIN survivors s ON d.doc_id = s.doc_id
+    LEFT JOIN near_drop nd ON d.doc_id = nd.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup telemetry: how many documents each source
+    contributes before dedup, after exact dedup (min-id survivor per
+    normalized fingerprint), and after near-dedup (drop the higher id
+    of each Jaccard-0.8 pair among exact survivors) — the impact
+    report a curation run publishes alongside the deduped corpus.
+    One extra source-keyed groupBy over stages the pipeline already
+    computes."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact_kept = (
+        docs.groupBy(F.md5(normalized_text("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("__exact"))
+    )
+    survivors = docs.join(exact_kept, "doc_id", "left")
+    near = jaccard_pairs_prefix(
+        survivors.filter(F.col("__exact").isNotNull()), 0.8
+    )
+    near_drop = near.select(F.col("b_id").alias("doc_id")).distinct(
+    ).select("doc_id", F.lit(1).alias("__dropped"))
+    return (
+        survivors.join(near_drop, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("__exact").isNotNull(), 1).otherwise(0)
+            ).alias("n_after_exact"),
+            F.sum(
+                F.when(
+                    F.col("__exact").isNotNull()
+                    & F.col("__dropped").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_after_near"),
+        )
+    )
