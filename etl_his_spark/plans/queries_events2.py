@@ -207,3 +207,97 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("p95", 0.95).alias("p95_ok"),
         ok("p99", 0.99).alias("p99_ok"),
     )
+
+
+@register(
+    "stats_outliers_mad",
+    """
+    WITH vals AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM vals
+    ),
+    med AS (
+        SELECT event_type, cents AS med_cents
+        FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    devs AS (
+        SELECT v.event_type, v.event_id,
+               abs(v.cents - m.med_cents) AS dev_cents, m.med_cents
+        FROM vals v JOIN med m ON v.event_type = m.event_type
+    ),
+    dev_ranked AS (
+        SELECT event_type, dev_cents, med_cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev_cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM devs
+    ),
+    mad AS (
+        SELECT event_type, med_cents, dev_cents AS mad_cents
+        FROM dev_ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type, a.med_cents, a.mad_cents,
+           CAST(SUM(CASE WHEN d.dev_cents > 3 * a.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type, a.med_cents, a.mad_cents
+    """,
+)
+def stats_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: positional median +
+    median absolute deviation (both exact integer-cent medians with
+    full tie-break — the median_disc pattern applied twice), then a
+    count of values beyond 3 MADs. The robust alternative to
+    mean±3sigma that a pipeline runs on metric streams where a few
+    extreme values poison the mean. Two window passes + one broadcast
+    of the 5-row per-type medians."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    vals = e.select("event_type", "event_id", cents.alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select("event_type", F.col("cents").alias("med_cents"))
+    devs = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev_cents"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev_cents", "event_id")
+    dev_ranked = devs.select(
+        "event_type",
+        "med_cents",
+        "dev_cents",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mad = dev_ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select("event_type", "med_cents", F.col("dev_cents").alias("mad_cents"))
+    return (
+        devs.drop("med_cents")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("dev_cents") > 3 * F.col("mad_cents"), 1)
+                .otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
