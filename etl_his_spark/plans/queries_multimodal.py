@@ -159,10 +159,31 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # no oracle: 1:N binary fan-out
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH sized AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb
+        FROM documents WHERE text IS NOT NULL
+    ),
+    frames AS (
+        SELECT doc_id, nb,
+               unnest(list_filter(range(0, CAST(ceil(nb / 64.0) AS BIGINT)),
+                                  x -> x % 2 = 0)) AS fi
+        FROM sized
+    )
+    SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_index,
+           CAST(least(64, nb - fi * 64) AS INTEGER) AS frame_len
+    FROM frames
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: one media row → N frame rows via
-    mapInPandas (stub splitter; real batch contract)."""
+    mapInPandas (stub splitter; real 1:N batch contract — the y4m lane
+    covers true decoding). The splitter is deterministic (every 2nd
+    FRAME_BYTES slice of the UTF-8 payload), so the fan-out and frame
+    lengths have an exact analytic oracle — upgraded from rows-only in
+    round 5."""
     media = attach_fake_media(read_table(spark, sf_dir, "documents"), kind="video")
     frames = frame_sample(media, every_n=2, allow_fake=True)
     return frames.select(
