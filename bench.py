@@ -15,6 +15,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The pre-round-5 headline list — kept as a stable subtotal so
+# round-over-round comparisons (BENCH_r04 and earlier) remain
+# meaningful while the full list keeps growing.
+CORE = [
+    "flagship_fact",
+    "join_inner_broadcast",
+    "join_self_roles",
+    "unpivot_measures",
+    "dedup_first_per_key",
+    "agg_pricing_summary",
+    "topk_customers",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_simhash",
+    "embedding_neardup",
+    "ann_topk_bruteforce",
+    "events_sessionize",
+    "events_asof_join",
+    "events_window_agg",
+    "curation_contamination",
+    "curation_repetition",
+    "training_pack_sequences",
+    "bench_embedding_neardup_numpy",
+]
+
 HEADLINE = [
     "flagship_fact",
     "join_inner_broadcast",
@@ -82,6 +107,7 @@ def main() -> int:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    core_total = round(sum(timings.get(n, 0.0) for n in CORE), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -90,6 +116,8 @@ def main() -> int:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # comparable to BENCH_r04 and earlier (same query set)
+                "core_queries_total": core_total,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
