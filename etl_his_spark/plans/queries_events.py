@@ -232,3 +232,67 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_purchases") > 0)
     )
+
+
+@register(
+    "events_attribution_last",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1 AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           arg_max(CASE WHEN event_type <> 'purchase' THEN event_type END,
+                   CASE WHEN event_type <> 'purchase'
+                        THEN printf('%020d-%020d', epoch_us(ts), event_id)
+                        END) AS last_touch,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM numbered
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) > 0
+    """,
+)
+def events_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-touch attribution — the other standard model: for every
+    converted session, the most recent NON-purchase event type (the
+    touchpoint credited with closing the conversion). Same single
+    user-keyed shuffle as the first-touch query; purchase events are
+    excluded from the touch candidates (crediting the purchase itself
+    is vacuous). Sessions that are all-purchase are dropped (no
+    creditable touchpoint)."""
+    from ..operators.event_time import assign_sessions
+
+    e = read_table(spark, sf_dir, "events")
+    s = assign_sessions(e, "user_id", "ts", 30, order_tiebreak=["event_id"])
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    touch_type = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    touch_key = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.col("ts"), F.col("event_id")),
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.max_by(touch_type, touch_key).alias("last_touch"),
+            F.sum(is_purchase).alias("n_purchases"),
+            F.sum(1 - is_purchase).alias("__n_touch"),
+        )
+        .filter((F.col("n_purchases") > 0) & (F.col("__n_touch") > 0))
+        .drop("__n_touch")
+    )
