@@ -95,18 +95,27 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     small inputs cannot hurt large ones.
 
     The smallness probe is ``inputFiles()`` (scan metadata — cheap,
-    no RDD instantiation; ``df.rdd.getNumPartitions()`` would convert
-    the whole plan to an RDD on every operator call). File count
-    under-approximates split count for huge multi-row-group files, but
-    a corpus big enough to hit that has ≥ cores files anyway; frames
-    with no file lineage (in-memory test inputs) report 0 files and
-    get spread, which is the right call for their size.
+    no RDD instantiation). File count under-approximates split count
+    for huge multi-row-group files, but a corpus big enough to hit
+    that has ≥ cores files anyway. Frames with no file lineage —
+    in-memory test inputs, but ALSO shuffle/checkpoint-derived frames
+    like corpus_pipeline's filtered survivors — report 0 files; those
+    fall back to the frame's actual partition count (the one place the
+    RDD handle is consulted, and only on the 0-files branch), so a
+    derived frame that already carries hundreds of partitions is never
+    collapsed down to defaultParallelism. Either probe only ever
+    repartitions UP: the result keeps ``max(current, target)``
+    parallelism, never less.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         n_src = len(df.inputFiles())
     except Exception:
         n_src = 0
+    if n_src == 0:
+        # No file lineage: shuffle/checkpoint output or a local-memory
+        # frame. Its existing partitioning is the real parallelism.
+        n_src = df.rdd.getNumPartitions()
     if n_src < target:
         return df.repartition(target)
     return df
@@ -586,7 +595,12 @@ def minhash_lsh_guarded_edges(
         .select(F.col("keeper").alias("a_id"), F.col(id_col).alias("b_id"))
         .distinct()
     )
-    return pairs.union(giant)
+    # distinct(): an edge can qualify both as a capped small-bucket
+    # pair and as a giant-bucket star edge (keeper = a_id) when the
+    # same doc pair co-occurs in buckets on both sides of the cap;
+    # the public edge-list contract is SET semantics (UNION, not
+    # UNION ALL), matching the oracle.
+    return pairs.union(giant).distinct()
 
 
 def minhash_lsh_giant_bucket_edges(

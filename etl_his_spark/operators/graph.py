@@ -76,7 +76,7 @@ def connected_components(
         "node", F.col("node").alias("label")
     )
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr = (
             bidir.join(labels, bidir.u == labels.node)
             .groupBy("v")
@@ -102,12 +102,21 @@ def connected_components(
         # action and materializes the checkpoint blocks — eager would
         # run a dedicated extra job per round for the same blocks.
         halved = halved.localCheckpoint(eager=False)
-        changed = (
-            halved.filter(F.col("label") != F.col("__old")).limit(1).count()
-        )
+        # Convergence probe every SECOND round (and on the last): each
+        # probe is a full driver job submission — on a real cluster
+        # that's scheduler latency per round, and a deep chain runs
+        # many rounds. Min-label propagation + path halving are
+        # monotone, so one extra no-op round after convergence changes
+        # nothing; halving the probes halves the job count. The
+        # unchecked round's lazy checkpoint simply materializes with
+        # the next probe's action.
         labels = halved.drop("__old")
-        if changed == 0:
-            break
+        if rnd % 2 == 1 or rnd == max_iter - 1:
+            changed = (
+                halved.filter(F.col("label") != F.col("__old")).limit(1).count()
+            )
+            if changed == 0:
+                break
 
     singletons = vertices.select(F.col(id_col).alias("node")).join(
         bidir.select(F.col("u").alias("node")).distinct(), "node", "left_anti"

@@ -363,10 +363,13 @@ def parse_y4m(b: bytes):
         if fnl < 0 or not b[pos:fnl].startswith(b"FRAME"):
             return None
         pos = fnl + 1
-        y = b[pos : pos + ysize]
-        if len(y) != ysize:
+        # The FULL frame (Y plane + chroma) must be present; checking
+        # only the Y plane would accept a final frame whose chroma is
+        # truncated — inconsistent corrupt-input handling vs a
+        # truncated Y plane, which already returns None.
+        if pos + fsize > len(b):
             return None
-        frames.append(bytes(y))
+        frames.append(bytes(b[pos : pos + ysize]))
         pos += fsize
     return (w, h, frames)
 

@@ -100,14 +100,21 @@ def training_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The id array is emitted as a comma-joined string: a stable scalar
     encoding for the harness's hash compare (same device as
-    multimodal_features). Plan: posexplode → broadcast vocab join →
-    one groupBy(doc) re-assembling with a doc-keyed sort — parallelism
-    holds at corpus scale because everything is keyed on doc_id."""
+    multimodal_features). Plan: posexplode → vocab join → one
+    groupBy(doc) re-assembling with a doc-keyed sort — parallelism
+    holds at corpus scale because everything is keyed on doc_id.
+
+    The vocab join carries NO explicit broadcast hint: a MIN_FREQ
+    vocabulary over a 100 TB corpus can reach 10^7-10^8 tokens
+    (hundreds of MB serialized — too big to ship to every executor),
+    while at test scale AQE sees the few-KB relation and picks a
+    broadcast join on its own. Either way the shuffle alternative is
+    an 8-byte-key exchange — cheap. SCALE.md "vocab joins"."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     vocab = training_vocab_build(spark, sf_dir).select("token", "vocab_id")
     return (
-        toks.join(F.broadcast(vocab), "token", "left")
+        toks.join(vocab, "token", "left")
         .select(
             "doc_id", "pos",
             F.coalesce(F.col("vocab_id"), F.lit(0)).alias("vid"),
@@ -207,7 +214,9 @@ def training_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences falling outside the MIN_FREQ vocabulary (what becomes
     unk id 0 in training_tokenize_docs) — the out-of-vocabulary rate a
     pipeline checks before committing to a tokenizer. Vocab membership
-    is a broadcast semi probe; one groupBy on source."""
+    is a left probe join (no forced broadcast — see
+    training_tokenize_docs: AQE broadcasts when the vocab is actually
+    small); one groupBy on source."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     vocab = (
@@ -219,7 +228,7 @@ def training_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
     return (
         toks.join(docs.select("doc_id", "source"), "doc_id")
-        .join(F.broadcast(vocab), "token", "left")
+        .join(vocab, "token", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

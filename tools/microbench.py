@@ -18,13 +18,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     names = sys.argv[1:]
+    if not names:
+        print(__doc__.strip(), file=sys.stderr)
+        return 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("RUNS", "2"))
     import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        print("names come from the registry (see __spark_entry__.queries())", file=sys.stderr)
+        return 1
     from etl_his_spark.session import get_spark
 
     spark = get_spark("microbench")
-    qs = entrymod.queries()
     # Warmup on the first query
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings = {}
