@@ -1,0 +1,154 @@
+"""Driver-verifiable streaming gate queries.
+
+The streaming family (``etl_his_spark.streaming``) is otherwise
+verified only by pytest batch-agreement tests — these queries put at
+least one real Structured Streaming execution under the external
+hash-exact oracle gate: the query fn runs the stream to completion on
+a bounded replay (``availableNow`` trigger → memory sink) and returns
+the sink contents as a plain DataFrame.
+
+Determinism design (what makes a *stream* hash-exact against SQL):
+in append mode a session window is emitted only once the watermark
+passes it, so the raw stream output depends on where the watermark
+stops — the final no-data micro-batch leaves it at
+``max(ts) - watermark_delay``. Sessions ending close to that horizon
+may or may not be emitted depending on strict-vs-inclusive eviction
+boundaries and micro-batch layout, so BOTH sides filter to sessions
+ending strictly before ``max(ts) - 3 hours`` (watermark delay 2 h plus
+1 h of slack). Everything below that horizon is provably emitted by
+the final flush; everything above it is excluded from stream result
+and oracle alike.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import read_events_raw, read_table
+
+# Per-process replay dirs: the file streaming source needs a DIRECTORY
+# of parquet files (several files → several micro-batches → real
+# watermark progression), while the fixture tables are single files.
+# One materialization per (process, sf_dir), removed at exit.
+_REPLAY_DIRS: dict[str, str] = {}
+_RUN_COUNTER = [0]
+
+
+def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _REPLAY_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"etl_his_spark_replay_{os.getpid()}_{len(_REPLAY_DIRS)}",
+        )
+        # ts stays nanos-long (EVENTS_RAW_SCHEMA contract); 8 files at
+        # maxFilesPerTrigger=4 → ≥2 data batches before the flush.
+        read_events_raw(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        _REPLAY_DIRS[sf_dir] = out
+    return _REPLAY_DIRS[sf_dir]
+
+
+@register(
+    "streaming_attribution_agree",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               arg_min(event_type,
+                       printf('%020d-%020d', epoch_us(ts), event_id))
+                   AS first_touch,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END), 0) AS BIGINT) AS purchase_cents
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, first_touch,
+           n_purchases, purchase_cents
+    FROM sessions
+    WHERE n_purchases > 0
+      AND session_end < (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+    """,
+)
+def streaming_attribution_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution computed by a REAL streaming execution
+    (watermarked ``session_window`` state, availableNow replay over a
+    multi-file parquet source, memory sink), hash-checked against the
+    batch SQL oracle on the horizon-closed subset.
+
+    Session semantics are ``session_window``'s: windows are
+    ``[ts, ts + 30 min)`` and merge when they OVERLAP, so a gap of
+    exactly 30 minutes starts a NEW session (adjacent ≠ overlapping) —
+    hence the oracle's ``>=`` on the gap comparison, deliberately
+    different from the batch ``events_attribution`` oracle's ``>``
+    (``assign_sessions``' closed-gap convention). Both conventions are
+    valid session definitions; each implementation is pinned to its
+    own.
+
+    The one driver-side action besides the stream itself fetches a
+    single scalar (max event ts) to build the shared horizon filter —
+    bounded at any input size.
+
+    STREAM-EFFECTFUL: building this query's DataFrame runs the
+    streaming query to completion (that is the point of the gate);
+    repeated invocations in one process reuse the replay dir and get a
+    fresh memory-sink name.
+    """
+    from ..streaming.events import attribution_stream, stream_events
+
+    replay = _events_replay_dir(spark, sf_dir)
+    _RUN_COUNTER[0] += 1
+    name = f"stream_attrib_gate_{os.getpid()}_{_RUN_COUNTER[0]}"
+    q = (
+        attribution_stream(
+            stream_events(spark, replay), gap_minutes=30, watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    max_ts = (
+        read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = max_ts - timedelta(hours=3)
+    return (
+        spark.table(name)
+        .filter(F.col("session_end") < F.lit(horizon))
+        .select(
+            "user_id", "session_start", "session_end", "first_touch",
+            "n_purchases", "purchase_cents",
+        )
+    )

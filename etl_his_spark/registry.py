@@ -60,6 +60,7 @@ from .plans import queries_curation  # noqa: E402,F401
 from .plans import queries_training  # noqa: E402,F401
 from .plans import queries_funnel  # noqa: E402,F401
 from .plans import queries_vocab  # noqa: E402,F401
+from .plans import queries_streaming  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -77,82 +78,73 @@ from .plans import queries_vocab  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- Round 5 window (50 slots). ---
-    # Positions 1-8: queries ADDED or whose code paths CHANGED in
-    # round 5 — must verify. (New: capped-LSH pair generation, the
-    # giant-bucket side channel, the LSH→components→keeper collapse.
-    # Changed: the localCheckpoint→lazy/carry-payload rewrites in
-    # dedup_approx/packing/surrogate/graph/his_pipeline feed
-    # training_pack_sequences, surrogate_dense_ids, dedup_components,
-    # corpus_pipeline, publish_roundtrip.)
-    "dedup_lsh_capped",
+    # --- Round 6 window (50 slots). ---
+    # Positions 1-9: the 8 round-5 queries that have NEVER had a
+    # driver CORRECTNESS row (added after the r5 window was fixed;
+    # r5 verdict item 1 makes them lead this window), plus
+    # multimodal_frame_sample, whose oracle was upgraded from
+    # rows-only to hash-exact in r5 after the window froze.
+    "dedup_lsh_giant_buckets",
+    "ann_topk_multiprobe",
+    "events_attribution",
+    "events_attribution_last",
+    "stats_outliers_mad",
+    "sample_weighted_quality",
+    "corpus_dedup_report",
+    "training_oov_rate",
+    "multimodal_frame_sample",
+    # Positions 10-11: queries ADDED or whose code paths CHANGED in
+    # round 6. streaming_attribution_agree is the first REAL
+    # Structured Streaming execution under the hash gate (r5 verdict
+    # item 7); corpus_dedup_collapse_guarded consumes the
+    # minhash_lsh_guarded_edges UNION->distinct fix. (The
+    # spread_small_input partition-probe fix feeds every dedup-family
+    # query — dedup_minhash_lsh / dedup_ngram_jaccard sentinels below
+    # hard-verify it in-window; the graph.py convergence-cadence
+    # change is hard-verified through dedup_components below; the
+    # vocab de-broadcast through training_tokenize_docs /
+    # training_oov_rate in-window.)
+    "streaming_attribution_agree",
     "corpus_dedup_collapse_guarded",
-    "dedup_lsh_incremental",
-    "corpus_dedup_collapse",
-    # (dedup_lsh_giant_buckets' bucket-count/keeper logic is
-    # hard-verified through corpus_dedup_collapse_guarded's star
-    # edges, which are built on the same window.)
-    "training_pack_sequences",
-    "multimodal_y4m_frames",
-    "corpus_pipeline",
-    "publish_roundtrip",
-    # (surrogate_dense_ids' r5 lazy-checkpoint change is hard-verified
-    # through his_bridge_derivation + publish_roundtrip in this window
-    # — both drive dense_ids on the bridge path — freeing its slot for
-    # the new real-video-decode query.)
-    # (dedup_components' r5 changes are hard-verified through
-    # corpus_dedup_collapse above — same connected-components path —
-    # freeing its slot for the new incremental query.)
-    # Positions 9-40: the 32 queries whose last DRIVER check was round
-    # 1 (everything else has an r3/r4 row) — rotated in per the r4
-    # verdict item 3 so the union of r4+r5 windows re-covers all
-    # registered queries with nothing older than two rounds.
-    "agg_pricing_summary",
-    "ann_topk_bruteforce",
-    "ann_topk_bucketed",
-    "cube_agg",
-    "dedup_distinct_name",
-    "dedup_first_per_key",
-    # doc_fingerprint's md5(normalized_text) expression is the same
-    # one dedup_exact (permanent sentinel below) hard-verifies every
-    # round; its slot goes to the new ann_label_purity eval query.
-    "ann_label_purity",
-    # filter_nonempty's P3 predicate is the slot filter inside the
-    # his_unpivot_slots sentinel; its slot goes to the new
-    # overlap-pair composition.
-    "overlap_pairs_winnow",
-    # first_token (F3 substring_index) is exercised in-window through
-    # publish_roundtrip's paciente build (primer_nombre feeds the
-    # gender lookup); its slot goes to the new real-audio-decode query.
-    "multimodal_wav_decode",
-    "grouping_sets_explicit",
-    "his_bridge_derivation",
-    "join_anti_new_keys",
-    "join_full_outer",
-    "join_inner_broadcast",
-    "join_left_fanout",
-    "join_self_roles",
-    "join_semi_existing",
-    "median_disc",
-    "proj_alias_concat",
-    "rollup_agg",
-    "set_operations",
-    "sort_global_desc",
-    "string_clean",
-    # text_langid's CASE logic is a strict subset of the new
-    # confusion-matrix eval query, which takes its slot.
-    "text_langid_eval",
-    "text_quality",
-    # text_tokens' token_count expression is hard-verified inside the
-    # in-window corpus_pipeline (its n_tokens filter); the slot goes
-    # to the new winnowing fingerprint query.
-    "doc_winnow_fingerprints",
-    "topk_customers",
-    "unpivot_measures",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_dense",
-    "window_running_sum",
+    # Positions 12-40: the 29 queries whose last driver row is round 3
+    # — rotated in so that, unioned with the r5 window (all r5-green)
+    # and r4 window, no hash-oracle query's last driver check is older
+    # than two rounds. Two r3-last queries stay OUT by design:
+    # bench_embedding_neardup_numpy and multimodal_features are
+    # rows-only (no SQL oracle — the driver row would only prove "it
+    # runs", which pytest pair-equality tests already prove more
+    # strongly); their slots go to the window additions above. The
+    # five r1-last expression queries keep their documented
+    # subsumption by in-window sentinels (see COVERAGE.md).
+    "curation_contamination",
+    "curation_pii_redact",
+    "curation_source_report",
+    "date_parts",
+    "dedup_components",
+    "dedup_repeated_spans",
+    "embedding_quantize_int8",
+    "events_asof_join",
+    "events_funnel_ordered",
+    "events_hopping_window",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_topk_per_window",
+    "fk_resolution",
+    "flagship_fact",
+    "fuzzy_name_match",
+    "gender_inference",
+    "json_schema_parse",
+    "lakehouse_zorder",
+    "posexplode_positions",
+    "sample_deterministic",
+    "skew_salted_pricing",
+    "stats_correlation",
+    "stats_histogram",
+    "surrogate_dense_ids",
+    "text_word_tokens",
+    "training_mixture_sample",
+    "training_tokenize_docs",
+    "training_vocab_build",
     # Positions 41-50: permanent sentinels — one high-value query per
     # operator family, pinned inside the window every round so a
     # regression in a rotated-out family is still caught by the hard
@@ -167,9 +159,10 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51+: everything else keeps registration order; all were
-    # driver-green in r3/r4 and remain covered by pytest + the local
-    # DuckDB oracle gate (tools/check_correctness.py) every round.
+    # Positions 51+: everything else keeps registration order; all
+    # were driver-green in r4/r5 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
 ]
 
 

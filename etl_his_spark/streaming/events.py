@@ -256,6 +256,10 @@ def attribution_stream(
         .select(
             "user_id",
             F.col("sw.start").alias("session_start"),
+            # The window END too: emission is decided by the watermark
+            # vs the window end, so any horizon-closed consumer (the
+            # streaming_attribution_agree gate) filters on it.
+            F.col("sw.end").alias("session_end"),
             "first_touch",
             "n_purchases",
             "purchase_cents",

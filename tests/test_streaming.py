@@ -354,3 +354,27 @@ def test_attribution_stream_agrees_with_batch(spark, sf_dir, events_dir):
         assert touch in batch_by_touch
         bn, bc = batch_by_touch[touch]
         assert n <= bn and c <= bc
+
+
+def test_streaming_attribution_gate_deterministic(spark, sf_dir):
+    """The driver-gate query (real streaming execution under the
+    hash-exact oracle) is stable across repeated invocations in one
+    session — the memory-sink name rotates, the replay dir is reused —
+    and every returned session respects the 3-hour emission horizon."""
+    from etl_his_spark.plans.queries_streaming import (
+        streaming_attribution_agree,
+    )
+
+    a = streaming_attribution_agree(spark, sf_dir)
+    b = streaming_attribution_agree(spark, sf_dir)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
+
+    max_ts = read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    from datetime import timedelta
+
+    horizon = max_ts - timedelta(hours=3)
+    assert all(r[2] < horizon for r in rows_a)  # session_end column
+    assert all(r[4] > 0 for r in rows_a)  # n_purchases
