@@ -78,34 +78,104 @@ HEADLINE = [
 ]
 
 
+def _quiesce(spark) -> None:
+    """Collect garbage and let Spark's async cleanup drain BETWEEN
+    queries, so it does not race with the next timed run.
+
+    Measured (r6, sf0.1, 32 cores idle): identical consecutive runs of
+    dedup_ngram_jaccard inside one warm session varied 2.1-4.3 s —
+    ±2× on an UNCHANGED plan — because freeing the previous query's
+    state (localCheckpoint blocks, shuffle files, broadcasts) happens
+    asynchronously in ContextCleaner AFTER the owning Python objects
+    are GC'd, i.e. during whatever runs next. An explicit GC plus a
+    short settle window moves that work between measurements. Residual
+    noise still exists (see SCALE.md "bench noise floor"); min-of-3
+    absorbs most of it.
+    """
+    import gc
+    import time as _time
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    _time.sleep(0.7)
+
+
+def run_isolated(names: list[str]) -> int:
+    """--isolate: one fresh interpreter+JVM per query (subprocess) —
+    the controlled-environment mode for diagnosing session-lifetime
+    effects. ~8 s JVM start per query, so diagnostic, not the default
+    driver path."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        try:
+            timings[name] = json.loads(line)[name]
+        except Exception:
+            timings[name] = None
+    print(json.dumps({"metric": "isolated_queries", "queries": timings}))
+    return 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from etl_his_spark.session import get_spark
 
-    spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n.startswith("bench_") and n not in HEADLINE
     ]
+    if "--isolate" in sys.argv:
+        return run_isolated(names)
+    one = None
+    if "--one" in sys.argv:
+        one = sys.argv[sys.argv.index("--one") + 1]
+        names = [names[0], one] if one != names[0] else [one]
+
+    spark = get_spark("bench")
 
     # Warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch initialization.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two executions per query; report the steady-state (min) — the
-    # first run pays one-time plan compilation/codegen, which a resident
-    # engine amortizes away. Both runs execute fully (noop sink).
-    RUNS = 2
-    timings: dict[str, float] = {}
-    for name in names:
-        best = None
+    # Three executions per query, min reported; the SparkSession is
+    # RESTARTED every few queries. Root cause of the r4/r5 cross-round
+    # drift on untouched queries (diagnosed r6): per-query wall time
+    # grows with the amount of work already run in the SparkContext —
+    # a trivial unpivot measured 0.41 s in a fresh context, 1.3-1.7 s
+    # after 17 queries, and 0.37-0.40 s again after an in-process
+    # SparkContext restart (same JVM — so listener/status/cleaner
+    # state, not heap or JIT). As the headline list grew 19→29→31,
+    # every query drifted with its position. Bounding context age at
+    # ≤ BENCH_RESTART_EVERY queries makes timings a function of the
+    # QUERY again (~3 s restart cost, paid outside the timed window).
+    # The first run after a restart also pays plan compile + parquet
+    # footer reads — absorbed by min-of-3. _quiesce between queries
+    # keeps the previous query's async cleanup out of the next timing.
+    RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+    RESTART_EVERY = int(os.environ.get("BENCH_RESTART_EVERY", "8"))
+    bench_names = names if one is None else [one]
+    all_runs: dict[str, list[float]] = {n: [] for n in bench_names}
+    for i, name in enumerate(bench_names):
+        if i and i % RESTART_EVERY == 0:
+            spark.stop()
+            spark = get_spark("bench")
+        _quiesce(spark)
         for _ in range(RUNS):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            all_runs[name].append(round(time.time() - t0, 3))
+    timings = {n: min(r) for n, r in all_runs.items()}
+    if one is not None:
+        print(json.dumps(timings))
+        return 0
     total = round(sum(timings.values()), 3)
     core_total = round(sum(timings.get(n, 0.0) for n in CORE), 3)
 
@@ -118,6 +188,10 @@ def main() -> int:
                 "unit": "sec",
                 # comparable to BENCH_r04 and earlier (same query set)
                 "core_queries_total": core_total,
+                # every pass's raw time per query (timings = min):
+                # makes run-to-run variance visible instead of folded
+                # silently into the headline number
+                "runs_all": all_runs,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

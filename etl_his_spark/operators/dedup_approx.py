@@ -97,26 +97,26 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     The smallness probe is ``inputFiles()`` (scan metadata — cheap,
     no RDD instantiation). File count under-approximates split count
     for huge multi-row-group files, but a corpus big enough to hit
-    that has ≥ cores files anyway. Frames with no file lineage —
-    in-memory test inputs, but ALSO shuffle/checkpoint-derived frames
-    like corpus_pipeline's filtered survivors — report 0 files; those
-    fall back to the frame's actual partition count (the one place the
-    RDD handle is consulted, and only on the 0-files branch), so a
-    derived frame that already carries hundreds of partitions is never
-    collapsed down to defaultParallelism. Either probe only ever
-    repartitions UP: the result keeps ``max(current, target)``
-    parallelism, never less.
+    that has ≥ cores files anyway. Frames with NO file lineage —
+    shuffle/checkpoint-derived frames like corpus_pipeline's filtered
+    survivors, or local-memory test inputs — report 0 files and are
+    left UNTOUCHED: a post-shuffle frame already carries the session's
+    shuffle parallelism, so repartitioning it down to
+    defaultParallelism (the pre-r6 behavior) collapsed parallelism at
+    cluster scale, while probing its width via
+    ``df.rdd.getNumPartitions()`` (the r6 first attempt) materializes
+    the AQE plan's intermediate stages — a full extra job per operator
+    call, measured as a 2× regression on corpus_pipeline. Skipping is
+    the only probe-free choice, and it is also the correct one: the
+    fix exists for few-split FILE scans, and a frame that isn't one
+    cannot be such a scan.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         n_src = len(df.inputFiles())
     except Exception:
         n_src = 0
-    if n_src == 0:
-        # No file lineage: shuffle/checkpoint output or a local-memory
-        # frame. Its existing partitioning is the real parallelism.
-        n_src = df.rdd.getNumPartitions()
-    if n_src < target:
+    if 0 < n_src < target:
         return df.repartition(target)
     return df
 
@@ -556,6 +556,7 @@ def minhash_lsh_guarded_edges(
     min_matches: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedupe: bool = True,
 ) -> DataFrame:
     """One-pass edge list for the GUARDED collapse: capped LSH pairs
     (est_sim ≥ min_matches/16) unioned with giant-bucket star edges.
@@ -566,6 +567,10 @@ def minhash_lsh_guarded_edges(
     — both the small-bucket join sides and the giant filter consume it
     from concurrent stages, see jaccard_pairs_prefix for the eager
     rationale) and derives both edge kinds from the blocks.
+
+    ``dedupe=False`` skips the final cross-branch distinct (one edge
+    shuffle) for consumers that are duplicate-insensitive —
+    ``graph.connected_components`` being the one that matters.
     """
     w = Window.partitionBy("band", "band_sig")
     sized = (
@@ -600,7 +605,8 @@ def minhash_lsh_guarded_edges(
     # same doc pair co-occurs in buckets on both sides of the cap;
     # the public edge-list contract is SET semantics (UNION, not
     # UNION ALL), matching the oracle.
-    return pairs.union(giant).distinct()
+    out = pairs.union(giant)
+    return out.distinct() if dedupe else out
 
 
 def minhash_lsh_giant_bucket_edges(

@@ -102,6 +102,39 @@ def pil_available() -> bool:
         return False
 
 
+def ffmpeg_available() -> bool:
+    """True when the ffmpeg binary is on PATH (runtime check, never
+    required — the y4m/netpbm/wav lanes are dependency-free)."""
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _ffmpeg_to_y4m(b: bytes) -> bytes | None:
+    """Transcode any ffmpeg-readable video container to an
+    uncompressed YUV4MPEG2 byte stream via pipes (no temp files), for
+    ``parse_y4m``. None on decode failure/timeout — corrupt assets
+    drop their rows, the corpus-decode contract.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", "pipe:0",
+                "-f", "yuv4mpegpipe", "-pix_fmt", "yuv420p", "pipe:1",
+            ],
+            input=b,
+            capture_output=True,
+            timeout=300,
+        )
+    except Exception:
+        return None
+    if out.returncode != 0 or not out.stdout:
+        return None
+    return out.stdout
+
+
 def _pil_image_features(b: bytes) -> list[float] | None:
     """Real image features: Pillow decode → grayscale → normalized
     16-bin luminance histogram. None for undecodable bytes (a real
@@ -395,13 +428,34 @@ def frame_sample(
       fallback — the y4m lane exists so the real 1:N decode contract
       is still verified end to end without it.
     """
-    if decoder == "y4m":
+    if decoder in ("y4m", "ffmpeg"):
+        if decoder == "ffmpeg" and not ffmpeg_available():
+            raise NotImplementedError(
+                "decoder='ffmpeg' requires the ffmpeg binary on PATH "
+                "(not installed in this environment); compressed video "
+                "(mp4/webm/...) has no pure-Python fallback — use "
+                "decoder='y4m' for uncompressed YUV4MPEG2 input, or "
+                "decoder='fake' with allow_fake=True"
+            )
+        transcode = decoder == "ffmpeg"
 
         def y4m_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 ids, idxs, frames = [], [], []
                 for mid, b in zip(pdf["media_id"], pdf["media_bytes"]):
-                    parsed = None if b is None else parse_y4m(bytes(b))
+                    if b is None:
+                        continue
+                    raw = bytes(b)
+                    # ffmpeg lane: transcode any container ffmpeg can
+                    # read into the SAME uncompressed y4m stream the
+                    # dependency-free lane parses — one executor-local
+                    # subprocess per asset, no temp files. Bytes that
+                    # are already y4m skip the subprocess.
+                    if transcode and not raw.startswith(b"YUV4MPEG2"):
+                        raw = _ffmpeg_to_y4m(raw)
+                        if raw is None:
+                            continue
+                    parsed = parse_y4m(raw)
                     if parsed is None:
                         continue
                     w, h, planes = parsed

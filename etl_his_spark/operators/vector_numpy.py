@@ -23,6 +23,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _auto_blocks(vectors: DataFrame) -> int:
+    """Pick the block count from the INPUT SIZE, not the core count.
+
+    Blocking exists to bound per-task memory (each block-pair task
+    holds ~2·bytes/n_blocks of float64 matrix, ~4× the on-disk float32
+    parquet bytes after decompression+widening), so the right n_blocks
+    scales with data volume: ``ceil(bytes / 32 MiB)`` keeps every task
+    under ~256 MiB of matrix. The old ``defaultParallelism // 4``
+    heuristic sized blocks by CPU count instead — on a 2 MB input that
+    manufactured 36 near-empty Arrow tasks whose scheduling overhead
+    DOUBLED the query time (measured r6: 8 blocks 0.60-0.65 s vs
+    4 blocks 0.47-0.50 s at sf0.1; the r3→r5 bench regression).
+    Floor 4 (10 block-pair tasks — parallel enough for any input this
+    small to finish in well under a second), cap 1024 (at the cap,
+    shuffle replication is n_blocks× the input — beyond ~32 GiB of
+    raw vectors the banded-LSH path, not all-pairs, is the tool).
+    File-size metadata is free; frames with no file lineage fall back
+    to the parallelism heuristic.
+    """
+    import math
+    import os
+
+    try:
+        files = vectors.inputFiles()
+    except Exception:
+        files = []
+    size = 0
+    for f in files:
+        try:
+            size += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            size = 0
+            break
+    if size:
+        return min(1024, max(4, math.ceil(size / (32 << 20))))
+    return max(vectors.sparkSession.sparkContext.defaultParallelism // 4, 4)
+
+
 PAIRS_SCHEMA = T.StructType(
     [
         T.StructField("a_id", T.LongType()),
@@ -54,7 +92,7 @@ def embedding_neardup_numpy(
     """
     spark = vectors.sparkSession
     if n_blocks is None:
-        n_blocks = max(spark.sparkContext.defaultParallelism // 4, 4)
+        n_blocks = _auto_blocks(vectors)
 
     v = vectors.select(
         F.col(id_col).alias("vid"),

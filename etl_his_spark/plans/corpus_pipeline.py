@@ -120,7 +120,22 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once instead of once per consumer (cache-hygiene-safe: blocks
     # die with the frame).
     survivors = filtered.join(exact_kept, "doc_id").localCheckpoint(eager=True)
-    near = jaccard_pairs_prefix(survivors, _NEARDUP_THRESHOLD)
+    # Spread the CPU-heavy shingle fan-out explicitly when the
+    # checkpoint came out narrow (AQE coalesces the small join output
+    # at test scale; at cluster scale it is already ≥ target wide and
+    # this is a no-op — no shuffle). The probe is FREE here — the
+    # frame is materialized, so .rdd is the checkpoint RDD, no
+    # recompute — which is exactly why this lives at the call site
+    # and not inside spread_small_input (on an unmaterialized AQE
+    # plan the same probe executes the whole upstream as a job).
+    # Measured r6: fanning out of checkpoint blocks directly is also
+    # UNSTABLE under load (5.7-15.5 s at sf0.1 vs 5.5-6.0 through a
+    # fresh shuffle) — the repartition buys evenness and stability.
+    target = spark.sparkContext.defaultParallelism
+    jaccard_in = survivors
+    if survivors.rdd.getNumPartitions() < target:
+        jaccard_in = survivors.repartition(target)
+    near = jaccard_pairs_prefix(jaccard_in, _NEARDUP_THRESHOLD)
     drop = near.select(F.col("b_id").alias("doc_id")).distinct()
     return survivors.join(drop, "doc_id", "left_anti").select(
         "doc_id", "quality", "n_tokens"

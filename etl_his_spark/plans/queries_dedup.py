@@ -684,7 +684,10 @@ def corpus_dedup_collapse_guarded(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = read_table(spark, sf_dir, "documents")
     edges = minhash_lsh_guarded_edges(
-        docs, cap=_LSH_CAP, min_matches=_COLLAPSE_MIN_MATCHES
+        docs, cap=_LSH_CAP, min_matches=_COLLAPSE_MIN_MATCHES,
+        # connected_components is duplicate-insensitive — skip the
+        # cross-branch distinct's edge shuffle
+        dedupe=False,
     )
     comp = connected_components(docs.select("doc_id"), edges)
     wc = Window.partitionBy("component")

@@ -20,6 +20,33 @@ from ..sources.readers import read_table
 
 MIN_FREQ = 5
 
+# Broadcast the vocab only while the CORPUS is below this size. A
+# MIN_FREQ vocabulary grows sublinearly with corpus bytes (Heaps' law,
+# |V| ~ k·N^β, β ≈ 0.5): under 64 GiB of text the vocab is a few 10^6
+# entries — tens of MB serialized, safely broadcast; at 100 TB it can
+# reach 10^7-10^8 entries (hundreds of MB to GBs — too big to ship to
+# every executor), where the 8-byte-key shuffle join is the scalable
+# plan. The gate exists because neither static Catalyst stats nor AQE
+# see through the vocab's dense_ids RDD-scan lineage: without a hint
+# they plan a sort-merge join even at test scale (measured r6: +40-66%
+# on the tokenize/OOV queries at sf0.1).
+_VOCAB_BCAST_CORPUS_BYTES = 64 << 30
+
+
+def _maybe_broadcast_vocab(vocab: DataFrame, docs: DataFrame) -> DataFrame:
+    import os
+
+    try:
+        size = sum(
+            os.path.getsize(f.removeprefix("file:"))
+            for f in docs.inputFiles()
+        )
+    except Exception:
+        size = 0
+    if 0 < size < _VOCAB_BCAST_CORPUS_BYTES:
+        return F.broadcast(vocab)
+    return vocab
+
 
 def _tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, token) — 1-based positions over the single-space
@@ -104,17 +131,14 @@ def training_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc) re-assembling with a doc-keyed sort — parallelism
     holds at corpus scale because everything is keyed on doc_id.
 
-    The vocab join carries NO explicit broadcast hint: a MIN_FREQ
-    vocabulary over a 100 TB corpus can reach 10^7-10^8 tokens
-    (hundreds of MB serialized — too big to ship to every executor),
-    while at test scale AQE sees the few-KB relation and picks a
-    broadcast join on its own. Either way the shuffle alternative is
-    an 8-byte-key exchange — cheap. SCALE.md "vocab joins"."""
+    The vocab join's broadcast hint is SIZE-GATED, not forced (see
+    ``_maybe_broadcast_vocab``): broadcast below the Heaps'-law corpus
+    threshold, shuffle join above it. SCALE.md "vocab joins"."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     vocab = training_vocab_build(spark, sf_dir).select("token", "vocab_id")
     return (
-        toks.join(vocab, "token", "left")
+        toks.join(_maybe_broadcast_vocab(vocab, docs), "token", "left")
         .select(
             "doc_id", "pos",
             F.coalesce(F.col("vocab_id"), F.lit(0)).alias("vid"),
@@ -214,9 +238,8 @@ def training_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences falling outside the MIN_FREQ vocabulary (what becomes
     unk id 0 in training_tokenize_docs) — the out-of-vocabulary rate a
     pipeline checks before committing to a tokenizer. Vocab membership
-    is a left probe join (no forced broadcast — see
-    training_tokenize_docs: AQE broadcasts when the vocab is actually
-    small); one groupBy on source."""
+    is a left probe join, broadcast only below the size gate (see
+    ``_maybe_broadcast_vocab``); one groupBy on source."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     vocab = (
@@ -228,7 +251,7 @@ def training_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
     return (
         toks.join(docs.select("doc_id", "source"), "doc_id")
-        .join(vocab, "token", "left")
+        .join(_maybe_broadcast_vocab(vocab, docs), "token", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -299,3 +299,43 @@ def test_decode_wav_features(spark):
     assert feats[1][15] == 1.0
     assert feats[2][0] == 1.0
     assert feats[3] is None
+
+
+def test_frame_sample_ffmpeg_gate_raises_without_binary(spark, media):
+    """The compressed-video lane is environment-gated like the Pillow
+    lane: a loud NotImplementedError naming the dependency when ffmpeg
+    is absent (construction-time, before any Spark job)."""
+    from etl_his_spark.operators.multimodal import ffmpeg_available
+
+    if ffmpeg_available():
+        pytest.skip("ffmpeg installed: the gate does not raise")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        frame_sample(media, decoder="ffmpeg")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "etl_his_spark.operators.multimodal", fromlist=["ffmpeg_available"]
+    ).ffmpeg_available(),
+    reason="ffmpeg binary not on PATH",
+)
+def test_frame_sample_ffmpeg_transcodes_to_y4m_lane(spark):
+    """With ffmpeg present: already-y4m bytes bypass the subprocess
+    and produce the same frames as decoder='y4m'; non-y4m bytes go
+    through the transcode (pipe-only, no temp files)."""
+    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+    planes = [bytes([v] * 64) for v in (5, 100, 250)]
+    vid = _y4m(planes, 8, 8)
+    media = spark.createDataFrame(
+        [(0, "video", vid, len(vid), 8, 8)], MEDIA_SCHEMA
+    )
+    via_ffmpeg = {
+        (r["media_id"], r["frame_index"], bytes(r["frame_bytes"]))
+        for r in frame_sample(media, every_n=2, decoder="ffmpeg").collect()
+    }
+    via_y4m = {
+        (r["media_id"], r["frame_index"], bytes(r["frame_bytes"]))
+        for r in frame_sample(media, every_n=2, decoder="y4m").collect()
+    }
+    assert via_ffmpeg == via_y4m
