@@ -253,3 +253,64 @@ def _publish_gate_root() -> str:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _PUBLISH_GATE_CLEANUP_REGISTERED = True
     return root
+
+
+@register(
+    "bucketed_join_colocated",
+    """
+    SELECT o.o_orderpriority AS prioridad,
+           count(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact ⋈ fact join through HASH-BUCKETED tables: orders
+    and lineitem are physically re-laid-out once (bucketBy o_orderkey /
+    l_orderkey, same bucket count, one sorted file per bucket), after
+    which the join runs with NO exchange on either side — the
+    write-once/join-many trade that dominates repeated 100 TB fact
+    joins (a partition-local sort remains under Spark 3+ defaults; no
+    network). The zero-exchange plan property is pinned by
+    ``tests/test_bucketed.py``; this gate hash-checks that the
+    bucketed layout also returns exactly the right ANSWER (a layout
+    that dropped or duplicated rows would hash-fail).
+
+    WRITE-EFFECTFUL: building this query's DataFrame writes both
+    bucketed tables (that is the point — the gate covers write +
+    catalog + bucketed-scan + join end to end) into the managed
+    per-process temp root, overwriting per invocation.
+    """
+    import os
+
+    from ..sources.writers import write_bucketed
+
+    root = _publish_gate_root()
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    items = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(
+        orders, "bucketed_orders_gate", os.path.join(root, "bkt_orders"),
+        ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        items, "bucketed_lineitem_gate", os.path.join(root, "bkt_lineitem"),
+        ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    o = spark.table("bucketed_orders_gate").hint("merge")
+    l = spark.table("bucketed_lineitem_gate")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("prioridad"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

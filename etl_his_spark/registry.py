@@ -106,6 +106,11 @@ _CHECK_FIRST = [
     # training_oov_rate in-window.)
     "streaming_attribution_agree",
     "corpus_dedup_collapse_guarded",
+    # (also new in r6) hash-bucketed external tables + the
+    # zero-exchange co-located join; takes posexplode_positions' slot
+    # — posexplode with positions is exercised in-window by
+    # training_tokenize_docs' _tokens.
+    "bucketed_join_colocated",
     # Positions 12-40: the 29 queries whose last driver row is round 3
     # — rotated in so that, unioned with the r5 window (all r5-green)
     # and r4 window, no hash-oracle query's last driver check is older
@@ -135,7 +140,6 @@ _CHECK_FIRST = [
     "gender_inference",
     "json_schema_parse",
     "lakehouse_zorder",
-    "posexplode_positions",
     "sample_deterministic",
     "skew_salted_pricing",
     "stats_correlation",

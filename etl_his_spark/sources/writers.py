@@ -23,6 +23,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 
@@ -125,6 +126,55 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed external table write — the co-located-join layout.
+
+    Bucketing pre-shuffles the data ONCE at write time: every row lands
+    in ``hash(bucket_cols) % num_buckets``, recorded in the catalog.
+    Two tables bucketed on the same key with the same bucket count then
+    join with NO exchange on either side — at 100 TB, where the fact ⋈
+    fact shuffle dominates every repeated query, this converts a
+    per-query O(data) network step into a one-time layout cost (the
+    same trade the reference's secondary indexes make for lookups).
+    ``sort_cols`` additionally pre-sorts within buckets (one file per
+    bucket, see below) — giving tight parquet min/max stats on the
+    sort key, and removing the sort-merge join's per-query sort on
+    engines that read bucket order (Spark 3+ needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` for
+    that; the partition-local sort it otherwise re-runs involves no
+    network — the eliminated EXCHANGE is the scale win either way).
+
+    The table is EXTERNAL (explicit ``path``): files live where the
+    caller says, only metadata goes to the session catalog — no
+    dependence on a warehouse dir or Hive metastore (Spark's native
+    in-memory catalog carries bucketing specs).
+    """
+    if sort_cols:
+        # One FILE per bucket: Spark only trusts (and skips re-sorting)
+        # a bucket's sortBy order when the bucket is a single file, so
+        # pre-shuffle rows onto their bucket before the write. Without
+        # this each writing task emits its own file per bucket and
+        # every downstream sort-merge join re-sorts both sides.
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
 
 
 def publish_atomic(
