@@ -186,3 +186,98 @@ def text_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", word_token_count("text").cast("long").alias("n_word_tokens")
     )
+
+
+@register(
+    "doc_chunk_overlap",
+    """
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '),
+                           t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sized AS (
+        SELECT doc_id, w, len(w) AS n,
+               greatest(1, (len(w) - 16 + 47) // 48) AS n_chunks
+        FROM toked WHERE len(w) > 0
+    ),
+    exploded AS (
+        SELECT doc_id, w, n,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM sized
+    )
+    SELECT doc_id,
+           chunk_id,
+           array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                           ' ') AS chunk_text,
+           CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_tokens
+    FROM exploded
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking with overlap (64-token chunks,
+    16-token overlap → stride 48) — the retrieval/embedding unit prep
+    of a RAG or context-window pipeline. Map-only: sequence + slice
+    over the token array, one explode, zero shuffles at any corpus
+    size (see operators/chunking.py)."""
+    from ..operators.chunking import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=64, overlap=16)
+
+
+@register(
+    "sketch_count_min",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(trim(text), ' '),
+                                  t -> t <> '')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    cells AS (
+        SELECT c.token, s.seed,
+               CAST('0x' || substr(md5(s.seed || ':' || c.token), 1, 15)
+                    AS BIGINT) % 8192 AS bucket,
+               c.n
+        FROM counts c, (SELECT unnest([0, 1, 2, 3]) AS seed) s
+    ),
+    counters AS (
+        SELECT seed, bucket, SUM(n) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20
+    )
+    SELECT t.token, CAST(t.n AS BIGINT) AS true_n,
+           CAST(MIN(ct.cnt) AS BIGINT) AS est_n
+    FROM top t
+    JOIN cells ce ON ce.token = t.token
+    JOIN counters ct ON ct.seed = ce.seed AND ct.bucket = ce.bucket
+    GROUP BY t.token, t.n
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (depth 4 × width
+    8192, repo-wide md5 hashing), probed for the 20 most frequent
+    tokens next to their TRUE counts. The sketch is cell-for-cell
+    deterministic on both engines, so the oracle is hash-exact even
+    where collisions inflate an estimate — and the one-sided error
+    contract (est ≥ true) is pinned by test. The build aggregates to
+    ≤ 32 K cells with map-side combine (fixed memory at any stream
+    size); the probe broadcasts the counter table."""
+    from ..operators.sketches import count_min_build, count_min_probe
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(
+            F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+        ).alias("token")
+    )
+    counters = count_min_build(toks, "token")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k merged on the driver, NOT a single-partition
+    # global window; the (count, token) key makes ties deterministic.
+    top = counts.orderBy(F.col("true_n").desc(), F.col("token")).limit(20)
+    return count_min_probe(top, counters, "token")

@@ -140,12 +140,17 @@ _CHECK_FIRST = [
     "gender_inference",
     "json_schema_parse",
     "lakehouse_zorder",
-    "sample_deterministic",
+    # sample_deterministic's md5-mod-Bernoulli device is exercised
+    # in-window by sample_weighted_quality (position 6); its slot goes
+    # to the new count-min sketch gate.
+    "sketch_count_min",
     "skew_salted_pricing",
     "stats_correlation",
     "stats_histogram",
     "surrogate_dense_ids",
-    "text_word_tokens",
+    # text_word_tokens' split-explode-count is a strict subset of the
+    # new chunking gate's tokenization; the chunk query takes the slot.
+    "doc_chunk_overlap",
     "training_mixture_sample",
     "training_tokenize_docs",
     "training_vocab_build",

@@ -1,0 +1,95 @@
+"""Property pins for document chunking and the count-min sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_his_spark.operators.chunking import chunk_documents
+from etl_his_spark.operators.sketches import (
+    count_min_build,
+    count_min_probe,
+    merge_cms,
+)
+from etl_his_spark.sources.readers import read_table
+
+
+def test_chunk_invariants(spark):
+    """Coverage, overlap, and tail behavior on crafted lengths:
+    n <= size -> one chunk; otherwise consecutive chunks share exactly
+    `overlap` tokens and the union reproduces the document."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # < size: 1 chunk
+            (2, " ".join(f"t{i}" for i in range(64))),   # == size: 1 chunk
+            (3, " ".join(f"t{i}" for i in range(65))),   # size+1: 2 chunks
+            (4, " ".join(f"t{i}" for i in range(200))),  # several
+            (5, ""),                                     # empty: none
+            (6, None),                                   # NULL: none
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, size=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 10
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 64
+    assert len(by_doc[3]) == 2
+    for doc_id, n in ((3, 65), (4, 200)):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        toks = [c["chunk_text"].split(" ") for c in chunks]
+        # exact overlap between neighbors
+        for a, b in zip(toks, toks[1:]):
+            assert a[-16:] == b[:16]
+        # stitched back together = the original token stream
+        stitched = toks[0] + [t for chunk in toks[1:] for t in chunk[16:]]
+        assert stitched == [f"t{i}" for i in range(n)]
+        # chunk sizes: all full except possibly the last
+        assert all(c["n_chunk_tokens"] == 64 for c in chunks[:-1])
+        assert chunks[-1]["n_chunk_tokens"] == len(toks[-1])
+
+
+def test_cms_overestimates_and_is_exact_without_collisions(spark, sf_dir):
+    """est >= true for every key (one-sided error), and with width far
+    above the distinct-key count the estimate is exactly the count."""
+    events = read_table(spark, sf_dir, "events")
+    keys = events.select(F.col("event_type").alias("k"))
+    counters = count_min_build(keys, "k", width=8192)
+    truth = keys.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    probed = count_min_probe(truth, counters, "k", width=8192).collect()
+    assert probed
+    for r in probed:
+        assert r["est_n"] >= r["true_n"]
+    # ~5 distinct event types over 8192 buckets x 4 rows: collisions
+    # are impossible, the sketch degenerates to exact counting
+    assert all(r["est_n"] == r["true_n"] for r in probed)
+
+
+def test_cms_merge_equals_whole_stream_sketch(spark, sf_dir):
+    """Monoid property: sketching two halves and merging == sketching
+    the union (cell-for-cell)."""
+    events = read_table(spark, sf_dir, "events")
+    keys = events.select(F.col("event_type").alias("k"), "event_id")
+    a = count_min_build(keys.filter(F.col("event_id") % 2 == 0), "k")
+    b = count_min_build(keys.filter(F.col("event_id") % 2 == 1), "k")
+    merged = {
+        (r["seed"], r["bucket"]): r["cnt"] for r in merge_cms(a, b).collect()
+    }
+    whole = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in count_min_build(keys, "k").collect()
+    }
+    assert merged == whole
+
+
+def test_cms_build_is_bounded(spark, sf_dir):
+    """The counter table never exceeds depth x width cells regardless
+    of stream size — the fixed-memory contract."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    counters = count_min_build(toks, "token", depth=2, width=64)
+    assert counters.count() <= 2 * 64
