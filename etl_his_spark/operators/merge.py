@@ -68,3 +68,63 @@ def scd2_from_events(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w).alias("valid_to"),
     )
+
+
+def changelog(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: one row per changed key
+    with ``op`` ∈ {'I','U','D'} (insert/update/delete) plus the NEW
+    payload for I/U and the OLD payload for D.
+
+    One co-partitioned FULL OUTER join on the key — the minimal
+    shuffle for a snapshot diff; with both snapshots bucketed on the
+    key (``write_bucketed``) even that exchange disappears. Update
+    detection compares an md5 over the stringified ``compare_cols``
+    (NULL-safe via a sentinel), so wide rows diff by one digest
+    instead of N column comparisons. Unchanged keys are filtered
+    before anything downstream, so the changelog is |changes|-sized,
+    not |table|-sized — the property that makes incremental
+    downstream refreshes worth it at 100 TB.
+    """
+
+    def digest(side: DataFrame) -> DataFrame:
+        return side.select(
+            *keys,
+            *compare_cols,
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in compare_cols
+                    ],
+                )
+            ).alias("__digest"),
+        )
+
+    o = digest(old).select(
+        *[F.col(c).alias(f"__o_{c}") for c in (*keys, *compare_cols)],
+        F.col("__digest").alias("__o_digest"),
+    )
+    n = digest(new)
+    cond = [n[k].eqNullSafe(o[f"__o_{k}"]) for k in keys]
+    joined = n.join(o, cond, "full_outer")
+    # presence is probed via keys[0]: NULL key values are out of
+    # contract (as for SQL MERGE keys)
+    op = (
+        F.when(o[f"__o_{keys[0]}"].isNull(), F.lit("I"))
+        .when(n[keys[0]].isNull(), F.lit("D"))
+        .when(n["__digest"] != o["__o_digest"], F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(n[k], o[f"__o_{k}"]).alias(k) for k in keys
+    ] + [
+        # I/U carry the new payload, D the old one
+        F.when(n[keys[0]].isNull(), o[f"__o_{c}"]).otherwise(n[c]).alias(c)
+        for c in compare_cols
+    ]
+    return joined.select(op.alias("op"), *out_cols).filter(F.col("op").isNotNull())

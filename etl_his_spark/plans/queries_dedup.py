@@ -773,3 +773,100 @@ def corpus_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("component")).alias("keep"),
         F.count(F.lit(1)).over(wc).alias("cluster_size"),
     )
+
+
+@register(
+    "embedding_kmeans_assign",
+    f"""
+    WITH {_VECS_CTE},
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    dists AS (
+        SELECT v.vec_id, c.cluster_id,
+               round(list_sum(list_transform(generate_series(1, len(v.e)),
+                     i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), 6) AS d2
+        FROM v CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT vec_id, cluster_id, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster_id) AS rk
+        FROM dists
+    )
+    SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id, d2
+    FROM ranked WHERE rk = 1
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment pass (k=8, deterministic lowest-id
+    centroid init): every vector's nearest centroid by squared L2 with
+    a (rounded-distance, centroid-id) tie-break. On the Spark side the
+    centroids ride as LITERALS — k·d doubles, always driver-sized —
+    so the pass is a pure projection with an argmin via least() over
+    structs: zero joins, zero shuffles at any table size (see
+    operators/clustering.py). The oracle recomputes the same centroids
+    and distances relationally."""
+    from ..operators.clustering import kmeans_assign
+
+    return kmeans_assign(read_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "embedding_kmeans_update",
+    f"""
+    WITH {_VECS_CTE},
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    dists AS (
+        SELECT v.vec_id, c.cluster_id,
+               round(list_sum(list_transform(generate_series(1, len(v.e)),
+                     i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), 6) AS d2
+        FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cluster_id
+        FROM (SELECT vec_id, cluster_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster_id) AS rk
+              FROM dists)
+        WHERE rk = 1
+    )
+    SELECT a.cluster_id::INT AS cluster_id,
+           CAST(gs.dim AS INT) - 1 AS dim,
+           round(AVG(v.e[gs.dim]), 6) AS m,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assigned a
+    JOIN v ON v.vec_id = a.vec_id,
+    generate_series(1, 64) AS gs(dim)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid-UPDATE half of a Lloyd iteration: per (cluster,
+    dimension), the mean component over assigned vectors plus the
+    cluster size — exploded to rows so no float-array stringification
+    enters the compare. One cluster-keyed aggregation over
+    position-exploded components (k·d cells, map-side combined); with
+    the assignment pass this is a complete distributed k-means step,
+    iterated by the caller."""
+    from ..operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8)
+    from ..functions.vector import to_double_array
+
+    v = emb.select("vec_id", to_double_array("embedding").alias("e"))
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(v, "vec_id")
+        .select("cluster_id", F.posexplode("e").alias("dim", "x"))
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -165,3 +165,124 @@ def lakehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_keys(o, "o_totalprice", "o_days").select(
         "o_orderkey", "x_bin", "y_bin", "zval"
     )
+
+
+@register(
+    "table_diff_changelog",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k, o_orderstatus AS estado,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    new AS (
+        -- deterministic next snapshot: %97 keys deleted, %13 keys
+        -- repriced (+150 cents), %31 keys cloned as fresh inserts
+        SELECT k, estado,
+               CASE WHEN k % 13 = 0 THEN cents + 150 ELSE cents END AS cents
+        FROM old WHERE k % 97 <> 0
+        UNION ALL
+        SELECT k + 10000000, estado, cents FROM old WHERE k % 31 = 0
+    )
+    SELECT CASE WHEN o.k IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           COALESCE(n.k, o.k) AS o_orderkey,
+           CASE WHEN n.k IS NULL THEN o.estado ELSE n.estado END AS estado,
+           CASE WHEN n.k IS NULL THEN o.cents ELSE n.cents END AS cents
+    FROM new n FULL OUTER JOIN old o ON n.k = o.k
+    WHERE o.k IS NULL OR n.k IS NULL
+       OR n.estado IS DISTINCT FROM o.estado
+       OR n.cents IS DISTINCT FROM o.cents
+    """,
+)
+def table_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table snapshots: one co-partitioned full-outer
+    join emitting only the |changes|-sized I/U/D feed (inserts/updates
+    carry the new payload, deletes the old) — what an incremental
+    downstream refresh consumes instead of re-reading the table. The
+    "next snapshot" is derived deterministically from orders (keys
+    %97 deleted, %13 repriced, %31 cloned as inserts) so the oracle
+    reproduces it exactly; the digest-based change probe in
+    ``operators/merge.changelog`` must agree with the oracle's direct
+    column comparison."""
+    from ..operators.merge import changelog
+
+    old = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("estado"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    new = old.filter(k % 97 != 0).withColumn(
+        "cents",
+        F.when(k % 13 == 0, F.col("cents") + 150).otherwise(F.col("cents")),
+    ).unionByName(
+        old.filter(k % 31 == 0).withColumn("o_orderkey", k + 10000000)
+    )
+    return changelog(old, new, ["o_orderkey"], ["estado", "cents"])
+
+
+@register(
+    "schema_evolution_read",
+    """
+    WITH b1 AS (
+        SELECT o_orderpriority AS prioridad,
+               CAST(NULL AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b2 AS (
+        SELECT o_orderpriority AS prioridad,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT prioridad,
+           count(*) AS n_rows,
+           CAST(count(cents) AS BIGINT) AS n_with_cents,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file batches: batch 1 is written
+    WITHOUT the cents column, batch 2 (a later pipeline version) adds
+    it; a single ``mergeSchema`` read unifies them — old rows surface
+    NULL for the new column instead of poisoning the table. This is
+    the on-disk reality of any long-lived 100 TB dataset (columns
+    arrive mid-life; a rewrite of history is not an option). The gate
+    hash-checks the merged read end to end: row counts per group, how
+    many rows carry the new column, and its sum.
+
+    mergeSchema is a FOOTER-ONLY operation (schema union across file
+    footers at planning time, per-file projection at scan time) — no
+    data is rewritten, reading stays embarrassingly parallel.
+
+    WRITE-EFFECTFUL: writes both batches under the managed per-process
+    temp root, overwriting per invocation.
+    """
+    import os
+
+    from .queries_misc import _publish_gate_root
+
+    root = os.path.join(_publish_gate_root(), "evolved")
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 2 == 0).select(
+        F.col("o_orderpriority").alias("prioridad")
+    )
+    v2 = orders.filter(k % 2 == 1).select(
+        F.col("o_orderpriority").alias("prioridad"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return merged.groupBy("prioridad").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("cents").alias("n_with_cents"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("total_cents"),
+    )

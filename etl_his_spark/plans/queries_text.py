@@ -9,7 +9,7 @@ no shuffle at all (verify: the physical plan is scan → project).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -278,4 +278,81 @@ def overlap_pairs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+            list_transform(range(1, greatest(length(t) - 8 + 1, 0) + 1),
+                i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 15)
+                     AS BIGINT)) AS hs
+        FROM norm
+    ),
+    mins AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) >= 4 THEN
+            list_transform(range(1, len(hs) - 4 + 2),
+                           j -> list_min(hs[j:j+3]))
+          WHEN len(hs) > 0 THEN [list_min(hs)]
+          ELSE CAST([] AS BIGINT[]) END AS ms
+        FROM grams
+    ),
+    fps AS (
+        SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins
+    ),
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+    ),
+    srcfp AS (
+        SELECT DISTINCT d.source, f.fp
+        FROM fps f
+        JOIN rare r ON f.fp = r.fp
+        JOIN documents d ON d.doc_id = f.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM srcfp a JOIN srcfp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct (posting-capped) winnowing fingerprints appear in
+    BOTH — the audit that finds a web-scrape source quietly containing
+    a benchmark or another source's documents before training on the
+    mix. Collapsing to DISTINCT (source, fp) first bounds the fp
+    self-join at ≤ |sources| rows per fingerprint no matter how many
+    documents share it, and the boilerplate cap (> 50 docs) is
+    inherited from the pair detector — same index, coarser rollup."""
+    from ..functions.text import winnow_hashes, winnow_select
+    from ..operators.dedup_approx import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
+    fps = (
+        d.select("doc_id", winnow_hashes("text").alias("hs"))
+        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+    )
+    w = Window.partitionBy("fp")
+    rare = fps.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+        F.col("__df") <= 50
+    )
+    srcfp = (
+        rare.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    a = srcfp.select(F.col("source").alias("source_a"), "fp")
+    b = srcfp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )

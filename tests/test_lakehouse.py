@@ -58,3 +58,39 @@ def test_scd2_intervals_partition_timeline(spark, sf_dir):
     # intervals never invert, and each key's row count is preserved
     assert hist.filter(F.col("valid_to") < F.col("valid_from")).count() == 0
     assert hist.count() == o.count()
+
+
+def test_changelog_ops_and_payload_sides(spark):
+    """I/U/D classification, payload sourcing (new for I/U, old for D),
+    unchanged-row suppression, and NULL-safe column comparison."""
+    from etl_his_spark.operators.merge import changelog
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),      # unchanged -> suppressed
+            (2, "B", 20),      # updated string
+            (3, None, 30),     # unchanged incl. NULL column -> suppressed
+            (5, "e", 50),      # inserted
+        ],                      # 4 -> deleted
+        "k long, s string, v long",
+    )
+    rows = {r["k"]: r for r in changelog(old, new, ["k"], ["s", "v"]).collect()}
+    assert set(rows) == {2, 4, 5}
+    assert rows[2]["op"] == "U" and rows[2]["s"] == "B"
+    assert rows[4]["op"] == "D" and rows[4]["s"] == "d" and rows[4]["v"] == 40
+    assert rows[5]["op"] == "I" and rows[5]["s"] == "e"
+
+
+def test_changelog_null_vs_sentinel_distinct(spark):
+    """The digest's NULL sentinel never collides with a real value:
+    NULL -> '' and '' -> NULL transitions are both updates."""
+    from etl_his_spark.operators.merge import changelog
+
+    old = spark.createDataFrame([(1, None), (2, "")], "k long, s string")
+    new = spark.createDataFrame([(1, ""), (2, None)], "k long, s string")
+    rows = {r["k"]: r["op"] for r in changelog(old, new, ["k"], ["s"]).collect()}
+    assert rows == {1: "U", 2: "U"}
