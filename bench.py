@@ -75,6 +75,15 @@ HEADLINE = [
     "dedup_lsh_incremental",
     "multimodal_y4m_frames",
     "doc_winnow_fingerprints",
+    # round-6 additions: the heaviest new operators (bucketed-layout
+    # join, streaming gate, source-overlap audit, chunking, k-means
+    # step) — on the r4 lesson that ops outside BENCH regress
+    # unmeasured. Totals comparable via core_queries_total only.
+    "bucketed_join_colocated",
+    "streaming_attribution_agree",
+    "source_overlap_matrix",
+    "doc_chunk_overlap",
+    "embedding_kmeans_assign",
 ]
 
 

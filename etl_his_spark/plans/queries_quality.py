@@ -226,3 +226,55 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("quality"))
         .select("doc_id", "quality", F.round("u", 9).alias("u"))
     )
+
+
+@register(
+    "dataset_split_assign",
+    """
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               len(list_filter(string_split(trim(text), ' '),
+                               t -> t <> '')) AS n_tokens
+        FROM (
+            SELECT source, text,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM documents WHERE text IS NOT NULL
+        )
+    )
+    SELECT source, split,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by document-id
+    hash (the md5-mod idiom: reproducible across runs, engines, and
+    re-shards — a rand() split would leak documents between splits on
+    every recompute), rolled up per source so split balance is
+    auditable before training. Map-only assignment, one groupBy."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    toks = F.size(
+        F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    )
+    return (
+        docs.select("source", split.alias("split"), toks.alias("n_tokens"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
