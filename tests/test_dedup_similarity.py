@@ -395,3 +395,38 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
                for r in bucketed_topk_multiprobe(v, q, 5, bits=4).collect()}
     for pair in set(bf_sims) & set(mp_sims):
         assert bf_sims[pair] == mp_sims[pair]
+
+def test_connected_components_probes_every_other_round(spark, monkeypatch):
+    """The r6 convergence cadence: the per-round driver ACTION (the
+    limit(1).count() convergence probe) fires every SECOND round, so a
+    deep chain that needs ~6 propagation rounds submits ≤ 3-4 probe
+    actions instead of one per round. Counted by wrapping
+    DataFrame.count; result correctness is pinned by the long-path
+    test above (monotone propagation — a skipped probe never changes
+    the answer)."""
+    # the concrete (non-Connect) DataFrame class in PySpark 4 — the
+    # base pyspark.sql.dataframe.DataFrame's count is overridden there
+    import pyspark.sql.classic.dataframe as D
+
+    from etl_his_spark.operators.graph import connected_components
+
+    n = 40
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    probes = []
+    orig_count = D.DataFrame.count
+
+    def counting(self):
+        probes.append(1)
+        return orig_count(self)
+
+    monkeypatch.setattr(D.DataFrame, "count", counting)
+    out = connected_components(vertices, edges, max_iter=12)
+    internal_probes = len(probes)
+    monkeypatch.undo()
+    assert out.count() == n
+    # path halving converges the 40-path in ~6 rounds; every-round
+    # probing would fire ≥ 6 internal counts, every-other-round ≤ 4
+    assert 1 <= internal_probes <= 4, f"{internal_probes} probes"

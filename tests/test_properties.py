@@ -121,3 +121,50 @@ def test_winnow_shared_run_property(spark, words_a, words_b, shared):
     for r in rows:
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2]
+
+
+# chunking invariants over arbitrary token counts and (size, overlap)
+# configs — batched: one Spark job per generated batch
+_CHUNK_CFG = st.tuples(
+    st.integers(min_value=2, max_value=40),   # size
+    st.integers(min_value=0, max_value=39),   # overlap (< size enforced below)
+    st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=12),
+)
+
+
+@given(_CHUNK_CFG)
+@_SETTINGS
+def test_chunk_documents_properties(spark, cfg):
+    """For every (size, overlap, doc-length) combination: chunks cover
+    the document exactly (stitching reproduces the token stream),
+    consecutive chunks share exactly `overlap` tokens, every chunk is
+    non-empty and ≤ size, and empty docs produce no chunks."""
+    from etl_his_spark.operators.chunking import chunk_documents
+
+    size, overlap, lengths = cfg
+    if overlap >= size:
+        overlap = size - 1
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = size - overlap
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if n == 0:
+            assert chunks == []
+            continue
+        toks = [c["chunk_text"].split(" ") for c in chunks]
+        assert all(0 < len(t) <= size for t in toks)
+        assert [len(t) for t in toks] == [c["n_chunk_tokens"] for c in chunks]
+        for a, b in zip(toks, toks[1:]):
+            assert a[-overlap:] == b[:overlap] if overlap else True
+        stitched = toks[0] + [t for ch in toks[1:] for t in ch[overlap:]]
+        assert stitched == [f"w{j}" for j in range(n)]
+        # chunk starts advance by exactly stride
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert len(chunks) == max(1, -(-(n - overlap) // stride))
