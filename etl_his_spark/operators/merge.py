@@ -75,6 +75,7 @@ def changelog(
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str],
+    include_old: bool = False,
 ) -> DataFrame:
     """CDC-style diff of two table snapshots: one row per changed key
     with ``op`` ∈ {'I','U','D'} (insert/update/delete) plus the NEW
@@ -127,4 +128,70 @@ def changelog(
         F.when(n[keys[0]].isNull(), o[f"__o_{c}"]).otherwise(n[c]).alias(c)
         for c in compare_cols
     ]
+    if include_old:
+        # the OLD payload alongside (NULL for I) — what an incremental
+        # aggregate refresh needs to SUBTRACT a U/D row's previous
+        # contribution (see incremental_group_refresh)
+        out_cols += [o[f"__o_{c}"].alias(f"old_{c}") for c in compare_cols]
     return joined.select(op.alias("op"), *out_cols).filter(F.col("op").isNotNull())
+
+
+def incremental_group_refresh(
+    old_agg: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    sum_col: str,
+    n_col: str = "n",
+    total_col: str = "total",
+) -> DataFrame:
+    """Maintain a (group, count, sum) aggregate from a changelog in
+    O(|changes|) — never re-reading the base table.
+
+    ``changes`` is ``changelog(..., include_old=True)`` output where
+    ``compare_cols`` included ``group_col`` and ``sum_col``. Every
+    change becomes ± delta rows (an update contributes −old in its old
+    group and +new in its new group, so GROUP MOVES are handled), the
+    deltas collapse to one row per touched group, and a full-outer
+    join against the old aggregate applies them. Groups whose count
+    reaches zero disappear, groups never seen before appear — the
+    result is identical to re-aggregating the new snapshot (pinned by
+    the gate's oracle), at delta cost instead of table cost.
+    """
+    is_i, is_d, is_u = (F.col("op") == x for x in ("I", "D", "U"))
+    add = changes.filter(is_i | is_u).select(
+        F.col(group_col).alias("g"),
+        F.lit(1).alias("dn"),
+        F.col(sum_col).alias("dv"),
+    )
+    sub = changes.filter(is_d | is_u).select(
+        # D rows carry the old payload in the main columns
+        F.when(is_u, F.col(f"old_{group_col}"))
+        .otherwise(F.col(group_col))
+        .alias("g"),
+        F.lit(-1).alias("dn"),
+        (
+            -F.when(is_u, F.col(f"old_{sum_col}")).otherwise(F.col(sum_col))
+        ).alias("dv"),
+    )
+    deltas = (
+        add.unionByName(sub)
+        .groupBy("g")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    o = old_agg.select(
+        F.col(group_col).alias("og"), F.col(n_col).alias("on"),
+        F.col(total_col).alias("ov"),
+    )
+    merged = o.join(deltas, o.og.eqNullSafe(deltas.g), "full_outer")
+    return (
+        merged.select(
+            F.coalesce("og", "g").alias(group_col),
+            (F.coalesce("on", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias(n_col),
+            (F.coalesce("ov", F.lit(0)) + F.coalesce("dv", F.lit(0)))
+            .cast("long")
+            .alias(total_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )

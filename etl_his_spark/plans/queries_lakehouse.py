@@ -286,3 +286,55 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cents").alias("n_with_cents"),
         F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k, o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    new AS (
+        SELECT k, grp,
+               CASE WHEN k % 13 = 0 THEN cents + 150 ELSE cents END AS cents
+        FROM old WHERE k % 97 <> 0
+        UNION ALL
+        SELECT k + 10000000, grp, cents FROM old WHERE k % 31 = 0
+    )
+    SELECT grp, count(*) AS n, CAST(SUM(cents) AS BIGINT) AS total
+    FROM new GROUP BY 1
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance in O(delta): the old
+    per-priority (count, cents) aggregate plus the snapshot changelog
+    (same deterministic next-snapshot rule as ``table_diff_changelog``)
+    refreshed through ± delta rows — while the ORACLE re-aggregates
+    the new snapshot from scratch. Hash-equality of the two is the
+    whole point: the incremental path must be indistinguishable from
+    recomputation, at |changes| cost instead of |table| cost. Updates
+    contribute −old/+new (group moves included), emptied groups
+    disappear, new groups appear."""
+    from ..operators.merge import changelog, incremental_group_refresh
+
+    old = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    new = old.filter(k % 97 != 0).withColumn(
+        "cents",
+        F.when(k % 13 == 0, F.col("cents") + 150).otherwise(F.col("cents")),
+    ).unionByName(
+        old.filter(k % 31 == 0).withColumn("o_orderkey", k + 10000000)
+    )
+    old_agg = old.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    changes = changelog(
+        old, new, ["o_orderkey"], ["grp", "cents"], include_old=True
+    )
+    return incremental_group_refresh(old_agg, changes, "grp", "cents")

@@ -94,3 +94,69 @@ def test_changelog_null_vs_sentinel_distinct(spark):
     new = spark.createDataFrame([(1, ""), (2, None)], "k long, s string")
     rows = {r["k"]: r["op"] for r in changelog(old, new, ["k"], ["s"]).collect()}
     assert rows == {1: "U", 2: "U"}
+
+
+def test_incremental_refresh_handles_group_moves_and_births(spark):
+    """Updates that MOVE a row between groups subtract from the old
+    group and add to the new; a group emptied by deletes disappears; a
+    never-seen group appears — and the refreshed aggregate equals
+    re-aggregating the new snapshot."""
+    from etl_his_spark.operators.merge import (
+        changelog,
+        incremental_group_refresh,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "k long, grp string, cents long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),   # unchanged
+            (2, "b", 20),   # group move a -> b
+            # 3 deleted -> but b gains 2, so b survives
+            (4, "c", 40),   # new group c born
+        ],
+        "k long, grp string, cents long",
+    )
+    old_agg = old.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    changes = changelog(old, new, ["k"], ["grp", "cents"], include_old=True)
+    got = {
+        r["grp"]: (r["n"], r["total"])
+        for r in incremental_group_refresh(
+            old_agg, changes, "grp", "cents"
+        ).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["total"])
+        for r in new.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total"))
+        .collect()
+    }
+    assert got == want == {"a": (1, 10), "b": (1, 20), "c": (1, 40)}
+
+
+def test_incremental_refresh_group_death(spark):
+    """Deleting every row of a group removes the group entirely."""
+    from etl_his_spark.operators.merge import (
+        changelog,
+        incremental_group_refresh,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7)], "k long, grp string, cents long"
+    )
+    new = spark.createDataFrame([(2, "b", 7)], "k long, grp string, cents long")
+    old_agg = old.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    changes = changelog(old, new, ["k"], ["grp", "cents"], include_old=True)
+    got = {
+        r["grp"]: (r["n"], r["total"])
+        for r in incremental_group_refresh(
+            old_agg, changes, "grp", "cents"
+        ).collect()
+    }
+    assert got == {"b": (1, 7)}
