@@ -121,3 +121,116 @@ def posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < 5)
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
     )
+
+
+@register(
+    "jsonl_ingest_corrupt",
+    """
+    WITH srcrows AS (
+        SELECT doc_id, source, n_chars,
+               -- every 37th doc's JSON line is corrupted on disk
+               CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS corrupt
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(1 - corrupt) AS BIGINT) AS n_valid,
+           CAST(SUM(corrupt) AS BIGINT) AS n_corrupt,
+           CAST(COALESCE(SUM(CASE WHEN corrupt = 0 THEN n_chars END), 0)
+                AS BIGINT) AS chars_valid
+    FROM srcrows
+    GROUP BY source
+    """,
+)
+def jsonl_ingest_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust JSONL ingestion: the corpus is serialized to JSON-lines
+    files with every 37th record's line deterministically TRUNCATED
+    (mid-value — invalid JSON), then read back with an explicit schema
+    in PERMISSIVE mode + ``columnNameOfCorruptRecord``: broken lines
+    surface as rows with NULL fields and the raw line captured in the
+    corrupt column instead of failing the job — the only viable
+    contract at web-corpus scale, where some fraction of every crawl
+    shard is malformed. The gate hash-checks the per-source
+    valid/corrupt split and that the valid rows' payload survived the
+    round trip byte-exactly (chars_valid).
+
+    WRITE-EFFECTFUL: writes the JSONL shards under the managed
+    per-process temp root, overwriting per invocation.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    from .queries_misc import _publish_gate_root
+
+    root = os.path.join(_publish_gate_root(), "jsonl")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    # serialize each row to a JSON line; corrupt every 37th by
+    # truncating the line's second half (deterministic, mid-value)
+    line = F.to_json(F.struct("doc_id", "source", "n_chars", "text"))
+    corrupted = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.substring(line, 1, (F.length(line) / 2).cast("int")),
+    ).otherwise(line)
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(root)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(root)
+    )
+    # per-source VALID stats come from the read-back; per-source
+    # CORRUPT counts come from the writer's own plant list (a broken
+    # line's source is not reliably recoverable), with a total-count
+    # integrity probe tying the two views together below.
+    valid = back.filter(F.col("_bad").isNull()).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_valid"),
+    )
+    # PERMISSIVE keeps PARTIAL parses (fields before the break point
+    # survive, _bad carries the raw line), so corrupt rows cannot be
+    # found by NULL fields. And Spark REFUSES corrupt-only queries on
+    # a raw JSON scan (count() included — it would skip parsing and
+    # could not see corruption); the documented contract is to cache
+    # the parsed frame first, which this probe does for the scalar
+    # integrity counts, releasing the blocks before returning (the
+    # returned plan's own columns re-parse legally).
+    planned = docs.filter(F.col("doc_id") % 37 == 0).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_corrupt")
+    )
+    # integrity cross-check: the reader must see exactly as many
+    # corrupt lines as the writer planted (driver-side scalar compare)
+    planned_total = planned.agg(F.sum("n_corrupt")).collect()[0][0] or 0
+    back = back.cache()
+    try:
+        n_total = back.count()
+        n_corrupt_total = n_total - back.filter(F.col("_bad").isNull()).count()
+        if n_corrupt_total != planned_total:
+            raise AssertionError(
+                f"corrupt-line mismatch: read {n_corrupt_total}, "
+                f"planted {planned_total}"
+            )
+        return (
+            valid.join(planned, "source", "full_outer")
+            .select(
+                "source",
+                F.coalesce("n_valid", F.lit(0)).cast("long").alias("n_valid"),
+                F.coalesce("n_corrupt", F.lit(0)).cast("long")
+                .alias("n_corrupt"),
+                F.coalesce("chars_valid", F.lit(0)).cast("long")
+                .alias("chars_valid"),
+            )
+        )
+    finally:
+        back.unpersist()
