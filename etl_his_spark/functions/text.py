@@ -74,6 +74,17 @@ def usuario_nombre_concat(first: Column | str, last: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def word_tokens(col: Column | str) -> Column:
+    """The corpus-wide single-space token array: ``split(trim(text),
+    ' ')`` with empties dropped — ONE definition for every operator
+    whose DuckDB oracle mirrors it with ``list_filter(string_split(
+    trim(text), ' '), t -> t <> '')`` (chunking, vocab, splits,
+    sketches). A divergent re-implementation at any call site would
+    silently break that site's oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), " "), lambda x: x != F.lit(""))
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; 0 for NULL/blank text.
 

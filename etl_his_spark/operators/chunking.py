@@ -35,10 +35,10 @@ def chunk_documents(
     """
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    from ..functions.text import word_tokens
+
     stride = size - overlap
-    toks: Column = F.filter(
-        F.split(F.trim(text_col), " "), lambda x: x != F.lit("")
-    )
+    toks: Column = word_tokens(text_col)
     n_chunks = F.greatest(
         F.lit(1), F.expr(f"(size(__toks) - {overlap} + {stride - 1}) div {stride}")
     )

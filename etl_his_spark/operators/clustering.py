@@ -27,9 +27,14 @@ from ..functions.vector import to_double_array
 
 def _sq_dist(a, b_lit: list[float]):
     """Squared L2 between an array column and a centroid literal —
-    sequential fold, deterministic order (functions/vector.dot)."""
+    sequential fold, deterministic order (functions/vector.dot).
+    Squares by plain multiplication, not ``**``: Math.pow is only
+    1-ulp-accurate, which is enough to flip a round(d2, 6) at a
+    boundary against the oracle's (a-b)*(a-b)."""
     diffs = F.transform(
-        a, lambda x, i: (x - F.element_at(F.lit(b_lit), i + 1)) ** 2
+        a,
+        lambda x, i: (x - F.element_at(F.lit(b_lit), i + 1))
+        * (x - F.element_at(F.lit(b_lit), i + 1)),
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 

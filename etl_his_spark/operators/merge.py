@@ -93,18 +93,22 @@ def changelog(
     """
 
     def digest(side: DataFrame) -> DataFrame:
+        # INJECTIVE encoding: each column is md5'd separately (fixed
+        # 32-hex-char tokens) before the row hash, with a 32-char
+        # non-hex NULL sentinel. A separator-based concat would be
+        # ambiguous for values containing the separator ('x\x1fy','z'
+        # vs 'x','y\x1fz' digest equal → a real update silently
+        # suppressed) and for values equal to the NULL sentinel.
+        per_col = [
+            F.coalesce(
+                F.md5(F.col(c).cast("string")), F.lit("Z" * 32)
+            )
+            for c in compare_cols
+        ]
         return side.select(
             *keys,
             *compare_cols,
-            F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                        for c in compare_cols
-                    ],
-                )
-            ).alias("__digest"),
+            F.md5(F.concat(*per_col)).alias("__digest"),
         )
 
     o = digest(old).select(

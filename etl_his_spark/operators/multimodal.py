@@ -128,6 +128,15 @@ def _ffmpeg_to_y4m(b: bytes) -> bytes | None:
             capture_output=True,
             timeout=300,
         )
+    except FileNotFoundError:
+        # The binary missing on an EXECUTOR (the driver-side
+        # availability gate can't see remote nodes) must fail the task
+        # loudly — swallowing it would silently drop every compressed
+        # asset and masquerade as "corrupt inputs".
+        raise NotImplementedError(
+            "ffmpeg is not installed on this executor; install it "
+            "cluster-wide or use decoder='y4m'"
+        )
     except Exception:
         return None
     if out.returncode != 0 or not out.stdout:

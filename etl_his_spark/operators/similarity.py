@@ -17,7 +17,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+# Column appears only in annotations (sign_band) — postponed-eval
+# strings under `from __future__ import annotations`, but the import
+# keeps them RESOLVABLE for anything that introspects them.
+from pyspark.sql import Column, DataFrame, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, norm, sign_bucket, to_double_array

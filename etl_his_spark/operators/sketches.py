@@ -73,12 +73,16 @@ def count_min_probe(
 ) -> DataFrame:
     """Input keys + ``est_n`` (≥ true count, deterministic). The
     counter table is ≤ depth×width rows — broadcast, so probing any
-    number of keys is one map-side join plus a key-local min."""
+    number of keys is one map-side join plus a key-local min.
+
+    LEFT join + coalesce(0): a CMS answers for ANY key — a key whose
+    cells were never touched estimates 0, it does not vanish from the
+    output (an inner join would silently drop it)."""
     probe = keys.select(
         "*", F.explode(_seed_buckets(F.col(key_col), depth, width)).alias("sb")
     ).select("*", F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
     return (
-        probe.join(F.broadcast(counters), ["seed", "bucket"])
+        probe.join(F.broadcast(counters), ["seed", "bucket"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("cnt").alias("est_n"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )

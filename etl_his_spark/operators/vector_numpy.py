@@ -39,23 +39,15 @@ def _auto_blocks(vectors: DataFrame) -> int:
     small to finish in well under a second), cap 1024 (at the cap,
     shuffle replication is n_blocks× the input — beyond ~32 GiB of
     raw vectors the banded-LSH path, not all-pairs, is the tool).
-    File-size metadata is free; frames with no file lineage fall back
-    to the parallelism heuristic.
+    File-size metadata is free (Hadoop-FS getFileStatus — works on
+    s3a/hdfs/abfs, not just local paths); frames with no file lineage
+    fall back to the parallelism heuristic.
     """
     import math
-    import os
 
-    try:
-        files = vectors.inputFiles()
-    except Exception:
-        files = []
-    size = 0
-    for f in files:
-        try:
-            size += os.path.getsize(f.removeprefix("file:"))
-        except OSError:
-            size = 0
-            break
+    from ..sources.readers import input_size_bytes
+
+    size = input_size_bytes(vectors)
     if size:
         return min(1024, max(4, math.ceil(size / (32 << 20))))
     return max(vectors.sparkSession.sparkContext.defaultParallelism // 4, 4)

@@ -837,7 +837,11 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.cluster_id::INT AS cluster_id,
            CAST(gs.dim AS INT) - 1 AS dim,
-           round(AVG(v.e[gs.dim]), 6) AS m,
+           -- micro-fixed-point mean: summing INTEGERS is exact and
+           -- order-independent, unlike a distributed float AVG whose
+           -- partial-sum merge order differs from this sequential one
+           round(CAST(SUM(CAST(ROUND(v.e[gs.dim] * 1000000) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1000000, 6) AS m,
            CAST(count(*) AS BIGINT) AS n
     FROM assigned a
     JOIN v ON v.vec_id = a.vec_id,
@@ -852,7 +856,13 @@ def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters the compare. One cluster-keyed aggregation over
     position-exploded components (k·d cells, map-side combined); with
     the assignment pass this is a complete distributed k-means step,
-    iterated by the caller."""
+    iterated by the caller.
+
+    The mean rides the repo's integer-exactness device (the cents
+    trick at 1e-6 resolution): components are fixed-pointed BEFORE the
+    sum, so the aggregation is exact long addition — a distributed
+    float AVG merges partial sums in shuffle order and can diverge
+    from the oracle's sequential fold at a rounding boundary."""
     from ..operators.clustering import kmeans_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -860,13 +870,19 @@ def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import to_double_array
 
     v = emb.select("vec_id", to_double_array("embedding").alias("e"))
+    micro = F.round(F.col("x") * 1000000).cast("long")
     return (
         assigned.select("vec_id", "cluster_id")
         .join(v, "vec_id")
         .select("cluster_id", F.posexplode("e").alias("dim", "x"))
         .groupBy("cluster_id", "dim")
         .agg(
-            F.round(F.avg("x"), 6).alias("m"),
+            F.round(
+                F.sum(micro).cast("double")
+                / F.count(F.lit(1))
+                / 1000000,
+                6,
+            ).alias("m"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -221,10 +221,17 @@ def jsonl_ingest_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"corrupt-line mismatch: read {n_corrupt_total}, "
                 f"planted {planned_total}"
             )
+        # eqNullSafe: a NULL source must combine into ONE row like the
+        # oracle's GROUP BY, not split across the outer join's sides
+        p = planned.select(
+            F.col("source").alias("__psource"), "n_corrupt"
+        )
         return (
-            valid.join(planned, "source", "full_outer")
+            valid.join(
+                p, valid["source"].eqNullSafe(p["__psource"]), "full_outer"
+            )
             .select(
-                "source",
+                F.coalesce(valid["source"], p["__psource"]).alias("source"),
                 F.coalesce("n_valid", F.lit(0)).cast("long").alias("n_valid"),
                 F.coalesce("n_corrupt", F.lit(0)).cast("long")
                 .alias("n_corrupt"),

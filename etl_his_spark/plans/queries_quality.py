@@ -267,9 +267,9 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
-    toks = F.size(
-        F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
-    )
+    from ..functions.text import word_tokens
+
+    toks = F.size(word_tokens("text"))
     return (
         docs.select("source", split.alias("split"), toks.alias("n_tokens"))
         .groupBy("source", "split")

@@ -126,6 +126,17 @@ def streaming_attribution_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import attribution_stream, stream_events
 
     replay = _events_replay_dir(spark, sf_dir)
+    # Drop the PREVIOUS invocation's memory sink before registering a
+    # fresh one: each sink holds its full result set in driver memory
+    # for the session's lifetime, and the harness/bench invoke this
+    # query repeatedly. Only the latest may still be referenced by a
+    # caller-held DataFrame.
+    if _RUN_COUNTER[0] > 0:
+        prev = f"stream_attrib_gate_{os.getpid()}_{_RUN_COUNTER[0]}"
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
     _RUN_COUNTER[0] += 1
     name = f"stream_attrib_gate_{os.getpid()}_{_RUN_COUNTER[0]}"
     q = (

@@ -269,10 +269,10 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import count_min_build, count_min_probe
 
     docs = read_table(spark, sf_dir, "documents")
+    from ..functions.text import word_tokens
+
     toks = docs.filter(F.col("text").isNotNull()).select(
-        F.explode(
-            F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
-        ).alias("token")
+        F.explode(word_tokens("text")).alias("token")
     )
     counters = count_min_build(toks, "token")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))

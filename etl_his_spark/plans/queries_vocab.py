@@ -34,15 +34,12 @@ _VOCAB_BCAST_CORPUS_BYTES = 64 << 30
 
 
 def _maybe_broadcast_vocab(vocab: DataFrame, docs: DataFrame) -> DataFrame:
-    import os
+    from ..sources.readers import input_size_bytes
 
-    try:
-        size = sum(
-            os.path.getsize(f.removeprefix("file:"))
-            for f in docs.inputFiles()
-        )
-    except Exception:
-        size = 0
+    # Hadoop-FS probe: answers on any storage scheme (s3a/hdfs/abfs),
+    # not just local files — a local-only probe would silently disable
+    # this gate exactly where it matters.
+    size = input_size_bytes(docs)
     if 0 < size < _VOCAB_BCAST_CORPUS_BYTES:
         return F.broadcast(vocab)
     return vocab

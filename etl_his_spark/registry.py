@@ -111,7 +111,8 @@ _CHECK_FIRST = [
     # — posexplode with positions is exercised in-window by
     # training_tokenize_docs' _tokens.
     "bucketed_join_colocated",
-    # Positions 12-40: the 29 queries whose last driver row is round 3
+    # Positions 13-40: the 26 remaining queries whose last driver row
+    # is round 3 plus two r6 additions in subsumed slots (noted inline)
     # — rotated in so that, unioned with the r5 window (all r5-green)
     # and r4 window, no hash-oracle query's last driver check is older
     # than two rounds. Two r3-last queries stay OUT by design:

@@ -215,3 +215,33 @@ def read_jdbc(
             .option("upperBound", str(upper_bound))
         )
     return reader.load()
+
+
+def input_size_bytes(df) -> int:
+    """Total on-storage bytes behind a frame's file scan, 0 when the
+    frame has no file lineage (shuffle/checkpoint/local-memory).
+
+    Goes through the Hadoop FileSystem API, so it answers for ANY
+    scheme the cluster can read (s3a://, hdfs://, abfs://, file://) —
+    a local ``os.path.getsize`` probe would silently return 0 on
+    object storage and disable every size-gated optimization built on
+    it (broadcast gates, block sizing). Metadata-only: one
+    getFileStatus per file, no data read.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            return 0
+    return total

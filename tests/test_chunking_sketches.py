@@ -93,3 +93,19 @@ def test_cms_build_is_bounded(spark, sf_dir):
     )
     counters = count_min_build(toks, "token", depth=2, width=64)
     assert counters.count() <= 2 * 64
+
+
+def test_cms_probe_answers_for_unseen_keys(spark):
+    """A key absent from the stream estimates >= 0 and NEVER vanishes
+    from the probe output — the left-join contract (an inner join
+    would silently drop keys whose cells were all untouched)."""
+    stream = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    counters = count_min_build(stream, "k", depth=2, width=1024)
+    probe = spark.createDataFrame(
+        [("a",), ("never-seen-key",)], "k string"
+    )
+    got = {r["k"]: r["est_n"] for r in
+           count_min_probe(probe, counters, "k", depth=2, width=1024).collect()}
+    assert set(got) == {"a", "never-seen-key"}
+    assert got["a"] >= 2
+    assert got["never-seen-key"] == 0  # 1024 buckets, 2 keys: no collision
