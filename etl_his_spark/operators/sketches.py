@@ -86,3 +86,71 @@ def count_min_probe(
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 5
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom filter as a DataFrame of SET BIT indices (≤ m rows,
+    usually far fewer) — the broadcastable membership summary of a key
+    set, built with one aggregation (distinct bit) and the repo-wide
+    md5 hashing. Like the CMS it is a monoid: union + distinct merges
+    filters losslessly.
+    """
+    probes = F.array(
+        *[(seeded_hash60(F.col(key_col), F.lit(s)) % m) for s in range(k)]
+    )
+    return (
+        keys.select(F.explode(probes).alias("bit")).distinct()
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Rows of ``big`` that MIGHT be in the bloom'd key set — no false
+    negatives, tunable false positives (classic (1-e^{-kn/m})^k).
+
+    The scale pattern: before a big⋈small join, collapse the small
+    side's bloom to m/64 PACKED BIT WORDS (16 KiB at the default m —
+    bounded by m regardless of key-set size), ride them into the scan
+    as a LITERAL array, and drop non-matching big-side rows map-side —
+    a pure column filter, zero joins, zero shuffles, no row-identity
+    hazards (duplicate big rows pass or fail independently). The real
+    join afterwards removes the false positives, so the final answer
+    is EXACTLY the plain join's at a fraction of the shuffle. The one
+    driver action collects ≤ m bit rows (the packing-offsets
+    precedent: bounded at any input size).
+    """
+    words = [0] * ((m + 63) // 64)
+    for row in bits.collect():
+        b = row["bit"]
+        words[b >> 6] |= 1 << (b & 63)
+    # Python ints are unbounded; Spark longs are signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    lit_words = F.lit(words)
+    cond = None
+    for s in range(k):
+        h = seeded_hash60(F.col(key_col), F.lit(s)) % m
+        # getbit takes COLUMN positions (shiftleft's count must be a
+        # Python literal, which the probe position is not)
+        probe = (
+            F.getbit(
+                F.element_at(lit_words, (h / 64).cast("int") + 1),
+                (h % 64).cast("int"),
+            )
+            == 1
+        )
+        cond = probe if cond is None else cond & probe
+    return big.filter(cond)

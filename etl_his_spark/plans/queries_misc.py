@@ -314,3 +314,51 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    SELECT o.o_orderpriority AS prioridad,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered dimension join: the BUILDING customers' key
+    set collapses to ≤ 16 KiB of packed bloom bit-words that ride the
+    orders scan as a literal map-side filter, dropping most
+    non-matching fact rows BEFORE any shuffle; the real join then
+    removes the bloom's false positives, so the result is exactly the
+    plain join's — which is precisely what the oracle computes. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~matching fraction, whatever the dimension
+    key set's cardinality (the bit array is bounded by m, not by
+    |keys|). No false negatives by construction; pinned along with
+    the false-positive math in tests/test_chunking_sketches.py."""
+    from ..operators.sketches import bloom_build, bloom_prefilter
+
+    customers = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    bits = bloom_build(customers.select("c_custkey"), "c_custkey")
+    candidates = bloom_prefilter(orders, bits, "o_custkey")
+    return (
+        candidates.join(
+            customers.select("c_custkey"),
+            candidates.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("prioridad"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )

@@ -109,3 +109,45 @@ def test_cms_probe_answers_for_unseen_keys(spark):
     assert set(got) == {"a", "never-seen-key"}
     assert got["a"] >= 2
     assert got["never-seen-key"] == 0  # 1024 buckets, 2 keys: no collision
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every key IN the set passes (no false negatives — the hard
+    contract); keys outside pass at roughly the theoretical
+    false-positive rate, bounded loosely here."""
+    from etl_his_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    others = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
+    bits = bloom_build(members, "k")  # m=2^17, k=5, n=500 -> fp ~1e-8
+    passed_members = bloom_prefilter(members, bits, "k").count()
+    assert passed_members == 500
+    fp = bloom_prefilter(others, bits, "k").count()
+    assert fp <= 20  # theory says ~0; loose bound guards the wiring
+
+
+def test_bloom_prefilter_keeps_duplicate_rows(spark):
+    """The prefilter is a FILTER: duplicate input rows that pass
+    survive independently (an implementation that grouped rows to
+    count probe hits would silently dedupe)."""
+    from etl_his_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    members = spark.createDataFrame([(7,)], "k long")
+    big = spark.createDataFrame([(7, "x"), (7, "x"), (8, "y")], "k long, v string")
+    bits = bloom_build(members, "k")
+    rows = bloom_prefilter(big, bits, "k").collect()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(7, "x"), (7, "x")]
+
+
+def test_bloom_merge_is_union(spark):
+    """Bit-level monoid: bloom(A) ∪ bloom(B) == bloom(A ∪ B)."""
+    from etl_his_spark.operators.sketches import bloom_build
+
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(50, 150).select(F.col("id").alias("k"))
+    merged = set(
+        r["bit"]
+        for r in bloom_build(a, "k").union(bloom_build(b, "k")).distinct().collect()
+    )
+    whole = set(r["bit"] for r in bloom_build(a.union(b), "k").collect())
+    assert merged == whole
