@@ -40,6 +40,26 @@ from ..sources.readers import read_events_raw, read_table
 # One materialization per (process, sf_dir), removed at exit.
 _REPLAY_DIRS: dict[str, str] = {}
 _RUN_COUNTER = [0]
+# last memory-sink view registered per gate (for drop-before-reuse)
+_LAST_SINK: dict[str, str] = {}
+
+
+def _fresh_sink(spark: SparkSession, gate: str) -> str:
+    """Rotate this gate's memory-sink name, dropping the PREVIOUS
+    invocation's sink first: each sink holds its full result set in
+    driver memory for the session's lifetime, and the harness/bench
+    invoke gates repeatedly. Only the latest may still be referenced
+    by a caller-held DataFrame."""
+    prev = _LAST_SINK.get(gate)
+    if prev:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    _RUN_COUNTER[0] += 1
+    name = f"{gate}_{os.getpid()}_{_RUN_COUNTER[0]}"
+    _LAST_SINK[gate] = name
+    return name
 
 
 def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -126,19 +146,7 @@ def streaming_attribution_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import attribution_stream, stream_events
 
     replay = _events_replay_dir(spark, sf_dir)
-    # Drop the PREVIOUS invocation's memory sink before registering a
-    # fresh one: each sink holds its full result set in driver memory
-    # for the session's lifetime, and the harness/bench invoke this
-    # query repeatedly. Only the latest may still be referenced by a
-    # caller-held DataFrame.
-    if _RUN_COUNTER[0] > 0:
-        prev = f"stream_attrib_gate_{os.getpid()}_{_RUN_COUNTER[0]}"
-        try:
-            spark.catalog.dropTempView(prev)
-        except Exception:
-            pass
-    _RUN_COUNTER[0] += 1
-    name = f"stream_attrib_gate_{os.getpid()}_{_RUN_COUNTER[0]}"
+    name = _fresh_sink(spark, "stream_attrib_gate")
     q = (
         attribution_stream(
             stream_events(spark, replay), gap_minutes=30, watermark="2 hours"
@@ -162,4 +170,71 @@ def streaming_attribution_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_start", "session_end", "first_touch",
             "n_purchases", "purchase_cents",
         )
+    )
+
+
+@register(
+    "streaming_sessionize_agree",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sessions
+    WHERE session_end < (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+    """,
+)
+def streaming_sessionize_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (watermarked ``session_window`` state)
+    hash-checked against batch SQL on the horizon-closed subset — the
+    second live Structured Streaming execution under the gate,
+    covering the UNFILTERED session stream (every closed session, not
+    just converted ones like the attribution gate). Same determinism
+    design: both sides keep only sessions ending strictly below
+    ``max(ts) − 3 h``. Reuses the per-process replay dir.
+
+    STREAM-EFFECTFUL: runs the stream to completion on invocation."""
+    from ..streaming.events import sessionize_stream, stream_events
+
+    replay = _events_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_sess_gate")
+    q = (
+        sessionize_stream(
+            stream_events(spark, replay), gap_minutes=30, watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_ts = (
+        read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = max_ts - timedelta(hours=3)
+    return (
+        spark.table(name)
+        .filter(F.col("session_end") < F.lit(horizon))
+        .select("user_id", "session_start", "session_end", "n_events")
     )
