@@ -7,7 +7,7 @@ and per-source mixture rebalancing. Both all-integer → exact oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
@@ -88,3 +88,176 @@ def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(100)
     ).otherwise(F.lit(40))
     return mixture_sample(docs, pct)
+
+
+@register(
+    "inference_length_batches",
+    """
+    WITH toked AS (
+        SELECT doc_id,
+               len(list_filter(string_split(trim(text), ' '),
+                               t -> t <> '')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sized AS (
+        SELECT doc_id, n_tokens, n_tokens // 32 AS len_bucket
+        FROM toked WHERE n_tokens > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY len_bucket
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) - 1 AS rn
+        FROM sized
+    ),
+    batched AS (
+        SELECT len_bucket, rn // 16 AS batch_id, n_tokens FROM ranked
+    )
+    SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           count(*) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(count(*) * max(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM batched
+    GROUP BY 1, 2
+    """,
+)
+def inference_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment for inference/training: docs
+    are bucketed by token count (width 32), deterministically ordered
+    inside each bucket (md5 — reproducible across runs/engines), and
+    cut into 16-doc batches; each batch reports its padded size and
+    PADDING WASTE (docs·max − Σlen — the tokens burned on pad). This
+    is why serving stacks length-sort before batching: batching
+    uniformly at random pads every sequence to the batch max. The
+    per-bucket window parallelizes by bucket; nothing global."""
+    from ..functions.text import word_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(word_tokens("text")).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("len_bucket", F.expr("n_tokens div 32"))
+    )
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("batch_id", F.expr("rn div 16"))
+        .groupBy(
+            F.col("len_bucket").cast("long").alias("len_bucket"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            (
+                F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+            ).cast("long").alias("padding_waste"),
+        )
+    )
+
+
+@register(
+    "contrastive_triplets",
+    r"""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    shs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+        FROM words WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT) AS shingle
+        FROM shs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a_id, b_id FROM inter
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    ),
+    slotted AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 8 AS slot
+        FROM documents
+    ),
+    cands AS (
+        SELECT slot, list_sort(list(doc_id)) AS cand
+        FROM (
+            SELECT slot, doc_id,
+                   row_number() OVER (PARTITION BY slot ORDER BY doc_id) AS rk
+            FROM slotted
+        ) WHERE rk <= 3
+        GROUP BY slot
+    )
+    SELECT p.a_id AS anchor_id, p.b_id AS positive_id,
+           list_filter(c.cand, x -> x <> p.a_id AND x <> p.b_id)[1]
+               AS negative_id
+    FROM pairs p
+    JOIN cands c
+      ON c.slot = CAST('0x' || substr(
+             md5(CAST(p.a_id AS VARCHAR) || ':' || CAST(p.b_id AS VARCHAR)),
+             1, 15) AS BIGINT) % 8
+    WHERE len(list_filter(c.cand, x -> x <> p.a_id AND x <> p.b_id)) > 0
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    embedding fine-tuning: positives are the corpus's own Jaccard-0.8
+    near-dup pairs (the prefix-filtered scale path), negatives are
+    drawn DETERMINISTICALLY by hashing the pair into one of 8 doc
+    slots and taking the first of that slot's three smallest doc ids
+    that collides with neither pair member — reproducible across runs
+    and engines, where a rand() negative would re-sample every epoch.
+    The slot-candidates table is ≤ 3·slots rows (broadcast); the
+    per-slot window parallelizes by slot."""
+    from ..operators.dedup_approx import jaccard_pairs_prefix, seeded_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(docs, 0.8).select("a_id", "b_id")
+    slots = docs.select(
+        "doc_id",
+        (seeded_hash60(F.col("doc_id").cast("string")) % 8).alias("slot"),
+    )
+    w = Window.partitionBy("slot").orderBy("doc_id")
+    cands = (
+        slots.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("slot")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("cand"))
+    )
+    pair_slot = (
+        seeded_hash60(
+            F.concat_ws(":", F.col("a_id").cast("string"),
+                        F.col("b_id").cast("string"))
+        ) % 8
+    ).alias("slot")
+    picked = F.filter(
+        F.col("cand"),
+        lambda x: (x != F.col("a_id")) & (x != F.col("b_id")),
+    )
+    return (
+        pairs.select("a_id", "b_id", pair_slot)
+        .join(F.broadcast(cands), "slot")
+        .filter(F.size(picked) > 0)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("b_id").alias("positive_id"),
+            F.element_at(picked, 1).alias("negative_id"),
+        )
+    )
