@@ -140,3 +140,62 @@ def embedding_neardup_numpy(
         return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "sim": s})
 
     return replicated.groupBy("bi", "bj").applyInPandas(block_pairs, PAIRS_SCHEMA)
+
+
+GRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("gram_milli2", T.LongType()),
+    ]
+)
+
+
+def gram_matrix_exact(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """The d×d Gram matrix Σ xᵀx over all vectors — the input to PCA /
+    whitening / covariance — computed EXACTLY and therefore
+    oracle-hashable: components are fixed-pointed to milli units
+    (round(x·1000) as int64) inside each Arrow batch, the per-batch
+    Gram partial is ONE integer matmul (numpy int64 ``q.T @ q`` —
+    exact, no float accumulation anywhere), and partials merge by
+    integer addition in a d²-cell groupBy.
+
+    Scale shape: per-partition work is a single BLAS-free integer
+    matmul over that partition's rows; the shuffle moves d² = 4096
+    cells per partition regardless of row count (the CMS discipline).
+    Overflow headroom: |q| ≲ 3·10³ ⇒ per-pair product ≲ 10⁷; int64
+    holds ~9·10¹⁸, so ~10¹¹ rows fit before any partial could wrap.
+    """
+
+    def batches(it):
+        for pdf in it:
+            arr = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if arr.size == 0:
+                continue
+            y = arr * 1000.0
+            # HALF-AWAY-FROM-ZERO to match the oracle's ROUND exactly
+            # (np.rint is half-even — a .5-boundary component would
+            # silently flip one milli unit between engines)
+            q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+            g = q.T @ q  # exact integer matmul
+            ii, jj = np.meshgrid(
+                np.arange(dim, dtype=np.int32),
+                np.arange(dim, dtype=np.int32),
+                indexing="ij",
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "gram_milli2": g.ravel(),
+                }
+            )
+
+    return (
+        vectors.select(vec_col)
+        .mapInPandas(batches, GRAM_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("gram_milli2").alias("gram_milli2"))
+    )

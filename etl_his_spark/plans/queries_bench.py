@@ -22,3 +22,31 @@ def bench_embedding_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame
     """Arrow/numpy (BLAS) near-dup kernel — the bulk-similarity fast
     lane, ~2.6× the expression version on local[32]."""
     return embedding_neardup_numpy(read_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "embedding_gram_matrix",
+    """
+    WITH comps AS (
+        SELECT e.vec_id, gs.d AS idx,
+               CAST(ROUND(CAST(e.embedding[gs.d] AS DOUBLE) * 1000)
+                    AS BIGINT) AS q
+        FROM embeddings e, generate_series(1, 64) AS gs(d)
+    )
+    SELECT CAST(a.idx - 1 AS INT) AS i,
+           CAST(b.idx - 1 AS INT) AS j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS gram_milli2
+    FROM comps a JOIN comps b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram matrix (the PCA/whitening/covariance
+    input) over the embedding table: per-Arrow-batch INTEGER matmuls
+    (components fixed-pointed to milli units) merged by a d²-cell
+    integer groupBy — no float accumulation order anywhere, so the
+    driver hash matches the oracle's relational formulation exactly.
+    The shuffle is d² cells per partition regardless of row count."""
+    from ..operators.vector_numpy import gram_matrix_exact
+
+    return gram_matrix_exact(read_table(spark, sf_dir, "embeddings"))

@@ -151,3 +151,25 @@ def test_bloom_merge_is_union(spark):
     )
     whole = set(r["bit"] for r in bloom_build(a.union(b), "k").collect())
     assert merged == whole
+
+
+def test_gram_matrix_partition_invariant(spark, sf_dir):
+    """The Gram partials merge exactly: 1-partition and 16-partition
+    computations produce IDENTICAL cells (integer arithmetic — no
+    float accumulation order anywhere), and the matrix is symmetric
+    with positive diagonal."""
+    from etl_his_spark.operators.vector_numpy import gram_matrix_exact
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    one = {
+        (r["i"], r["j"]): r["gram_milli2"]
+        for r in gram_matrix_exact(emb.coalesce(1)).collect()
+    }
+    many = {
+        (r["i"], r["j"]): r["gram_milli2"]
+        for r in gram_matrix_exact(emb.repartition(16)).collect()
+    }
+    assert one == many
+    assert len(one) == 64 * 64
+    assert all(one[(i, j)] == one[(j, i)] for i in range(64) for j in range(64))
+    assert all(one[(i, i)] > 0 for i in range(64))
