@@ -199,3 +199,52 @@ def gram_matrix_exact(
         .groupBy("i", "j")
         .agg(F.sum("gram_milli2").alias("gram_milli2"))
     )
+
+
+def pca_project(
+    vectors: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project every vector onto the top-k principal axes.
+
+    Decomposition strategy at scale: the d×d Gram matrix is computed
+    DISTRIBUTED and exactly (``gram_matrix_exact`` — one pass, d²-cell
+    shuffle), then eigen-decomposed on the DRIVER (d×d is 32 KiB at
+    d=64 — always driver-sized, like k-means centroids), and the top-k
+    eigenvectors ride back into a map-only projection expression.
+    Nothing large ever leaves the executors; the eigensolve cost is
+    O(d³) once, independent of row count.
+
+    No SQL oracle by design: LAPACK eigenvector low-order bits are not
+    cross-engine-standardizable — the operator is pinned instead by
+    variance-ordering and reconstruction tests (pytest), the repo's
+    declared policy for libm-dependent lanes.
+    """
+    gram_rows = gram_matrix_exact(vectors, vec_col=vec_col, dim=dim).collect()
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["gram_milli2"] / 1e6
+    evals, evecs = np.linalg.eigh(g)  # ascending; symmetric input
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # d×k
+    # sign convention: largest-magnitude entry positive → deterministic
+    for c in range(k):
+        col = comps[:, c]
+        if col[np.argmax(np.abs(col))] < 0:
+            comps[:, c] = -col
+    from ..functions.vector import to_double_array
+
+    v = vectors.select(id_col, to_double_array(vec_col).alias("e"))
+    proj_cols = []
+    for c in range(k):
+        w = [float(x) for x in comps[:, c]]
+        dot_expr = F.aggregate(
+            F.zip_with(F.col("e"), F.lit(w), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(dot_expr.alias(f"pc{c + 1}"))
+    return v.select(id_col, *proj_cols)

@@ -173,3 +173,23 @@ def test_gram_matrix_partition_invariant(spark, sf_dir):
     assert len(one) == 64 * 64
     assert all(one[(i, j)] == one[(j, i)] for i in range(64) for j in range(64))
     assert all(one[(i, i)] > 0 for i in range(64))
+
+
+def test_pca_project_variance_ordering_and_shape(spark, sf_dir):
+    """pc1 captures at least as much energy as pc2; projections are
+    deterministic across repartitionings (the eigensolve consumes the
+    EXACT gram, the projection is a literal-weight fold)."""
+    from etl_his_spark.operators.vector_numpy import pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = pca_project(emb, k=2).collect()
+    assert len(rows) == emb.count()
+    import statistics
+
+    e1 = statistics.mean(r["pc1"] ** 2 for r in rows)
+    e2 = statistics.mean(r["pc2"] ** 2 for r in rows)
+    assert e1 >= e2 > 0
+    again = pca_project(emb.repartition(16), k=2).collect()
+    assert {r["vec_id"]: (r["pc1"], r["pc2"]) for r in rows} == {
+        r["vec_id"]: (r["pc1"], r["pc2"]) for r in again
+    }
