@@ -84,6 +84,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "doc_chunk_overlap",
     "embedding_kmeans_assign",
+    "embedding_gram_matrix",
+    "contrastive_triplets",
 ]
 
 
