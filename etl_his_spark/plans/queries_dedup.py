@@ -886,3 +886,107 @@ def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "corpus_dedup_keeper_quality",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    based AS (
+        SELECT doc_id, shingle % {MINHASH_FOLD} AS h30
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, {_MINHASH_MIN_COLS}
+        FROM based GROUP BY doc_id
+    ),
+    bands AS (
+        {_MINHASH_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+        WHERE ({_MINHASH_MATCH_SUM}) >= {_COLLAPSE_MIN_MATCHES}
+    ),
+    bidir AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id, a_id FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN bidir e ON e.src = w.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+    ),
+    scored AS (
+        SELECT doc_id,
+               round((
+                 least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                 + CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(text, '[^A-Za-z ]',
+                                                        '', 'g')) AS DOUBLE)
+                             / CAST(length(text) AS DOUBLE)
+                        ELSE 0.0 END
+                 + CASE WHEN (
+                       CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                            THEN (CAST(length(text) AS DOUBLE)
+                                  - (len(string_split_regex(trim(text), '\\s+'))
+                                     - 1))
+                                 / len(string_split_regex(trim(text), '\\s+'))
+                            ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+                        THEN 1.0 ELSE 0.5 END
+               ) / 3.0, 6) AS quality
+        FROM documents
+    )
+    SELECT c.doc_id, c.component,
+           (row_number() OVER (PARTITION BY c.component
+                               ORDER BY s.quality DESC, c.doc_id) = 1) AS keep,
+           count(*) OVER (PARTITION BY c.component) AS cluster_size,
+           s.quality
+    FROM comp c JOIN scored s ON s.doc_id = c.doc_id
+    """,
+)
+def corpus_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster collapse: same LSH→components clusters as
+    ``corpus_dedup_collapse``, but the survivor of each near-dup
+    cluster is its HIGHEST-quality document (doc-id tie-break), not
+    the smallest id — what a curation pipeline actually wants when
+    duplicates differ in cleanliness. One extra broadcast-friendly
+    quality join and a per-component struct-min window on the SAME
+    component-keyed partitioning the size count already uses."""
+    from ..functions.text import quality_score
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_candidates(docs)
+        .filter(F.col("est_sim") * N_MINHASH >= _COLLAPSE_MIN_MATCHES)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(docs.select("doc_id"), pairs)
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    wc = Window.partitionBy("component")
+    best = F.min(
+        F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("d"))
+    ).over(wc)
+    return (
+        comp.join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == best["d"]).alias("keep"),
+            F.count(F.lit(1)).over(wc).alias("cluster_size"),
+            "quality",
+        )
+    )
