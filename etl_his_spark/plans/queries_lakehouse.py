@@ -338,3 +338,64 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         old, new, ["o_orderkey"], ["grp", "cents"], include_old=True
     )
     return incremental_group_refresh(old_agg, changes, "grp", "cents")
+
+
+@register(
+    "fact_scd2_asof_join",
+    """
+    WITH hist AS (
+        SELECT o_custkey AS custkey,
+               o_orderpriority AS prioridad,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to
+        FROM orders
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           (o.o_orderdate - INTERVAL 30 DAY)::DATE AS probe_date,
+           h.prioridad AS prior_priority
+    FROM orders o
+    JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND h.valid_from <= (o.o_orderdate - INTERVAL 30 DAY)::DATE
+     AND (h.valid_to IS NULL
+          OR (o.o_orderdate - INTERVAL 30 DAY)::DATE < h.valid_to)
+    """,
+)
+def fact_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (AS OF) join of facts against a type-2 dimension
+    history: each order probes the customer's priority AS IT WAS 30
+    days earlier, matching the SCD2 validity interval
+    ``[valid_from, valid_to)`` (NULL = current). The join is an EQUI
+    join on the entity key with an interval residual — fan-out bounded
+    by versions-per-entity, so it scales like any keyed join, no
+    range-partitioning machinery needed. Probes before an entity's
+    first version drop out (inner semantics), matching the oracle.
+    The standard point-in-time-correctness device for training-data
+    assembly (feature values as of label time, no leakage)."""
+    from ..operators.merge import scd2_from_events
+
+    o = read_table(spark, sf_dir, "orders")
+    hist = scd2_from_events(
+        o, "o_custkey", ["o_orderpriority"], "o_orderdate", "o_orderkey"
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("prior_priority"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = F.date_sub(F.col("o_orderdate"), 30)
+    return (
+        o.select("o_orderkey", "o_custkey", probe.alias("probe_date"))
+        .join(
+            hist,
+            (F.col("o_custkey") == F.col("custkey"))
+            & (F.col("valid_from") <= F.col("probe_date"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("probe_date") < F.col("valid_to"))
+            ),
+        )
+        .select("o_orderkey", "o_custkey", "probe_date", "prior_priority")
+    )
