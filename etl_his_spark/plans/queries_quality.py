@@ -3,7 +3,7 @@ exact correlation, deterministic sampling."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.quality import with_violations
@@ -277,4 +277,96 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
+    )
+
+
+@register(
+    "stats_ks_drift",
+    r"""
+    WITH scored AS (
+        SELECT CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 2 AS grp,
+               round((
+                 least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                 + CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(text, '[^A-Za-z ]',
+                                                        '', 'g')) AS DOUBLE)
+                             / CAST(length(text) AS DOUBLE)
+                        ELSE 0.0 END
+                 + CASE WHEN (
+                       CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                            THEN (CAST(length(text) AS DOUBLE)
+                                  - (len(string_split_regex(trim(text), '\s+'))
+                                     - 1))
+                                 / len(string_split_regex(trim(text), '\s+'))
+                            ELSE 0.0 END) BETWEEN 3.0 AND 12.0
+                        THEN 1.0 ELSE 0.5 END
+               ) / 3.0, 6) AS q
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per_val AS (
+        SELECT q,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM scored GROUP BY q
+    ),
+    cum AS (
+        SELECT q,
+               SUM(ca) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               SUM(cb) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+               SUM(ca) OVER () AS na,
+               SUM(cb) OVER () AS nb
+        FROM per_val
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
+               / (MAX(na) * MAX(nb)) AS ks
+    FROM cum
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between the
+    quality distributions of two corpus halves (sources split by md5
+    parity — the deterministic stand-in for yesterday-vs-today or
+    cluster-A-vs-cluster-B): the drift monitor a corpus pipeline runs
+    before a new crawl batch joins training. Exactness device: the KS
+    sup is maximized over INTEGER cross-products |cA·nB − cB·nA| (no
+    float CDFs), with one final correctly-rounded IEEE division — so
+    the oracle hash-matches bit for bit. The cumulative window runs
+    over DISTINCT rounded quality values — a bounded domain (≤ 10^6
+    cells at 1e-6 resolution) whatever the corpus size, the same
+    bounded-global-window argument as the positional median."""
+    from ..functions.text import quality_score
+    from ..operators.dedup_approx import seeded_hash60
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        (seeded_hash60(F.col("source")) % 2).alias("grp"),
+        quality_score("text").alias("q"),
+    )
+    per_val = scored.groupBy("q").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    diff = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return cum.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max(diff).cast("long").alias("ks_num"),
+        (
+            F.max(diff).cast("double") / (F.max("na") * F.max("nb"))
+        ).alias("ks"),
     )
