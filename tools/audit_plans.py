@@ -41,6 +41,10 @@ SINGLE_PARTITION_ALLOW = {
     "tpch_q15_top_supplier", # 1-row scalar MAX (then broadcast)
     "tpch_q22_dormant",      # 1-row scalar AVG (then broadcast)
     "lakehouse_zorder",      # 1-row min/max extremes (then broadcast)
+    # cumulative window over DISTINCT rounded quality values — a
+    # domain bounded at ≤ 10^6 cells at any corpus size (the
+    # positional-median bounded-global-window argument)
+    "stats_ks_drift",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
