@@ -296,3 +296,60 @@ def events_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_purchases") > 0) & (F.col("__n_touch") > 0))
         .drop("__n_touch")
     )
+
+
+@register(
+    "events_decayed_revenue",
+    """
+    WITH anchored AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               -- integer FLOOR division: CAST(double AS BIGINT)
+               -- would round, disagreeing with Spark's div
+               (epoch_us((SELECT max(ts) FROM events))
+                - epoch_us(ts)) // (86400000000 * 7) AS weeks_ago
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents,
+           CAST(SUM(cents >> least(weeks_ago, 62)) AS BIGINT)
+               AS decayed_cents
+    FROM anchored
+    GROUP BY user_id
+    """,
+)
+def events_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (half-life-decayed) revenue per user — the
+    engagement-scoring aggregate that values last week's purchase over
+    last quarter's. Decay is an INTEGER right-shift by whole weeks
+    elapsed (weight 1/2^weeks — a one-week half-life), not exp():
+    exact on both engines, mergeable across partitions, and monotone
+    in recency, where a float exp() decay would hit libm rounding
+    differences. Map-only weighting + one user-keyed groupBy; the
+    anchor (max ts) is a broadcast scalar subquery on the oracle side
+    and a bounded driver fetch on the Spark side."""
+    e = read_table(spark, sf_dir, "events")
+    max_us = e.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # exact epoch-MICROS integer floor-div (a seconds cast would
+        # truncate each timestamp before subtracting — off-by-one
+        # weeks near boundaries)
+        F.expr(
+            f"({max_us}L - unix_micros(ts)) div 604800000000L"
+        ).alias("weeks_ago"),
+    )
+    return (
+        purchases.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            # SQL shiftright takes COLUMN shift counts; the Python
+            # wrapper insists on a literal int
+            F.sum(
+                F.expr("shiftright(cents, cast(least(weeks_ago, 62) as int))")
+            ).cast("long").alias("decayed_cents"),
+        )
+    )

@@ -168,3 +168,33 @@ def test_chunk_documents_properties(spark, cfg):
         # chunk starts advance by exactly stride
         assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
         assert len(chunks) == max(1, -(-(n - overlap) // stride))
+
+
+_CMS_STREAMS = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_CMS_STREAMS)
+@_SETTINGS
+def test_cms_one_sided_error_property(spark, stream):
+    """For ANY stream: est(k) >= true(k) for every key in it (the CMS
+    contract cannot under-count, whatever the collisions)."""
+    from collections import Counter
+
+    from etl_his_spark.operators.sketches import (
+        count_min_build,
+        count_min_probe,
+    )
+
+    truth = Counter(stream)
+    df = spark.createDataFrame([(s,) for s in stream], "k string")
+    counters = count_min_build(df, "k", depth=2, width=16)  # tiny → collisions
+    keys = spark.createDataFrame([(k,) for k in truth], "k string")
+    probed = {r["k"]: r["est_n"] for r in
+              count_min_probe(keys, counters, "k", depth=2, width=16).collect()}
+    assert set(probed) == set(truth)
+    for k, n in truth.items():
+        assert probed[k] >= n
