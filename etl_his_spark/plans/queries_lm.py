@@ -1,0 +1,325 @@
+"""Corpus language-model statistics — the quality-filtering stage a
+100 TB training pipeline runs between ingestion and packing (the
+CCNet/Gopher-rules family, re-expressed as exact-oracle Spark plans).
+
+Three signals:
+
+* ``text_script_detect`` — per-document character-class census and
+  dominant script (the charset/garbage gate that runs before any
+  tokenization; the langid analog one level below words).
+* ``quality_unigram_likelihood`` — mean add-one-smoothed unigram
+  probability of each document under the corpus's own unigram LM
+  (the KenLM-perplexity-filter analog). Kept exact by algebra: with a
+  GLOBAL smoothing denominator (N + V), the arithmetic mean of
+  per-token probabilities collapses to ``(Σc + n) / (n · (N + V))`` —
+  a single IEEE division of exact integers, so no log/exp libm calls
+  and no order-dependent double summation (this module's float
+  discipline, same as queries_text2).
+* ``quality_novel_ngrams`` — fraction of a document's bigrams that
+  occur nowhere else in the corpus (corpus count == 1). High novel
+  fraction ≈ high-perplexity/low-redundancy text; the integer-ratio
+  complement of the smoothed-likelihood score.
+
+Scale notes (100 TB): every query is explode → grouped count →
+dimension join → per-doc agg. The token/bigram count dimensions are
+Heaps-law-sized (≪ corpus); their joins are left unhinted so AQE picks
+broadcast vs shuffle from observed runtime sizes (the measured
+rationale for gating, not forcing, vocab broadcasts — see
+queries_vocab). Bigrams shuffle as 60-bit md5 longs, not strings
+(dedup_approx discipline). The 1-row corpus-totals frame is an
+explicit broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup_approx import seeded_hash60
+from ..registry import register
+from ..sources.readers import read_table
+
+# Single-space tokenization with empties dropped — the corpus-wide rule
+# (queries_vocab._TOKS_CTE); SQL twin below.
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id, tok AS token
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> ''
+    )
+"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(arr).alias("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class census / dominant script
+# ---------------------------------------------------------------------------
+
+# (class name, regex) in FIXED precedence order — the dominant-class
+# tie-break. Patterns are RE2-and-Java-regex common subset so Spark's
+# regexp_count and DuckDB's regexp_extract_all agree character for
+# character.
+_CLASSES = [
+    ("letter", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ ]"),
+    ("punct", "[.,;:!?]"),
+]
+
+
+@register(
+    "text_script_detect",
+    """
+    WITH census AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+                   AS n_letter,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                   AS n_digit,
+               CAST(len(regexp_extract_all(text, '[ ]')) AS BIGINT)
+                   AS n_space,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                   AS n_punct
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, n_chars, n_letter, n_digit, n_space, n_punct,
+           n_chars - n_letter - n_digit - n_space - n_punct AS n_other,
+           CAST(n_letter AS DOUBLE) / n_chars AS letter_ratio,
+           CASE
+               WHEN n_letter >= n_digit AND n_letter >= n_space
+                    AND n_letter >= n_punct
+                    AND n_letter >= n_chars - n_letter - n_digit
+                                     - n_space - n_punct THEN 'letter'
+               WHEN n_digit >= n_space AND n_digit >= n_punct
+                    AND n_digit >= n_chars - n_letter - n_digit
+                                   - n_space - n_punct THEN 'digit'
+               WHEN n_space >= n_punct
+                    AND n_space >= n_chars - n_letter - n_digit
+                                   - n_space - n_punct THEN 'space'
+               WHEN n_punct >= n_chars - n_letter - n_digit
+                              - n_space - n_punct THEN 'punct'
+               ELSE 'other'
+           END AS dominant_class
+    FROM census
+    """,
+)
+def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class census + dominant class.
+
+    Map-only (no shuffle at all): five regexp counts per row inside
+    one codegen'd projection; the class ratios are divisions of exact
+    integers. Dominant class breaks ties by the fixed precedence
+    letter > digit > space > punct > other, encoded as the same
+    nested-CASE in both engines. The charset gate of a curation
+    pipeline (binary/garbage detection) — reference scope analog:
+    SURVEY.md §2.7 scalar-function family."""
+    d = read_table(spark, sf_dir, "documents")
+    base = d.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in _CLASSES
+        ],
+    )
+    n_other = (
+        F.col("n_chars") - F.col("n_letter") - F.col("n_digit")
+        - F.col("n_space") - F.col("n_punct")
+    )
+    dominant = (
+        F.when(
+            (F.col("n_letter") >= F.col("n_digit"))
+            & (F.col("n_letter") >= F.col("n_space"))
+            & (F.col("n_letter") >= F.col("n_punct"))
+            & (F.col("n_letter") >= n_other),
+            "letter",
+        )
+        .when(
+            (F.col("n_digit") >= F.col("n_space"))
+            & (F.col("n_digit") >= F.col("n_punct"))
+            & (F.col("n_digit") >= n_other),
+            "digit",
+        )
+        .when(
+            (F.col("n_space") >= F.col("n_punct"))
+            & (F.col("n_space") >= n_other),
+            "space",
+        )
+        .when(F.col("n_punct") >= n_other, "punct")
+        .otherwise("other")
+    )
+    return base.select(
+        "doc_id", "n_chars", "n_letter", "n_digit", "n_space", "n_punct",
+        n_other.alias("n_other"),
+        (F.col("n_letter").cast("double") / F.col("n_chars")).alias(
+            "letter_ratio"
+        ),
+        dominant.alias("dominant_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM mean likelihood
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_unigram_likelihood",
+    f"""
+    WITH {_TOKS_CTE},
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_n,
+                   CAST(count(*) AS BIGINT) AS vocab_v FROM cnt),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c.c) AS BIGINT) AS sum_tok_freq
+        FROM toks t JOIN cnt c ON t.token = c.token
+        GROUP BY 1
+    )
+    SELECT d.doc_id, d.n_tokens, d.sum_tok_freq,
+           CAST(d.sum_tok_freq + d.n_tokens AS DOUBLE)
+               / (d.n_tokens * (tot.big_n + tot.vocab_v))
+               AS mean_token_prob
+    FROM per_doc d CROSS JOIN tot
+    """,
+)
+def quality_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed unigram probability per document.
+
+    p(w) = (c(w)+1)/(N+V) with corpus totals N (token count) and V
+    (vocab size). Because the denominator is global, the per-doc mean
+    Σp/n = (Σc + n)/(n·(N+V)) — integer aggregates and ONE division,
+    so the double is bit-identical across engines (no logs, no
+    order-dependent float summation). Low scores ≈ high-perplexity
+    outlier docs: the KenLM-filter analog that needs no external model.
+
+    Plan: one token-dim groupBy, an unhinted dim join (AQE chooses
+    broadcast from runtime size — Heaps-law vocab can outgrow a forced
+    hint at corpus scale), a per-doc agg on the doc_id shuffle, and a
+    1-row totals broadcast."""
+    toks = _tokens(read_table(spark, sf_dir, "documents"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab_v"),
+    )
+    per_doc = (
+        toks.join(cnt, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_tok_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "n_tokens", "sum_tok_freq",
+        (
+            (F.col("sum_tok_freq") + F.col("n_tokens")).cast("double")
+            / (F.col("n_tokens") * (F.col("big_n") + F.col("vocab_v")))
+        ).alias("mean_token_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Novel-bigram fraction
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_CTE = """
+    toks_pos AS (
+        SELECT doc_id, i AS pos, ts[i] AS token
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ) t, unnest(range(1, len(ts) + 1)) AS u(i)
+    ),
+    bigrams AS (
+        SELECT a.doc_id,
+               CAST('0x' || substr(md5(a.token || ' ' || b.token), 1, 15)
+                    AS BIGINT) AS bg
+        FROM toks_pos a JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+"""
+
+
+@register(
+    "quality_novel_ngrams",
+    f"""
+    WITH {_BIGRAMS_CTE},
+    cnt AS (SELECT bg, count(*) AS c FROM bigrams GROUP BY 1),
+    per_doc AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM bigrams b JOIN cnt c ON b.bg = c.bg
+        GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_bigrams AS novel_frac
+    FROM per_doc
+    """,
+)
+def quality_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's bigrams that are corpus-unique.
+
+    A corpus-unique bigram (count == 1 — its only occurrence is this
+    one) marks text no other document shares; boilerplate and template
+    spam score near 0, fresh prose near 1. The repetition/redundancy
+    complement of ``quality_unigram_likelihood``.
+
+    Bigrams ride the zip of two array slices (no positional self-join
+    on the Spark side — the oracle's pos-join form is the SQL
+    equivalent) and shuffle as 60-bit md5 longs (dedup_approx
+    discipline: 8-byte keys, engine-identical collisions). Docs with
+    fewer than 2 tokens have no bigrams and drop out in both engines."""
+    d = read_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    bigrams = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", arr.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg_s"),
+        )
+        .select("doc_id", seeded_hash60(F.col("bg_s")).alias("bg"))
+    )
+    cnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigrams.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_bigrams")).alias(
+                "novel_frac"
+            ),
+        )
+    )

@@ -45,6 +45,8 @@ SINGLE_PARTITION_ALLOW = {
     # domain bounded at ≤ 10^6 cells at any corpus size (the
     # positional-median bounded-global-window argument)
     "stats_ks_drift",
+    # 1-row corpus-totals aggregate (N, V) then broadcast
+    "quality_unigram_likelihood",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -63,6 +65,7 @@ CROSS_JOIN_ALLOW = {
     "tpch_q11_important",
     "tpch_q22_dormant",
     "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
+    "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
 }
 
 
