@@ -263,3 +263,72 @@ def training_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+BPE_STEPS = 3
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-step BPE oracle: each step is a pair-count CTE, a
+    1-row argmax CTE, and a merged word table feeding the next step —
+    the SQL mirror of the operator's driver loop."""
+    parts = [
+        """
+    wordcnt AS (
+        SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> '' GROUP BY 1
+    ),
+    w0 AS (
+        SELECT word, n,
+               ' ' || array_to_string(regexp_extract_all(word, '(?s).'), ' ')
+                   || ' </w> ' AS sym
+        FROM wordcnt
+    )"""
+    ]
+    for s in range(1, k + 1):
+        parts.append(f"""
+    p{s} AS (
+        SELECT ts[i] || ' ' || ts[i+1] AS pair,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT n, list_filter(string_split(sym, ' '),
+                                    x -> x <> '') AS ts FROM w{s-1}) t,
+             unnest(range(1, len(ts))) AS u(i)
+        GROUP BY 1
+    ),
+    b{s} AS (SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair LIMIT 1)""")
+        if s < k:
+            parts.append(f"""
+    w{s} AS (
+        SELECT word, n,
+               replace(replace(sym,
+                   ' ' || b{s}.pair || ' ',
+                   ' ' || replace(b{s}.pair, ' ', '') || ' '),
+                   ' ' || b{s}.pair || ' ',
+                   ' ' || replace(b{s}.pair, ' ', '') || ' ') AS sym
+        FROM w{s-1} CROSS JOIN b{s}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, pair,"
+        f" replace(pair, ' ', '') AS new_symbol, cnt AS pair_count FROM b{s}"
+        for s in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + selects
+
+
+@register("training_bpe_merges", _bpe_oracle(BPE_STEPS))
+def training_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First k=3 BPE merges trained on the corpus (operators/bpe.py).
+
+    The real subword-tokenizer induction step, in the scalable
+    distinct-word form: per iteration one pair-count shuffle over the
+    Heaps-law word table and ONE collected argmax row. The merge list
+    IS the trained artifact — k rows out regardless of corpus size."""
+    from ..operators.bpe import bpe_merge_steps
+
+    return bpe_merge_steps(read_table(spark, sf_dir, "documents"), k=BPE_STEPS)
