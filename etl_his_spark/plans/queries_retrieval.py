@@ -1,0 +1,239 @@
+"""Retrieval-family queries: BM25 keyword ranking and asymmetric
+containment dedup — the "find related documents" stage of a corpus
+pipeline (dedup finds near-copies; retrieval finds topical matches).
+
+Float discipline (module-wide): scores are arithmetic over exact
+integer aggregates plus the literals 0.5/0.25/0.75/1.2/2.2, with the
+EXPRESSION TREE mirrored operation-for-operation in the oracle —
+IEEE +,-,*,/ are correctly rounded, so identical trees on identical
+inputs give bit-identical doubles. The one float hazard, summing a
+variable number of per-term scores in engine-dependent row order, is
+eliminated by pivoting the fixed term list into a fixed-order
+coalesce chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import read_table
+
+# Fixed keyword query for the gate (terms present in the fixture
+# vocabulary). K1/B are the standard BM25 constants.
+BM25_TERMS = ["spark", "hash", "merge"]
+TOP_K = 10
+
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id, tok AS token
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> ''
+    )
+"""
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "retrieval_bm25_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS d_docs,
+                   CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE token IN ({_terms_sql()}) GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+        -- literals as e-notation so DuckDB types them DOUBLE (a bare
+        -- 2.2 parses as DECIMAL, whose exact arithmetic diverges from
+        -- Spark's IEEE doubles in the last ulp)
+        SELECT tf.doc_id, tf.token,
+               ((tot.d_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+               * ((tf.tf * 2.2e0)
+                  / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0
+                     * (dl.dl / (CAST(tot.n_toks AS DOUBLE) / tot.d_docs)))))
+                   AS contrib
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               coalesce(max(CASE WHEN token = 'spark' THEN contrib END), 0.0e0)
+             + coalesce(max(CASE WHEN token = 'hash' THEN contrib END), 0.0e0)
+             + coalesce(max(CASE WHEN token = 'merge' THEN contrib END), 0.0e0)
+                   AS score
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms, score FROM agg
+    ORDER BY score DESC, doc_id LIMIT {TOP_K}
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{10} documents for a fixed keyword query under BM25-style
+    ranking (k1=1.2, b=0.75).
+
+    The idf factor is the rational core (N − df + ½)/(df + ½) rather
+    than its logarithm — log needs libm and would break bit-exact
+    oracle comparison; per term the ranking it induces is identical
+    (monotone transform) and the documented tradeoff is that
+    multi-term sums weight rare terms more steeply than log-idf.
+
+    Plan: token explode → tf agg FILTERED TO THE TERM LIST before the
+    shuffle (predicate pushdown does the 1000×-selectivity work), a
+    ≤|terms|-row df table and 1-row totals both broadcast, doc-length
+    join on the doc_id shuffle, fixed-order pivot sum, and a global
+    top-k via orderBy+limit — TakeOrdered, per-partition heaps, no
+    single-partition exchange at any corpus size."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("token"),
+        )
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("d_docs"),
+        F.sum("dl").cast("long").alias("n_toks"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    avgdl = F.col("n_toks").cast("double") / F.col("d_docs")
+    contrib = (
+        (F.col("d_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "token", contrib.alias("contrib"))
+    )
+    pick = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("contrib"))), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    score = pick[0] + pick[1] + pick[2]
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8
+# Posting-list cap — the winnowing/overlap_pairs df-cap discipline: a
+# shingle occurring in more than DF_CAP docs contributes candidate
+# pairs quadratically and discriminates nothing; capping it is PART OF
+# THE OPERATOR SPEC (mirrored in the oracle), not an approximation the
+# oracle can see.
+CONTAIN_DF_CAP = 50
+
+
+from .queries_dedup import _SHINGLES_CTE  # noqa: E402  (canonical shingle SQL)
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    freq AS (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+        HAVING count(*) <= {CONTAIN_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN freq f ON a.shingle = f.shingle
+                  JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.a_id, i.b_id, i.n_common, sa.n_sh AS n_a,
+           CAST(i.n_common AS DOUBLE) / sa.n_sh AS containment
+    FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / sa.n_sh >= {CONTAIN_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs (a, b) where ≥80% of a's shingles also appear in
+    b — the ASYMMETRIC near-dup relation Jaccard misses: a short doc
+    quoted wholesale inside a long one has high containment but low
+    Jaccard (the union is dominated by b).
+
+    Inverted-index join over 3-word shingles carried as 60-bit md5
+    longs, with posting lists df-capped at {50} BEFORE the self-join
+    (the quadratic-blowup guard; the cap is part of the operator's
+    spec and mirrored in the oracle — an ultra-common shingle
+    identifies nothing). Containment n_common/|a| is one division of
+    exact integers. Scale path beyond the cap: one-sided minhash
+    (bottom-k of a only) — same banding machinery as
+    minhash_lsh_candidates."""
+    from ..operators.dedup_approx import shingle_rows
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d).localCheckpoint(eager=True)
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(freq, "shingle")
+        .join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    contain = F.col("n_common").cast("double") / F.col("n_a")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a")),
+            "a_id",
+        )
+        .filter(contain >= CONTAIN_THRESHOLD)
+        .select("a_id", "b_id", "n_common", "n_a", contain.alias("containment"))
+    )

@@ -62,6 +62,7 @@ from .plans import queries_funnel  # noqa: E402,F401
 from .plans import queries_vocab  # noqa: E402,F401
 from .plans import queries_streaming  # noqa: E402,F401
 from .plans import queries_lm  # noqa: E402,F401
+from .plans import queries_retrieval  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.

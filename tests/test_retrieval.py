@@ -1,0 +1,117 @@
+"""Retrieval-query tests: pure-Python BM25 and containment references
+compared exactly against the gate queries."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from etl_his_spark.plans.queries_retrieval import (
+    BM25_TERMS,
+    CONTAIN_DF_CAP,
+    CONTAIN_THRESHOLD,
+    TOP_K,
+)
+from etl_his_spark.registry import QUERIES
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    return [(r["doc_id"], r["text"]) for r in t if r["text"] is not None]
+
+
+def test_bm25_matches_reference(spark, sf_dir):
+    docs = _docs(sf_dir)
+    toks = {d: [w for w in t.strip().split(" ") if w] for d, t in docs}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    d_docs = len(dl)
+    n_toks = sum(dl.values())
+    avgdl = n_toks / d_docs
+    tf = {d: Counter(w for w in ws if w in BM25_TERMS) for d, ws in toks.items()}
+    df = Counter()
+    for d, c in tf.items():
+        df.update(c.keys())
+    scores = {}
+    for d, c in tf.items():
+        if not c:
+            continue
+        s = 0.0
+        for t in BM25_TERMS:  # fixed term order, like the pivot sum
+            if t not in c:
+                continue
+            idf = (d_docs - df[t] + 0.5) / (df[t] + 0.5)
+            s += idf * ((c[t] * 2.2) / (c[t] + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))))
+        scores[d] = (s, len(c))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:TOP_K]
+    got = [
+        (r["doc_id"], (r["score"], r["n_terms"]))
+        for r in QUERIES["retrieval_bm25_topk"](spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def _shingles(text):
+    ws = text.strip().split(" ")  # NO empty-filter — shingle_rows rule
+    out = set()
+    for i in range(len(ws) - 2):
+        s = " ".join(ws[i : i + 3])
+        out.add(int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+    return out
+
+
+def test_containment_matches_reference(spark, sf_dir):
+    docs = _docs(sf_dir)
+    sh = {d: _shingles(t) for d, t in docs}
+    sh = {d: s for d, s in sh.items() if s}
+    post = defaultdict(set)
+    for d, s in sh.items():
+        for x in s:
+            post[x].add(d)
+    want = {}
+    for x, ds in post.items():
+        if len(ds) > CONTAIN_DF_CAP:
+            continue
+        for a in ds:
+            for b in ds:
+                if a != b:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    rows = {
+        (a, b): (n, len(sh[a]), n / len(sh[a]))
+        for (a, b), n in want.items()
+        if n / len(sh[a]) >= CONTAIN_THRESHOLD
+    }
+    got = {
+        (r["a_id"], r["b_id"]): (r["n_common"], r["n_a"], r["containment"])
+        for r in QUERIES["dedup_containment_pairs"](spark, sf_dir).collect()
+    }
+    assert got == rows
+
+
+def test_containment_is_asymmetric(spark):
+    # a ⊂ b wholesale: containment(a→b) = 1, containment(b→a) < 0.8
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("containment_tmp")
+
+    from etl_his_spark.operators.dedup_approx import shingle_rows
+
+    sh = shingle_rows(df)
+    import pyspark.sql.functions as F
+
+    sizes = {r["doc_id"]: r["n"] for r in
+             sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert common / sizes[1] == 1.0
+    assert common / sizes[2] < CONTAIN_THRESHOLD

@@ -47,6 +47,8 @@ SINGLE_PARTITION_ALLOW = {
     "stats_ks_drift",
     # 1-row corpus-totals aggregate (N, V) then broadcast
     "quality_unigram_likelihood",
+    # 1-row (D, N) corpus-totals aggregate then broadcast
+    "retrieval_bm25_topk",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -66,6 +68,7 @@ CROSS_JOIN_ALLOW = {
     "tpch_q22_dormant",
     "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
     "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
+    "retrieval_bm25_topk",  # broadcast of the 1-row (D, N) totals
 }
 
 
