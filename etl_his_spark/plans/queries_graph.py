@@ -1,0 +1,127 @@
+"""Graph analytics over the trade graph: PageRank in fixed-point
+integer arithmetic.
+
+The supplier↔customer trade graph (who ships to whom, weighted by
+lineitem count) is the TPC-H analog of a web/link graph; PageRank over
+it ranks the most systemically-connected parties. Two design choices
+make it exact-oracle verifiable and 100 TB-shaped:
+
+* **Fixed-point integers, not doubles.** Ranks are micro-units
+  (r₀ = 10⁶); per-edge contributions use integer floor division
+  ``(r·w) div W_out`` and damping is ``150000 + (85·Σ) div 100`` —
+  every intermediate is a BIGINT, so the cross-engine comparison is
+  hash-exact with NO float-summation order hazard (a double PageRank
+  sums contributions in engine-dependent row order). Production would
+  use doubles; the floor-loss here is ≤ degree micro-units per node
+  per iteration — noise at rank scale, and IDENTICAL in both engines.
+* **Fixed iteration count, unrolled.** k=2 iterations as chained
+  join→agg stages (the oracle unrolls the same two CTE rounds). Each
+  iteration is exactly one shuffle of the edge list joined with the
+  node-keyed rank frame — the iterative-algorithm shape of
+  graph.connected_components, with the convergence loop replaced by a
+  fixed horizon so the plan is static and SQL-expressible.
+
+Undirected symmetrization (both edge directions) guarantees every
+node has out-weight, so there is no dangling-mass term to model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import read_table
+
+PR_ITERS = 2
+PR_UNIT = 1_000_000  # r0 in micro-units
+PR_BASE = 150_000    # (1 - d) * PR_UNIT with d = 0.85
+
+
+def _pagerank_oracle(k: int) -> str:
+    parts = [f"""
+    base AS (
+        SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS s_node,
+               'C' || CAST(o_custkey AS VARCHAR) AS c_node,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT s_node AS src, c_node AS dst, w FROM base
+        UNION ALL
+        SELECT c_node AS src, s_node AS dst, w FROM base
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+             FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST({PR_UNIT} AS BIGINT) AS r FROM outw)"""]
+    for s in range(1, k + 1):
+        parts.append(f""",
+    c{s} AS (
+        SELECT e.dst AS node,
+               CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS contrib
+        FROM edges e JOIN r{s-1} p ON e.src = p.node
+                     JOIN outw o ON e.src = o.src
+        GROUP BY 1
+    ),
+    r{s} AS (SELECT node,
+                    CAST({PR_BASE} + (85 * contrib) // 100 AS BIGINT) AS r
+             FROM c{s})""")
+    return (
+        "WITH" + "".join(parts)
+        + f"\n    SELECT node, r AS rank FROM r{k}"
+    )
+
+
+@register("graph_pagerank_trade", _pagerank_oracle(PR_ITERS))
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, k=2, fixed-point micro-units) over the
+    undirected supplier↔customer trade graph — module docstring has
+    the exactness/scale rationale."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "s_node"
+            ),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "c_node"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = base.select(
+        F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"
+    ).unionByName(
+        base.select(
+            F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+        )
+    )
+    # edges feeds outw + one join per iteration: materialize once
+    # (dedup_approx eager-checkpoint discipline for multi-consumer
+    # frames whose stages launch concurrently).
+    edges = edges.localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    ranks = outw.select(
+        F.col("src").alias("node"), F.lit(PR_UNIT).cast("long").alias("r")
+    )
+    ew = edges.join(outw, "src")
+    for _ in range(PR_ITERS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                "dst",
+                F.expr("(r * w) div wout").cast("long").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(PR_BASE) + F.expr("(85 * contrib) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

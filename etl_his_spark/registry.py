@@ -63,6 +63,7 @@ from .plans import queries_vocab  # noqa: E402,F401
 from .plans import queries_streaming  # noqa: E402,F401
 from .plans import queries_lm  # noqa: E402,F401
 from .plans import queries_retrieval  # noqa: E402,F401
+from .plans import queries_graph  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
