@@ -238,3 +238,85 @@ def streaming_sessionize_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("session_end") < F.lit(horizon))
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (stateful dropDuplicates under the gate)
+# ---------------------------------------------------------------------------
+
+_DOC_REPLAY_DIRS: dict[str, str] = {}
+
+
+def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-file replay copy of ``documents`` for the file streaming
+    source (same rationale as ``_events_replay_dir``: several files →
+    several micro-batches → real incremental state updates)."""
+    if sf_dir not in _DOC_REPLAY_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"etl_his_spark_docreplay_{os.getpid()}_{len(_DOC_REPLAY_DIRS)}",
+        )
+        read_table(spark, sf_dir, "documents").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        _DOC_REPLAY_DIRS[sf_dir] = out
+    return _DOC_REPLAY_DIRS[sf_dir]
+
+
+@register(
+    "streaming_dedup_agree",
+    r"""
+    SELECT DISTINCT
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint,
+           CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS BIGINT) AS norm_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def streaming_dedup_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — stateful ``dropDuplicates`` on the
+    normalized-content fingerprint over a multi-file replay, the
+    ingestion-time twin of ``dedup_exact``.
+
+    Determinism design: WHICH raw row survives per fingerprint depends
+    on micro-batch arrival order, so the gate emits only columns
+    functionally determined by the fingerprint itself (the md5 and the
+    normalized length) — the surviving SET is deterministic even
+    though the surviving rows are not. The batch oracle is a plain
+    DISTINCT over the same normalization (dedup_exact's md5 CTE).
+
+    State scale: one state row per distinct fingerprint, keyed and
+    partitioned by fingerprint hash. On an unbounded 100 TB ingest the
+    production form bounds state with
+    ``dropDuplicatesWithinWatermark`` (content re-appearing after the
+    ingest watermark is a new logical version); the fixture documents
+    carry no event time, so the gate runs the unbounded-state form on
+    the bounded replay.
+
+    STREAM-EFFECTFUL: runs the stream to completion on invocation."""
+    replay = _docs_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_dedup_gate")
+    schema = read_table(spark, sf_dir, "documents").schema
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(replay)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.md5(norm).alias("fingerprint"),
+            F.length(norm).cast("long").alias("norm_len"),
+        )
+        .dropDuplicates(["fingerprint"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("fingerprint", "norm_len")

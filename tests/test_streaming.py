@@ -378,3 +378,42 @@ def test_streaming_attribution_gate_deterministic(spark, sf_dir):
     horizon = max_ts - timedelta(hours=3)
     assert all(r[2] < horizon for r in rows_a)  # session_end column
     assert all(r[4] > 0 for r in rows_a)  # n_purchases
+
+
+def test_streaming_dedup_drops_exact_duplicates(spark, tmp_path):
+    """Crafted duplicates (case/whitespace variants included) collapse
+    to one state row per normalized fingerprint across micro-batches."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "hello world", "en", "a", 11),
+        (2, "HELLO   world", "en", "b", 13),   # normalizes to the same
+        (3, "different doc", "en", "a", 13),
+        (4, "hello world", "en", "c", 11),     # literal repeat
+        (5, None, "en", "a", 0),               # filtered
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = str(tmp_path / "docs")
+    df.repartition(4).write.parquet(src)
+
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    name = f"dedup_test_{id(df)}"
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("text").isNotNull())
+        .select(F.md5(norm).alias("fingerprint"), F.length(norm).cast("long").alias("norm_len"))
+        .dropDuplicates(["fingerprint"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    assert len(got) == 2  # {hello world, different doc}
+    assert {r["norm_len"] for r in got} == {11, 13}
