@@ -327,3 +327,92 @@ def banded_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-cell IVF top-k: the LEARNED-partition counterpart of
+    the sign-bucket variants (data-adaptive cells follow the actual
+    density instead of fixed hyperplanes — the FAISS IVF-flat shape).
+
+    Index build = one Lloyd assignment pass (deterministic lowest-id
+    centroid init, ``operators/clustering.kmeans_assign``): every
+    candidate vector gets its nearest of ``n_cells`` centroids — a
+    pure projection, the centroid list being driver-sized literals.
+    Queries rank ALL cell distances map-side (an array_sort over
+    (rounded-d2, cell) structs — the same tie-break as the assignment
+    argmin) and probe their ``nprobe`` nearest cells, recovering the
+    boundary-straddling neighbors nprobe=1 loses. Exact cosine within
+    probed cells; the join is an equi-join on cell id, shuffle-
+    partitioned so each of a 1000-executor cluster's tasks scans its
+    cells locally. Expected scan fraction ≈ nprobe/n_cells of brute
+    force (density-skew caveat: hot cells scan more — the bucket_cap
+    guard from banded_neardup_pairs applies if cells skew)."""
+    from .clustering import _sq_dist, kmeans_assign
+
+    # deterministic lowest-id centroid init (k rows to the driver —
+    # the bounded fetch the clustering module documents)
+    cents = [
+        list(r["e"])
+        for r in vectors.select(id_col, to_double_array(vec_col).alias("e"))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    ]
+    assigned = kmeans_assign(vectors, k=n_cells, centroids=cents).select(
+        F.col(id_col).alias("cand_id"), F.col("cluster_id").alias("cell")
+    )
+    v = _prep(vectors, id_col, vec_col, "cand").withColumn(
+        "c_norm", norm(F.col("cand_vec"))
+    )
+    cand = assigned.join(
+        v, "cand_id"
+    )  # (cand_id, cell, cand_vec, c_norm)
+
+    qv = _prep(queries, id_col, vec_col, "query").withColumn(
+        "q_norm", norm(F.col("query_vec"))
+    )
+    cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist(F.col("query_vec"), c), 6).alias("d2"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    probes = qv.select(
+        "query_id", "query_vec", "q_norm",
+        F.explode(F.slice(cells, 1, nprobe)).alias("p"),
+    ).select("query_id", "query_vec", "q_norm", F.col("p.cell").alias("cell"))
+
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            (
+                dot(F.col("query_vec"), F.col("cand_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

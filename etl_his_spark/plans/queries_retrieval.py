@@ -237,3 +237,81 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(contain >= CONTAIN_THRESHOLD)
         .select("a_id", "b_id", "n_common", "n_a", contain.alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (centroid cells — the learned-partition index)
+# ---------------------------------------------------------------------------
+
+from .queries_dedup import _VECS_CTE  # noqa: E402  (canonical vector CTE)
+
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+# kmeans-cell CTEs shared with the embedding_kmeans_* oracles: same
+# deterministic lowest-id init, same rounded-d2/cell tie-break.
+_IVF_CTE = f"""
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {IVF_CELLS})
+    ),
+    dists AS (
+        SELECT v.vec_id, c.cell,
+               round(list_sum(list_transform(generate_series(1, len(v.e)),
+                     i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), 6) AS d2
+        FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cell) AS rk FROM dists)
+        WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cell) AS rk
+              FROM dists WHERE vec_id < 10)
+        WHERE rk <= {IVF_NPROBE}
+    )
+"""
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH {_VECS_CTE},
+    {_IVF_CTE},
+    scored AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(qv.e, cv.e) AS sim
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        JOIN v qv ON qv.vec_id = p.vec_id
+        JOIN v cv ON cv.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-5 over LEARNED centroid cells (k=8, nprobe=2) —
+    completing the ANN family: brute force (ground truth) →
+    sign-bucket LSH (fixed hyperplanes) → multi-probe → IVF
+    (data-adaptive cells, the FAISS shape). Index build is one
+    deterministic Lloyd assignment; queries rank all cell distances
+    map-side and probe their 2 nearest cells; exact cosine inside the
+    probed cells rides an equi-join on cell id. See
+    ``operators/similarity.ivf_topk``."""
+    from ..operators.similarity import ivf_topk
+
+    vectors = read_table(spark, sf_dir, "embeddings")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        vectors, queries, 5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE
+    )

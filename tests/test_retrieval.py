@@ -115,3 +115,34 @@ def test_containment_is_asymmetric(spark):
     )
     assert common / sizes[1] == 1.0
     assert common / sizes[2] < CONTAIN_THRESHOLD
+
+
+def test_ivf_recall_dominates_sign_buckets(spark, sf_dir):
+    """Learned centroid cells track the data's density; fixed sign
+    hyperplanes don't. Measured at sf0.001: IVF(nprobe=2) recall 0.86
+    vs sign-bucket 0.14 against the exact top-5 — pin a conservative
+    floor and the dominance."""
+    from etl_his_spark.registry import QUERIES
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_topk_bruteforce"](spark, sf_dir)
+        .filter("rank <= 5")
+        .collect()
+    }
+    ivf_rows = QUERIES["ann_topk_ivf"](spark, sf_dir).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    sb = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_topk_bucketed"](spark, sf_dir).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.7
+    assert len(bf & ivf) > len(bf & sb)
+    # structure: ≤5 per query, self excluded, ranks contiguous from 1
+    per_q = {}
+    for r in ivf_rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
