@@ -86,6 +86,18 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "embedding_gram_matrix",
     "contrastive_triplets",
+    # round-6 second wave: LM-statistics quality scores, BPE merge
+    # induction, BM25 retrieval, containment dedup, fixed-point
+    # PageRank, IVF ANN, streaming dedup — same no-unmeasured-ops
+    # rationale.
+    "quality_unigram_likelihood",
+    "quality_novel_ngrams",
+    "training_bpe_merges",
+    "retrieval_bm25_topk",
+    "dedup_containment_pairs",
+    "graph_pagerank_trade",
+    "ann_topk_ivf",
+    "streaming_dedup_agree",
 ]
 
 

@@ -99,10 +99,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
         )
     )
-    # edges feeds outw + one join per iteration: materialize once
-    # (dedup_approx eager-checkpoint discipline for multi-consumer
-    # frames whose stages launch concurrently).
-    edges = edges.localCheckpoint(eager=True)
+    # edges feeds outw + one join per iteration: checkpoint once so no
+    # consumer recomputes the base join. LAZY, measured (sf0.1, min of
+    # 3 interleaved quiesced runs): lazy 3.9 s / eager 4.4 s / none
+    # 4.2 s-with-12 s-spikes — unlike the dedup frames, the first
+    # consumer here (outw) is a cheap serial agg, so lazy's
+    # materialize-on-first-use costs nothing extra and skips eager's
+    # blocking pass; no-checkpoint race-recomputes the join per
+    # consumer (the spiky tail).
+    edges = edges.localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
     ranks = outw.select(
         F.col("src").alias("node"), F.lit(PR_UNIT).cast("long").alias("r")

@@ -204,37 +204,46 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers. Scale path beyond the cap: one-sided minhash
     (bottom-k of a only) — same banding machinery as
     minhash_lsh_candidates."""
+    from pyspark.sql import Window
+
     from ..operators.dedup_approx import shingle_rows
 
     d = read_table(spark, sf_dir, "documents")
     sh = shingle_rows(d).localCheckpoint(eager=True)
-    freq = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df AND |doc| as count windows on the one checkpointed frame (the
+    # jaccard_pairs_prefix single-shuffle discipline: a groupBy +
+    # join-back per statistic would shuffle sh twice more); |doc| is
+    # computed BEFORE the df-cap filter — the containment denominator
+    # is ALL of a's shingles, capped or not. The filtered frame feeds
+    # both self-join sides, so the second side is a reused exchange,
+    # not a recompute.
+    stats = (
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .withColumn(
+            "n_sh",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long"),
+        )
         .filter(F.col("df") <= CONTAIN_DF_CAP)
-        .select("shingle")
+        .select("doc_id", "shingle", "n_sh")
     )
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = stats.alias("a")
+    b = stats.alias("b")
     inter = (
-        a.join(freq, "shingle")
-        .join(b, "shingle")
+        a.join(b, "shingle")
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.max("a.n_sh").alias("n_a"),  # constant per a_id
+        )
     )
     contain = F.col("n_common").cast("double") / F.col("n_a")
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a")),
-            "a_id",
-        )
-        .filter(contain >= CONTAIN_THRESHOLD)
+        inter.filter(contain >= CONTAIN_THRESHOLD)
         .select("a_id", "b_id", "n_common", "n_a", contain.alias("containment"))
     )
 
