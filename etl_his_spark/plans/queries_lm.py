@@ -175,10 +175,11 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "quality_unigram_likelihood",
-    f"""
-    WITH {_TOKS_CTE},
+# Shared CTE chain: per-doc unigram-LM aggregates + corpus totals.
+# quality_unigram_likelihood selects it directly;
+# training_curriculum_deciles composes the decile assignment on top.
+_UNIGRAM_SCORE_CTE = f"""
+    {_TOKS_CTE},
     cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_n,
                    CAST(count(*) AS BIGINT) AS vocab_v FROM cnt),
@@ -188,12 +189,22 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(c.c) AS BIGINT) AS sum_tok_freq
         FROM toks t JOIN cnt c ON t.token = c.token
         GROUP BY 1
+    ),
+    udoc AS (
+        SELECT d.doc_id, d.n_tokens, d.sum_tok_freq,
+               CAST(d.sum_tok_freq + d.n_tokens AS DOUBLE)
+                   / (d.n_tokens * (tot.big_n + tot.vocab_v))
+                   AS mean_token_prob
+        FROM per_doc d CROSS JOIN tot
     )
-    SELECT d.doc_id, d.n_tokens, d.sum_tok_freq,
-           CAST(d.sum_tok_freq + d.n_tokens AS DOUBLE)
-               / (d.n_tokens * (tot.big_n + tot.vocab_v))
-               AS mean_token_prob
-    FROM per_doc d CROSS JOIN tot
+"""
+
+
+@register(
+    "quality_unigram_likelihood",
+    f"""
+    WITH {_UNIGRAM_SCORE_CTE}
+    SELECT doc_id, n_tokens, sum_tok_freq, mean_token_prob FROM udoc
     """,
 )
 def quality_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,5 +332,66 @@ def quality_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel").cast("double") / F.col("n_bigrams")).alias(
                 "novel_frac"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum deciles over the LM quality score
+# ---------------------------------------------------------------------------
+
+N_CURRICULUM_BUCKETS = 10
+
+
+@register(
+    "training_curriculum_deciles",
+    f"""
+    WITH {_UNIGRAM_SCORE_CTE},
+    ranked AS (
+        SELECT doc_id, n_tokens, mean_token_prob,
+               row_number() OVER (ORDER BY mean_token_prob, doc_id) AS rnk,
+               count(*) OVER () AS n
+        FROM udoc
+    )
+    SELECT CAST(((rnk - 1) * {N_CURRICULUM_BUCKETS}) // n AS BIGINT)
+               AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(mean_token_prob) AS min_score,
+           max(mean_token_prob) AS max_score
+    FROM ranked GROUP BY 1
+    """,
+)
+def training_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: documents ranked by the unigram-LM
+    quality score and cut into 10 even deciles (low-likelihood outlier
+    text in bucket 0, template-like high-likelihood text in 9), with
+    per-decile doc/token mass — the stage a curriculum-ordered or
+    quality-thresholded training run consumes.
+
+    Scale: the global rank comes from ``surrogate.dense_ids`` (range
+    repartition + per-partition row_number + broadcast offsets — the
+    PARALLEL global-order scheme), NOT a single-partition window; the
+    decile is the even-spread formula ((rank−1)·10) div n, mirrored
+    exactly in the oracle (SQL NTILE front-loads remainders —
+    different assignment, deliberately not used). n reaches the driver
+    as one scalar (the streaming-gate max-ts discipline)."""
+    from ..operators.surrogate import dense_ids
+
+    scored = quality_unigram_likelihood(spark, sf_dir)
+    n = scored.count()
+    ranked = dense_ids(
+        scored, [F.col("mean_token_prob"), F.col("doc_id")], id_col="rnk"
+    )
+    decile = (
+        ((F.col("rnk") - 1) * N_CURRICULUM_BUCKETS) / F.lit(n)
+    ).cast("long")
+    return (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("mean_token_prob").alias("min_score"),
+            F.max("mean_token_prob").alias("max_score"),
         )
     )

@@ -324,3 +324,87 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         vectors, queries, 5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-dimension embedding standardization
+# ---------------------------------------------------------------------------
+
+EMB_DIMS = 64
+_MICRO = 1_000_000
+
+
+@register(
+    "embedding_standardize",
+    f"""
+    WITH {_VECS_CTE},
+    comp AS (
+        SELECT CAST(gs.dim AS INT) - 1 AS dim, v.e[gs.dim] AS x
+        FROM v, generate_series(1, {EMB_DIMS}) AS gs(dim)
+    ),
+    m AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(x * {_MICRO}) AS BIGINT)) AS BIGINT) AS s1
+        FROM comp GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.dim,
+               CAST(ROUND((c.x - CAST(m.s1 AS DOUBLE) / m.n / {_MICRO})
+                          * {_MICRO}) AS BIGINT) AS d
+        FROM comp c JOIN m ON c.dim = m.dim
+    ),
+    s AS (
+        SELECT dim, CAST(SUM(d * d) AS BIGINT) AS s2 FROM dev GROUP BY 1
+    )
+    SELECT m.dim, m.n,
+           CAST(m.s1 AS DOUBLE) / m.n / {_MICRO} AS mean,
+           sqrt(CAST(s.s2 AS DOUBLE) / m.n / {_MICRO} / {_MICRO}) AS std
+    FROM m JOIN s ON m.dim = s.dim
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding table — the feature-
+    scaling statistics a pipeline fits before quantization or PQ
+    training, computed EXACTLY in two fixed-point passes.
+
+    Float discipline: components are micro-fixed-pointed BEFORE each
+    sum (the kmeans_update cents trick), so both aggregations are
+    exact BIGINT addition with no order-dependent float merge; the
+    mean is a fixed division chain and the std one IEEE sqrt (which
+    754 requires correctly rounded — bit-exact cross-engine). Pass 2
+    re-centers against the pass-1 mean via a {EMB_DIMS}-row broadcast.
+    Overflow headroom: Σd² per dim ≈ n·(σ·10⁶)² — fits BIGINT up to
+    ~10⁹ unit-variance rows per dim; shard the sum (sub-aggregates)
+    beyond that."""
+    from ..functions.vector import to_double_array
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        to_double_array("embedding").alias("e")
+    )
+    comp = v.select(
+        F.posexplode("e").alias("dim", "x")
+    )
+    m = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("x") * _MICRO).cast("long"))
+        .cast("long")
+        .alias("s1"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / _MICRO
+    dev = comp.join(F.broadcast(m), "dim").select(
+        "dim",
+        F.round((F.col("x") - mean) * _MICRO).cast("long").alias("d"),
+    )
+    s = dev.groupBy("dim").agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2")
+    )
+    return (
+        m.join(s, "dim")
+        .select(
+            "dim", "n",
+            mean.alias("mean"),
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("n") / _MICRO / _MICRO
+            ).alias("std"),
+        )
+    )

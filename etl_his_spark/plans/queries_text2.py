@@ -281,3 +281,95 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global window; the (count, token) key makes ties deterministic.
     top = counts.orderBy(F.col("true_n").desc(), F.col("token")).limit(20)
     return count_min_probe(top, counters, "token")
+
+
+@register(
+    "stats_winsorized",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    bounds AS (
+        SELECT o_orderpriority,
+               max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                        THEN cents END) AS lo,
+               max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN cents END) AS hi
+        FROM ranked GROUP BY 1
+    ),
+    clipped AS (
+        SELECT r.o_orderpriority, b.lo, b.hi,
+               CASE WHEN cents < lo THEN lo
+                    WHEN cents > hi THEN hi ELSE cents END AS c,
+               CASE WHEN cents < lo THEN 1 ELSE 0 END AS is_lo,
+               CASE WHEN cents > hi THEN 1 ELSE 0 END AS is_hi
+        FROM ranked r JOIN bounds b USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(lo) AS DOUBLE) / 100 AS p05,
+           CAST(max(hi) AS DOUBLE) / 100 AS p95,
+           CAST(sum(is_lo) AS BIGINT) AS n_clipped_low,
+           CAST(sum(is_hi) AS BIGINT) AS n_clipped_high,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100 AS winsorized_mean
+    FROM clipped GROUP BY 1
+    """,
+)
+def stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value statistics per priority class: clamp to
+    the positional [p05, p95] (percentile_disc semantics — the
+    stats_p95_group idiom) and report the robust mean plus clip
+    counts. The outlier-tolerant complement of stats_outliers_mad.
+
+    Exactness: values ride as integer cents; the winsorized mean is
+    one integer sum then a fixed division chain. Scale: both windows
+    partition by the priority stratum; no global window anywhere."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clipped = ranked.join(bounds, "o_orderpriority").select(
+        "o_orderpriority", "lo", "hi",
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+        .alias("c"),
+        F.when(F.col("cents") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("cents") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.max("lo").cast("double") / 100).alias("p05"),
+        (F.max("hi").cast("double") / 100).alias("p95"),
+        F.sum("is_lo").cast("long").alias("n_clipped_low"),
+        F.sum("is_hi").cast("long").alias("n_clipped_high"),
+        (F.sum("c").cast("double") / F.count(F.lit(1)) / 100).alias(
+            "winsorized_mean"
+        ),
+    )

@@ -102,3 +102,72 @@ def test_novel_ngrams_exact(spark, sf_dir):
         assert r["n_bigrams"] == len(bgs)
         assert r["n_novel"] == novel
         assert r["novel_frac"] == novel / len(bgs)
+
+
+def test_curriculum_deciles_partition_evenly(spark, sf_dir):
+    rows = QUERIES["training_curriculum_deciles"](spark, sf_dir).collect()
+    scored = QUERIES["quality_unigram_likelihood"](spark, sf_dir).collect()
+    n = len(scored)
+    assert sum(r["n_docs"] for r in rows) == n
+    sizes = {r["decile"]: r["n_docs"] for r in rows}
+    assert set(sizes) == set(range(10))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # decile score ranges are non-overlapping and ordered
+    ordered = sorted(rows, key=lambda r: r["decile"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_score"] <= b["min_score"]
+
+
+def test_embedding_standardize_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = np.array(
+        [list(r["embedding"]) for r in
+         pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()],
+        dtype=np.float64,
+    )
+    out = {r["dim"]: r for r in QUERIES["embedding_standardize"](spark, sf_dir).collect()}
+    n = emb.shape[0]
+    for dim in range(emb.shape[1]):
+        x = emb[:, dim]
+        s1 = int(np.round(x * 1_000_000).astype(np.int64).sum())
+        mean = s1 / n / 1_000_000
+        d = np.round((x - mean) * 1_000_000).astype(np.int64)
+        s2 = int((d * d).sum())
+        std = float(np.sqrt(s2 / n / 1_000_000 / 1_000_000))
+        r = out[dim]
+        assert r["n"] == n
+        assert r["mean"] == mean
+        assert r["std"] == std
+
+
+def test_winsorized_reference(spark, sf_dir):
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], []).append(
+            (r["o_totalprice"], r["o_orderkey"])
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["stats_winsorized"](spark, sf_dir).collect()
+    }
+    for prio, vals in by_prio.items():
+        vals.sort()
+        cents = [round(v * 100) for v, _ in vals]
+        n = len(cents)
+        lo = cents[math.ceil(0.05 * n) - 1]
+        hi = cents[math.ceil(0.95 * n) - 1]
+        clipped = [min(max(c, lo), hi) for c in cents]
+        r = got[prio]
+        assert r["n_orders"] == n
+        assert r["p05"] == lo / 100
+        assert r["p95"] == hi / 100
+        assert r["n_clipped_low"] == sum(c < lo for c in cents)
+        assert r["n_clipped_high"] == sum(c > hi for c in cents)
+        assert r["winsorized_mean"] == sum(clipped) / n / 100
