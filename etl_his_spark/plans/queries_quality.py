@@ -370,3 +370,101 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(diff).cast("double") / (F.max("na") * F.max("nb"))
         ).alias("ks"),
     )
+
+
+@register(
+    "table_analyze_stats",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM o
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM o
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+    FROM o
+    UNION ALL
+    SELECT 'price_cents', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(price_cents) AS BIGINT),
+           CAST(count(DISTINCT price_cents) AS BIGINT),
+           CAST(min(price_cents) AS VARCHAR), CAST(max(price_cents) AS VARCHAR)
+    FROM o
+    """,
+)
+def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE analog: per-column row/null/distinct counts and
+    min/max over orders — the statistics a cost-based optimizer (or a
+    data-quality monitor) collects before planning against a table.
+
+    One pass, one aggregation: all six columns' stats compute in a
+    single grouped-by-nothing agg (partial aggregation does the work
+    map-side; exact distincts expand to one shuffle per distinct
+    column under Spark's expand-operator rewrite — the documented
+    at-scale swap is approx_count_distinct/HLL, `sketch_approx_
+    distinct`), then unpivot to the per-column report rows via stack.
+    Doubles ride as integer cents and dates as ISO strings so min/max
+    stringification is engine-identical."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate", "price_cents",
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        # the fixture's o_orderdate is a TIMESTAMP; render as bare ISO
+        # date (both engines' oracle form) before stringifying
+        def s(e, c=c):
+            return (
+                e.cast("date").cast("string")
+                if c == "o_orderdate"
+                else e.cast("string")
+            )
+
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            s(F.min(c)).alias(f"mn_{c}"),
+            s(F.max(c)).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -261,3 +261,73 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(picked, 1).alias("negative_id"),
         )
     )
+
+
+@register(
+    "training_temperature_mixture",
+    """
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isq
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(isq) AS BIGINT) AS sum_isq,
+               CAST(sum(n_s) AS BIGINT) AS total_docs
+        FROM counts
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.sample_rank,
+           CAST(((tot.total_docs // 2) * c.isq) // tot.sum_isq AS BIGINT)
+               AS n_kept
+    FROM ranked r JOIN counts c USING (source) CROSS JOIN tot
+    WHERE r.sample_rank <= ((tot.total_docs // 2) * c.isq) // tot.sum_isq
+    """,
+)
+def training_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (α = 0.5): per-source keep
+    counts proportional to √n_s — the up-weight-the-tail sampling
+    multilingual/multi-source training runs use, targeting half the
+    corpus in total.
+
+    Exactness device: √n on an integer count is one IEEE sqrt
+    (correctly rounded) immediately floored to a BIGINT, so every
+    weight, the weight sum, and the keep quota ``(T·⌊√n_s⌋) div Σ⌊√n⌋``
+    are integers — no float normalization whose sum order could drift.
+    Doc selection is the md5-rank rule (mixture_sample discipline);
+    one source-keyed window shuffle + a per-source-row count dim join
+    + a 1-row totals broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+        .withColumn(
+            "isq",
+            F.floor(F.sqrt(F.col("n_s").cast("double"))).cast("long"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("isq").cast("long").alias("sum_isq"),
+        F.sum("n_s").cast("long").alias("total_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("sample_rank")
+    )
+    keep = F.expr("((total_docs div 2) * isq) div sum_isq").cast("long")
+    return (
+        ranked.join(counts.select("source", "isq"), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_kept", keep)
+        .filter(F.col("sample_rank") <= F.col("n_kept"))
+        .select("doc_id", "source", "sample_rank", "n_kept")
+    )

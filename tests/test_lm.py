@@ -171,3 +171,53 @@ def test_winsorized_reference(spark, sf_dir):
         assert r["n_clipped_low"] == sum(c < lo for c in cents)
         assert r["n_clipped_high"] == sum(c > hi for c in cents)
         assert r["winsorized_mean"] == sum(clipped) / n / 100
+
+
+def test_temperature_mixture_quotas(spark, sf_dir):
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    n_by_src = {}
+    for r in rows:
+        n_by_src[r["source"]] = n_by_src.get(r["source"], 0) + 1
+    isq = {s: math.isqrt(n) for s, n in n_by_src.items()}
+    total = sum(n_by_src.values())
+    sum_isq = sum(isq.values())
+    want = {s: ((total // 2) * q) // sum_isq for s, q in isq.items()}
+    got = QUERIES["training_temperature_mixture"](spark, sf_dir).collect()
+    kept = {}
+    for r in got:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        assert r["n_kept"] == want[r["source"]]
+        assert 1 <= r["sample_rank"] <= r["n_kept"]
+    assert kept == {s: w for s, w in want.items() if w > 0}
+    # temperature flattens: kept fraction is higher for smaller sources
+    fracs = {s: kept.get(s, 0) / n_by_src[s] for s in n_by_src}
+    small = min(n_by_src, key=n_by_src.get)
+    big = max(n_by_src, key=n_by_src.get)
+    if n_by_src[small] < n_by_src[big]:
+        assert fracs[small] >= fracs[big]
+
+
+def test_analyze_stats_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    got = {
+        r["column_name"]: r
+        for r in QUERIES["table_analyze_stats"](spark, sf_dir).collect()
+    }
+    keys = [r["o_orderkey"] for r in rows]
+    r = got["o_orderkey"]
+    assert r["n_rows"] == len(rows)
+    assert r["n_nulls"] == 0
+    assert r["n_distinct"] == len(set(keys))
+    assert r["min_val"] == str(min(keys))
+    assert r["max_val"] == str(max(keys))
+    cents = [round(x["o_totalprice"] * 100) for x in rows]
+    r = got["price_cents"]
+    assert r["n_distinct"] == len(set(cents))
+    assert r["min_val"] == str(min(cents))
+    assert r["max_val"] == str(max(cents))

@@ -49,6 +49,10 @@ SINGLE_PARTITION_ALLOW = {
     "quality_unigram_likelihood",
     # 1-row (D, N) corpus-totals aggregate then broadcast
     "retrieval_bm25_topk",
+    # single-row final aggregate (the whole-table stats row)
+    "table_analyze_stats",
+    # 1-row (Σ⌊√n⌋, total) aggregate then broadcast
+    "training_temperature_mixture",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -69,6 +73,7 @@ CROSS_JOIN_ALLOW = {
     "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
     "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
     "retrieval_bm25_topk",  # broadcast of the 1-row (D, N) totals
+    "training_temperature_mixture",  # broadcast of the 1-row quota totals
 }
 
 
