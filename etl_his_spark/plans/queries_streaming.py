@@ -320,3 +320,56 @@ def streaming_dedup_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("fingerprint", "norm_len")
+
+
+@register(
+    "streaming_stateful_totals_agree",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(ROUND(COALESCE(value, 0) * 100)
+                                  AS BIGINT)), 0) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_stateful_totals_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming under the gate:
+    ``applyInPandasWithState`` per-user running totals
+    (streaming/stateful.py — explicit GroupState, Arrow-batched pandas
+    update fn) run over the multi-file replay; the gate keeps each
+    user's FINAL emitted row, which must equal the batch aggregate.
+
+    Determinism: update mode emits one row per touched user per
+    micro-batch carrying lifetime-so-far totals; ``n_events`` is
+    strictly monotone per user, so ``max_by(struct(n_events, ...))``
+    picks the last emission regardless of micro-batch layout, and that
+    row is the full-history total whatever the file split was. Fixture
+    values are exact 2-decimal, so the pandas per-row cents rounding
+    and the oracle's ROUND agree with no half-way cases.
+
+    STREAM-EFFECTFUL: runs the stream to completion on invocation."""
+    from ..streaming.events import stream_events
+    from ..streaming.stateful import running_user_totals
+
+    replay = _events_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_stateful_gate")
+    q = (
+        running_user_totals(stream_events(spark, replay))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = F.max(F.struct("n_events", "total_cents")).alias("s")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_cents").alias("total_cents"),
+        )
+    )
