@@ -1,0 +1,177 @@
+"""Product quantization (PQ) — vector compression for ANN at scale.
+
+The FAISS IVF-PQ memory model (Jégou et al. 2011, "Product
+Quantization for Nearest Neighbor Search" — public paper): split each
+d-dim vector into M subvectors, quantize each against its own K-entry
+codebook, and store M small codes instead of d floats (64 dims × 8
+bytes → 4 codes here). Distances are then computed
+asymmetrically (ADC): the query precomputes its distance to every
+codebook entry per subspace (M·K values), and a candidate's
+approximate distance is the sum of M table lookups — no float vector
+ever touched at scan time.
+
+Spark shape: codebooks are driver-sized literals (K full vectors via
+the deterministic lowest-id init — the clustering-module convention),
+so ENCODING is a pure projection: M least-of-structs argmins over
+sliced arrays, zero joins, zero shuffles at any table size. The ADC
+scan is a broadcast of the (tiny) query-side lookup table over the
+code table — at 100 TB it composes with IVF cells (similarity.
+ivf_topk) so only probed cells scan.
+
+Determinism: squared distances round to 6 before the (d2, code)
+tie-break, matching the kmeans/oracle convention; ADC sums M=4
+per-subspace lookups in FIXED subspace order (the BM25 pivot-sum
+device), so no order-dependent float addition exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import to_double_array
+from .clustering import _sq_dist
+
+PQ_M = 4   # subspaces
+PQ_K = 4   # codebook entries per subspace
+
+
+def pq_codebooks(
+    vectors: DataFrame, k: int = PQ_K, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """K full-dimension codebook seed vectors — the k lowest-id rows
+    (deterministic init; one bounded k-row driver fetch). Subspace s's
+    codebook entry j is dims [s·sub, (s+1)·sub) of seed j."""
+    return [
+        list(r["e"])
+        for r in vectors.select(id_col, to_double_array(vec_col).alias("e"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    ]
+
+
+def _sub_assign(e, cents: list[list[float]], s: int, sub: int):
+    """(d2, code) argmin struct for subspace ``s`` — rounded-distance
+    tie-break on code id, the kmeans_assign convention."""
+    lo = s * sub
+    cands = [
+        F.struct(
+            F.round(
+                _sq_dist(F.slice(e, lo + 1, sub), c[lo : lo + sub]), 6
+            ).alias("d2"),
+            F.lit(j).alias("code"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return F.least(*cands)
+
+
+def pq_encode_wide(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id, code_0..code_{m-1}, d2_0..d2_{m-1}) — one row per vector,
+    fully map-side (codebooks are literals)."""
+    if cents is None:
+        cents = pq_codebooks(vectors, k, id_col, vec_col)
+    d = len(cents[0])
+    sub = d // m
+    v = vectors.select(id_col, to_double_array(vec_col).alias("e"))
+    cols = [F.col(id_col)]
+    for s in range(m):
+        best = _sub_assign(F.col("e"), cents, s, sub)
+        cols += [
+            best["code"].alias(f"code_{s}"),
+            best["d2"].alias(f"d2_{s}"),
+        ]
+    return v.select(*cols)
+
+
+def pq_codes(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exploded code table (id, subspace, code, d2) — the persisted PQ
+    index layout; stack of the wide form, still zero-shuffle."""
+    wide = pq_encode_wide(vectors, m, k, id_col, vec_col)
+    stack = ", ".join(f"{s}, code_{s}, d2_{s}" for s in range(m))
+    return wide.selectExpr(
+        id_col,
+        f"stack({m}, {stack}) AS (subspace, code, d2)",
+    ).select(
+        id_col,
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        "d2",
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: candidates ranked by the sum of M
+    per-subspace codebook lookups (module docstring).
+
+    The query-side lookup table rides as |queries|·M·K CASE literals
+    inside one broadcast-nested-loop projection over the code table —
+    the documented cheap-scan shape (codes only; compose with IVF for
+    pruning at scale). ADC distance sums the M lookups in fixed
+    subspace order."""
+    cents = pq_codebooks(vectors, k, id_col, vec_col)
+    d = len(cents[0])
+    sub = d // m
+    cand = pq_encode_wide(vectors, m, k, id_col, vec_col, cents=cents).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"code_{s}") for s in range(m)],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
+    )
+    # per subspace: CASE over the candidate's code selecting the
+    # query's precomputed distance to that codebook entry
+    terms = []
+    for s in range(m):
+        lo = s * sub
+        qd = [
+            F.round(
+                _sq_dist(F.slice("qe", lo + 1, sub), c[lo : lo + sub]), 6
+            )
+            for c in cents
+        ]
+        expr = F.when(F.col(f"code_{s}") == 0, qd[0])
+        for j in range(1, k):
+            expr = expr.when(F.col(f"code_{s}") == j, qd[j])
+        terms.append(expr)
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    from pyspark.sql import Window
+
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", F.round("adc_d2", 6).alias("adc_d2"), "rank")
+    )

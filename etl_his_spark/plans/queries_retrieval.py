@@ -408,3 +408,109 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("std"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+# Shared codebook/assignment CTEs: 4 subspaces of 16 dims, K=4 entries
+# per subspace from the lowest-id seed vectors (the kmeans init
+# convention). e[s*16+i] indexing — DuckDB lists are 1-based.
+_PQ_CTE = """
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 4)
+    ),
+    gs AS (SELECT unnest(range(4)) AS s),
+    dists AS (
+        SELECT v.vec_id, gs.s AS subspace, c.code,
+               round(list_sum(list_transform(generate_series(1, 16),
+                     i -> (v.e[gs.s*16+i] - c.e[gs.s*16+i])
+                        * (v.e[gs.s*16+i] - c.e[gs.s*16+i]))), 6) AS d2
+        FROM v CROSS JOIN cents c CROSS JOIN gs
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, subspace ORDER BY d2, code) AS rk
+        FROM dists
+    ),
+    codes AS (SELECT vec_id, subspace, code, d2 FROM ranked WHERE rk = 1)
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    f"""
+    WITH {_VECS_CTE},
+    {_PQ_CTE}
+    SELECT vec_id, CAST(subspace AS INT) AS subspace,
+           CAST(code AS INT) AS code, d2
+    FROM codes
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: every vector compressed to 4
+    codes (one per 16-dim subspace, 4-entry codebooks from the
+    deterministic lowest-id seeds) — 512 bits of floats → 8 bits of
+    codes. Encoding is a pure projection (codebooks are literals):
+    zero joins, zero shuffles at any table size. See
+    ``operators/pq.py``."""
+    from ..operators.pq import pq_codes
+
+    return pq_codes(read_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_topk_pq_adc",
+    f"""
+    WITH {_VECS_CTE},
+    {_PQ_CTE},
+    wide AS (
+        SELECT vec_id,
+               max(CASE WHEN subspace = 0 THEN code END) AS c0,
+               max(CASE WHEN subspace = 1 THEN code END) AS c1,
+               max(CASE WHEN subspace = 2 THEN code END) AS c2,
+               max(CASE WHEN subspace = 3 THEN code END) AS c3
+        FROM codes GROUP BY 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, subspace, code, d2 AS qd2
+        FROM dists WHERE vec_id < 10
+    ),
+    adc AS (
+        SELECT q0.query_id, w.vec_id AS neighbor_id,
+               q0.qd2 + q1.qd2 + q2.qd2 + q3.qd2 AS adc_d2
+        FROM wide w
+        JOIN qd q0 ON q0.subspace = 0 AND q0.code = w.c0
+        JOIN qd q1 ON q1.subspace = 1 AND q1.code = w.c1
+                   AND q1.query_id = q0.query_id
+        JOIN qd q2 ON q2.subspace = 2 AND q2.code = w.c2
+                   AND q2.query_id = q0.query_id
+        JOIN qd q3 ON q3.subspace = 3 AND q3.code = w.c3
+                   AND q3.query_id = q0.query_id
+        WHERE q0.query_id <> w.vec_id
+    ),
+    rankedq AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2,
+           CAST(rk AS BIGINT) AS rank
+    FROM rankedq WHERE rk <= 5
+    """,
+)
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-5 over PQ codes: candidates
+    ranked by the sum of 4 per-subspace codebook lookups — the scan
+    touches CODES ONLY, never float vectors (the memory-bound ANN
+    shape; compose with IVF cells for pruning at 100 TB). The 4
+    lookups add in fixed subspace order (no order-dependent float
+    summation); the query-side table is |q|·M·K CASE literals in one
+    broadcast projection."""
+    from ..operators.pq import pq_adc_topk
+
+    vectors = read_table(spark, sf_dir, "embeddings")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(vectors, queries, 5)

@@ -146,3 +146,78 @@ def test_ivf_recall_dominates_sign_buckets(spark, sf_dir):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def _pq_reference(sf_dir, m=4, k=4):
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    rows = pq_.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    emb = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    cents = emb[:k]  # lowest-id init (rows sorted by vec_id)
+    d = emb.shape[1]
+    sub = d // m
+    codes = {}
+    for vid, e in zip(ids, emb):
+        per = []
+        for s in range(m):
+            lo = s * sub
+            d2s = [
+                round(float(((e[lo:lo + sub] - c[lo:lo + sub]) ** 2).sum()), 6)
+                for c in cents
+            ]
+            best = min(range(k), key=lambda j: (d2s[j], j))
+            per.append((s, best, d2s[best]))
+        codes[vid] = per
+    return ids, emb, cents, codes
+
+
+def test_pq_codes_match_reference(spark, sf_dir):
+    from etl_his_spark.registry import QUERIES
+
+    ids, emb, cents, ref = _pq_reference(sf_dir)
+    got = {}
+    for r in QUERIES["embedding_pq_codes"](spark, sf_dir).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["subspace"], r["code"], r["d2"])
+        )
+    for vid, per in ref.items():
+        assert sorted(got[vid]) == per
+
+
+def test_pq_adc_matches_reference(spark, sf_dir):
+    import numpy as np
+
+    from etl_his_spark.registry import QUERIES
+
+    m, k, sub = 4, 4, 16
+    ids, emb, cents, codes = _pq_reference(sf_dir)
+    qids = [i for i in ids if i < 10]
+    want = {}
+    for q in qids:
+        qe = emb[ids.index(q)]
+        qd = {}
+        for s in range(m):
+            lo = s * sub
+            for j in range(k):
+                qd[(s, j)] = round(
+                    float(((qe[lo:lo + sub] - cents[j][lo:lo + sub]) ** 2).sum()), 6
+                )
+        scored = []
+        for vid in ids:
+            if vid == q:
+                continue
+            a = 0.0
+            for s, c, _ in codes[vid]:
+                a = a + qd[(s, c)]
+            scored.append((a, vid))
+        scored.sort()
+        for rank, (a, vid) in enumerate(scored[:5], 1):
+            want[(q, vid)] = (round(a, 6), rank)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["adc_d2"], r["rank"])
+        for r in QUERIES["ann_topk_pq_adc"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -74,6 +74,10 @@ CROSS_JOIN_ALLOW = {
     "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
     "retrieval_bm25_topk",  # broadcast of the 1-row (D, N) totals
     "training_temperature_mixture",  # broadcast of the 1-row quota totals
+    # ADC's documented shape: 10-row query-lookup broadcast over the
+    # code table — the scan is codes-only by design; IVF cells prune
+    # it at scale (operators/pq.py)
+    "ann_topk_pq_adc",
 }
 
 
