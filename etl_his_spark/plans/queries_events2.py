@@ -301,3 +301,100 @@ def stats_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_from,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS prob
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral-sequence statistics a session-model or
+    next-event-prediction dataset is built from.
+
+    One user-keyed window (lead) orders each user's stream in
+    event-time, one grouped count per (from, to) pair, and the row
+    probability is an exact integer ratio via a sum window over the
+    |types|²-bounded transition table (domain-bounded — never
+    corpus-scale). The (ts, event_id) sort key is the repo's total
+    order for event streams."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    n_from = F.sum("n").over(wt).cast("long")
+    return cnt.select(
+        "event_type", "next_type", "n",
+        n_from.alias("n_from"),
+        (F.col("n").cast("double") / n_from).alias("prob"),
+    )
+
+
+@register(
+    "stats_key_skew",
+    """
+    WITH per_key AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM per_key)
+    SELECT p.key, p.n, t.total, t.n_keys,
+           CAST(p.n AS DOUBLE) / t.total AS share,
+           (CAST(p.n AS DOUBLE) * t.n_keys) / t.total AS skew_factor
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n DESC, p.key LIMIT 10
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest order→customer keys
+    with their share of all rows and skew factor (multiple of the
+    uniform per-key load) — the report that decides whether a join
+    needs salting or AQE skew handling (operators/skew.py is the
+    remedy this measures for).
+
+    One grouped count, a 1-row totals broadcast, TakeOrdered top-10 —
+    no global window."""
+    o = read_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key", "n", "total", "n_keys",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (
+                (F.col("n").cast("double") * F.col("n_keys")) / F.col("total")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )

@@ -84,3 +84,54 @@ def test_range_join_linear_subsecond_boundary(spark):
     )
     got = range_join_count_linear(left, right, "user_id", "ts", "ts", 60)
     assert got.first()["n_in_range"] == 2
+
+
+def test_markov_transitions_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    n_from = Counter()
+    for (a, _), n in trans.items():
+        n_from[a] += n
+    got = {
+        (r["event_type"], r["next_type"]): r
+        for r in QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(trans)
+    for (a, b), n in trans.items():
+        r = got[(a, b)]
+        assert r["n"] == n
+        assert r["n_from"] == n_from[a]
+        assert r["prob"] == n / n_from[a]
+    # rows per from-state sum to 1 (exact integer ratios)
+    for a in n_from:
+        assert abs(sum(r["prob"] for k, r in got.items() if k[0] == a) - 1) < 1e-9
+
+
+def test_key_skew_top10(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    cnt = Counter(r["o_custkey"] for r in rows)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = QUERIES["stats_key_skew"](spark, sf_dir).collect()
+    assert [(r["key"], r["n"]) for r in
+            sorted(got, key=lambda r: (-r["n"], r["key"]))] == want
+    for r in got:
+        assert r["total"] == len(rows)
+        assert r["n_keys"] == len(cnt)
+        assert r["share"] == r["n"] / len(rows)

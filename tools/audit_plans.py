@@ -53,6 +53,8 @@ SINGLE_PARTITION_ALLOW = {
     "table_analyze_stats",
     # 1-row (Σ⌊√n⌋, total) aggregate then broadcast
     "training_temperature_mixture",
+    # 1-row (total, n_keys) aggregate then broadcast
+    "stats_key_skew",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -78,6 +80,7 @@ CROSS_JOIN_ALLOW = {
     # code table — the scan is codes-only by design; IVF cells prune
     # it at scale (operators/pq.py)
     "ann_topk_pq_adc",
+    "stats_key_skew",  # broadcast of the 1-row (total, n_keys) agg
 }
 
 
