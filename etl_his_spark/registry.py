@@ -125,24 +125,51 @@ _CHECK_FIRST = [
     # strongly); their slots go to the window additions above. The
     # five r1-last expression queries keep their documented
     # subsumption by in-window sentinels (see COVERAGE.md).
+    # Positions 13-20: the highest-driver-risk queries of this round's
+    # SECOND wave (new machinery first under the hard signal: two new
+    # streaming lanes — stateful dropDuplicates and
+    # applyInPandasWithState — the BPE driver-loop operator, the two
+    # float-discipline-heavy rankers, integer-div PageRank, and the
+    # dense-ids-over-doubles curriculum). Their 8 slots come from
+    # r3-last queries whose machinery an in-window query now subsumes
+    # (each named below at its displacement).
+    "streaming_dedup_agree",
+    "streaming_stateful_totals_agree",
+    "training_bpe_merges",
+    "retrieval_bm25_topk",
+    "ann_topk_pq_adc",
+    "graph_pagerank_trade",
+    "training_curriculum_deciles",
+    # (quality_novel_ngrams stays an r7 leader: its md5-shingle
+    # counting machinery is the pinned dedup sentinels' lane.)
     "curation_contamination",
     "curation_pii_redact",
-    "curation_source_report",
-    "date_parts",
+    # curation_source_report displaced: its flag machinery is the
+    # in-window contamination+PII queries; the roll-up groupBy adds no
+    # new lane. r7 leader.
+    # date_parts displaced: calendar expressions ⊂ flagship_fact's
+    # date dimension (in-window). r7 leader.
     "dedup_components",
-    "dedup_repeated_spans",
-    "embedding_quantize_int8",
+    # dedup_repeated_spans displaced: explode + grouped count + HAVING
+    # is a strict subset of quality_novel_ngrams' corpus n-gram
+    # counting (in-window above). r7 leader.
+    # embedding_quantize_int8 displaced: the fixed-point/half-up
+    # rounding device now rides ann_topk_pq_adc (in-window). r7 leader.
     "events_asof_join",
     "events_funnel_ordered",
     "events_hopping_window",
     "events_range_join",
     "events_retention_cohorts",
     "events_topk_per_window",
-    "fk_resolution",
+    # fk_resolution and surrogate_dense_ids displaced: flagship_fact
+    # (in-window) runs the same dim-id minting + FK join end-to-end,
+    # and training_curriculum_deciles (in-window) drives the parallel
+    # dense_ids scheme directly. r7 leaders.
     "flagship_fact",
     "fuzzy_name_match",
     "gender_inference",
-    "json_schema_parse",
+    # json_schema_parse displaced: the json family's sentinel
+    # json_extract_stats stays pinned below. r7 leader.
     "lakehouse_zorder",
     # sample_deterministic's md5-mod-Bernoulli device is exercised
     # in-window by sample_weighted_quality (position 6); its slot goes
@@ -151,11 +178,13 @@ _CHECK_FIRST = [
     "skew_salted_pricing",
     "stats_correlation",
     "stats_histogram",
-    "surrogate_dense_ids",
     # text_word_tokens' split-explode-count is a strict subset of the
     # new chunking gate's tokenization; the chunk query takes the slot.
     "doc_chunk_overlap",
-    "training_mixture_sample",
+    # training_mixture_sample's slot goes to its strict superset: the
+    # temperature mixture runs the same md5-rank keep rule PLUS the
+    # integer-sqrt quota math.
+    "training_temperature_mixture",
     "training_tokenize_docs",
     "training_vocab_build",
     # Positions 41-50: permanent sentinels — one high-value query per
