@@ -198,3 +198,49 @@ def test_cms_one_sided_error_property(spark, stream):
     assert set(probed) == set(truth)
     for k, n in truth.items():
         assert probed[k] >= n
+
+
+# ---------------------------------------------------------------------------
+# BPE double-replace ≡ greedy left-to-right merge (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+SYMS = st.lists(
+    st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=1, max_size=12
+)
+PAIR = st.sampled_from(["a b", "b a", "a a", "b c", "ab c"])
+
+
+def _greedy_merge(symbols, pair):
+    left, right = pair.split(" ")
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@given(st.lists(st.tuples(SYMS, PAIR), min_size=1, max_size=25))
+@_SETTINGS
+def test_bpe_double_replace_equals_greedy(spark, cases):
+    """The boundary-safe double replacement must equal greedy
+    left-to-right non-overlapping merging on EVERY symbol string —
+    including adjacent-occurrence chains (the single-replace bug)."""
+    from etl_his_spark.operators.bpe import apply_merge
+
+    # apply_merge takes one pair for the whole frame; group cases by pair
+    by_pair = {}
+    for i, (syms, pair) in enumerate(cases):
+        by_pair.setdefault(pair, []).append((str(i), syms))
+    for pair, items in by_pair.items():
+        sub = spark.createDataFrame(
+            [(w, 1, " " + " ".join(s) + " </w> ") for w, s in items],
+            "word string, n long, sym string",
+        )
+        got = {r["word"]: r["sym"] for r in apply_merge(sub, pair).collect()}
+        for w, syms in items:
+            want = " " + " ".join(_greedy_merge(syms + ["</w>"], pair)) + " "
+            assert got[w] == want, (syms, pair)
