@@ -514,3 +514,76 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = read_table(spark, sf_dir, "embeddings")
     queries = vectors.filter(F.col("vec_id") < 10)
     return pq_adc_topk(vectors, queries, 5)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+JL_IN_DIMS = 64
+JL_OUT_DIMS = 16  # scale = 1/sqrt(16) = 1/4 — an EXACT binary divisor
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 projection matrix: sign(out j, in i) from the
+    md5 of "j:i" — reproducible across engines, runs, and machines
+    (no RNG, no seed state). Precomputed driver-side; rides as
+    literals in both the Spark expressions and the oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for i in range(JL_IN_DIMS)
+        ]
+        for j in range(JL_OUT_DIMS)
+    ]
+
+
+def _jl_oracle() -> str:
+    rows = []
+    for j, signs in enumerate(_jl_signs()):
+        lit = "[" + ", ".join(
+            ("1.0" if s > 0 else "-1.0") for s in signs
+        ) + "]"
+        rows.append(f"""
+        SELECT vec_id, {j} AS out_dim,
+               list_sum(list_transform(generate_series(1, {JL_IN_DIMS}),
+                        i -> e[i] * ({lit})[i])) / 4 AS value
+        FROM v""")
+    return f"WITH {_VECS_CTE} " + "\n        UNION ALL ".join(rows)
+
+
+@register("embedding_jl_projection", _jl_oracle())
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64 → 16 dims with a ±1 sign
+    matrix (Achlioptas 2003's database-friendly variant — public
+    paper): pairwise distances are preserved within (1±ε) whp, at a
+    quarter of the vector bytes — the cheap dim-reduction stage before
+    ANN indexing or clustering at 100 TB.
+
+    Determinism: the sign matrix derives from md5, not an RNG (no
+    seed-state drift across engines); each output component is ONE
+    sequential zip-fold (the dot() discipline, matching list_sum's
+    fold) divided by the exact binary scalar 4 = √16. Map-only: 16
+    dot-product expressions per row, zero joins, zero shuffles."""
+    from ..functions.vector import dot, to_double_array
+
+    signs = _jl_signs()
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    outs = []
+    for j, s in enumerate(signs):
+        sj = F.lit(s)  # array<double> literal
+        outs.append(
+            (dot(F.col("e"), sj) / 4).alias(f"v_{j}")
+        )
+    wide = v.select("vec_id", *outs)
+    stack = ", ".join(f"{j}, v_{j}" for j in range(JL_OUT_DIMS))
+    return wide.selectExpr(
+        "vec_id",
+        f"stack({JL_OUT_DIMS}, {stack}) AS (out_dim, value)",
+    ).select("vec_id", F.col("out_dim").cast("int").alias("out_dim"), "value")

@@ -221,3 +221,40 @@ def test_pq_adc_matches_reference(spark, sf_dir):
         for r in QUERIES["ann_topk_pq_adc"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_jl_projection_reference_and_distortion(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from etl_his_spark.plans.queries_retrieval import _jl_signs
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq_.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    ids = [r["vec_id"] for r in rows]
+    emb = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    S = np.array(_jl_signs())  # (16, 64)
+    got = {}
+    for r in QUERIES["embedding_jl_projection"](spark, sf_dir).collect():
+        got.setdefault(r["vec_id"], {})[r["out_dim"]] = r["value"]
+    # exact per-component check against the same sequential fold
+    for vid, e in list(zip(ids, emb))[:25]:
+        for j in range(16):
+            acc = 0.0
+            for i in range(64):
+                acc = acc + e[i] * S[j, i]
+            assert got[vid][j] == acc / 4
+    # JL property (soft): median pairwise-distance distortion is small
+    P = (emb @ S.T) / 4
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(ids), size=(200, 2))
+    ratios = []
+    for a, b in idx:
+        if a == b:
+            continue
+        d_in = np.linalg.norm(emb[a] - emb[b])
+        d_out = np.linalg.norm(P[a] - P[b])
+        if d_in > 0:
+            ratios.append(d_out / d_in)
+    med = float(np.median(ratios))
+    assert 0.6 < med < 1.4
