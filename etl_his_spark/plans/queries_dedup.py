@@ -990,3 +990,85 @@ def corpus_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
+
+
+@register(
+    "split_leakage_check",
+    f"""
+    {_MINHASH_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.a_id, c.b_id,
+               CAST(({_MINHASH_MATCH_SUM}) AS DOUBLE) / 16 AS est_sim
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+    ),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h
+              FROM documents)
+    )
+    SELECT e.a_id, e.b_id, pa.split AS split_a, pb.split AS split_b,
+           e.est_sim
+    FROM est e
+    JOIN splits pa ON pa.doc_id = e.a_id
+    JOIN splits pb ON pb.doc_id = e.b_id
+    WHERE pa.split <> pb.split AND e.est_sim >= 0.5
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that straddle the
+    90/5/5 md5 split (`dataset_split_assign`'s rule) — the check that
+    catches eval contamination BY THE DATASET'S OWN DUPLICATES, which
+    benchmark decontamination (curation_contamination) cannot see.
+    Every pair listed here means a test/val document has a near-copy
+    in train.
+
+    Composition, not new machinery: LSH banded candidates (est_sim ≥
+    8/16 — an exact sixteenth, no float boundary) joined twice against
+    the map-only split assignment (doc-dim frames; AQE broadcasts
+    them). At 100 TB the candidate join IS the capped/guarded form —
+    this gate runs the uncapped twin on fixture-scale data for a
+    simpler oracle; the composition is identical either way."""
+    from ..operators.dedup_approx import minhash_lsh_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).filter(F.col("est_sim") >= 0.5)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h % 100
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("a_id"), F.col("split").alias("split_a")
+            ),
+            "a_id",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("b_id"), F.col("split").alias("split_b")
+            ),
+            "b_id",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a_id", "b_id", "split_a", "split_b", "est_sim")
+    )

@@ -395,3 +395,143 @@ def training_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mean_token_prob").alias("max_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source LM quality report (composition of the three signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_lm_report",
+    f"""
+    WITH {_TOKS_CTE},
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS big_n,
+                   CAST(count(*) AS BIGINT) AS vocab_v FROM cnt),
+    src AS (SELECT doc_id, source FROM documents WHERE text IS NOT NULL),
+    tok_src AS (
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c.c) AS BIGINT) AS sum_freq
+        FROM toks t JOIN cnt c ON t.token = c.token
+                    JOIN src s ON t.doc_id = s.doc_id
+        GROUP BY 1
+    ),
+    {_BIGRAMS_CTE},
+    bcnt AS (SELECT bg, count(*) AS c FROM bigrams GROUP BY 1),
+    bg_src AS (
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM bigrams b JOIN bcnt c ON b.bg = c.bg
+                       JOIN src s ON b.doc_id = s.doc_id
+        GROUP BY 1
+    ),
+    chars AS (
+        SELECT source,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]')))
+                    AS BIGINT) AS n_letters
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ),
+    ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents WHERE text IS NOT NULL GROUP BY 1)
+    SELECT d.source, d.n_docs, t.n_tokens,
+           CAST(t.sum_freq + t.n_tokens AS DOUBLE)
+               / (t.n_tokens * (tot.big_n + tot.vocab_v))
+               AS mean_token_prob,
+           CAST(b.n_novel AS DOUBLE) / b.n_bigrams AS novel_frac,
+           CAST(c.n_letters AS DOUBLE) / c.n_chars AS letter_ratio
+    FROM ds d
+    JOIN tok_src t ON t.source = d.source
+    JOIN bg_src b ON b.source = d.source
+    JOIN chars c ON c.source = d.source
+    CROSS JOIN tot
+    """,
+)
+def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality report composing the three LM
+    signals: pooled token likelihood (the mean-collapse trick works
+    pooled too — one division per source), corpus-novel bigram rate,
+    and letter ratio. The dashboard row a curation run reads per
+    source before choosing mixture weights.
+
+    Every statistic is a ratio of exact integer sums; the three
+    sub-pipelines (token counts, bigram counts, char census) each
+    aggregate to source-dim frames before the final joins, so the
+    report join moves |sources| rows however big the corpus."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    src = docs.select("doc_id", "source")
+    toks = _tokens(docs)
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab_v"),
+    )
+    tok_src = (
+        toks.join(cnt, "token")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_freq"),
+        )
+    )
+    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    bigrams = (
+        docs.select("doc_id", arr.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg_s"),
+        )
+        .select("doc_id", seeded_hash60(F.col("bg_s")).alias("bg"))
+    )
+    bcnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_src = (
+        bigrams.join(bcnt, "bg")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    chars = docs.groupBy("source").agg(
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.regexp_count("text", F.lit("[A-Za-z]")))
+        .cast("long")
+        .alias("n_letters"),
+    )
+    ds = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        ds.join(tok_src, "source")
+        .join(bg_src, "source")
+        .join(chars, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            (
+                (F.col("sum_freq") + F.col("n_tokens")).cast("double")
+                / (F.col("n_tokens") * (F.col("big_n") + F.col("vocab_v")))
+            ).alias("mean_token_prob"),
+            (F.col("n_novel").cast("double") / F.col("n_bigrams")).alias(
+                "novel_frac"
+            ),
+            (F.col("n_letters").cast("double") / F.col("n_chars")).alias(
+                "letter_ratio"
+            ),
+        )
+    )

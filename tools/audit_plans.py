@@ -55,6 +55,8 @@ SINGLE_PARTITION_ALLOW = {
     "training_temperature_mixture",
     # 1-row (total, n_keys) aggregate then broadcast
     "stats_key_skew",
+    # 1-row (N, V) corpus-totals aggregate then broadcast
+    "curation_lm_report",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -81,6 +83,7 @@ CROSS_JOIN_ALLOW = {
     # it at scale (operators/pq.py)
     "ann_topk_pq_adc",
     "stats_key_skew",  # broadcast of the 1-row (total, n_keys) agg
+    "curation_lm_report",  # broadcast of the 1-row (N, V) totals
 }
 
 
