@@ -398,3 +398,58 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(10)
     )
+
+
+@register(
+    "orders_seasonal_naive",
+    """
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+               CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    with_lag AS (
+        SELECT yr, mo, revenue_cents,
+               lag(revenue_cents, 12) OVER (ORDER BY yr, mo)
+                   AS forecast_cents
+        FROM monthly
+    )
+    SELECT yr, mo, revenue_cents, forecast_cents,
+           revenue_cents - forecast_cents AS error_cents,
+           CAST(abs(revenue_cents - forecast_cents) AS DOUBLE)
+               / forecast_cents AS ape
+    FROM with_lag WHERE forecast_cents IS NOT NULL
+    """,
+)
+def orders_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: each month's revenue vs the
+    same month last year (lag 12 over the month series), with exact
+    integer-cent errors and the absolute percentage error as one
+    division — the baseline every demand-forecast model must beat,
+    and the shape of a backtest query.
+
+    The month series is a bounded domain (years × 12), so the single
+    ordered window over it is dimension-scale, never data-scale — the
+    stats_ks_drift bounded-global-window argument; the heavy work is
+    the one grouped cent-sum underneath."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("yr", "mo")
+    out = monthly.withColumn(
+        "forecast_cents", F.lag("revenue_cents", 12).over(w)
+    ).filter(F.col("forecast_cents").isNotNull())
+    err = F.col("revenue_cents") - F.col("forecast_cents")
+    return out.select(
+        "yr", "mo", "revenue_cents", "forecast_cents",
+        err.alias("error_cents"),
+        (F.abs(err).cast("double") / F.col("forecast_cents")).alias("ape"),
+    )

@@ -135,3 +135,31 @@ def test_key_skew_top10(spark, sf_dir):
         assert r["total"] == len(rows)
         assert r["n_keys"] == len(cnt)
         assert r["share"] == r["n"] / len(rows)
+
+
+def test_seasonal_naive_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    monthly = defaultdict(int)
+    for r in rows:
+        d = r["o_orderdate"]
+        monthly[(d.year, d.month)] += round(r["o_totalprice"] * 100)
+    seq = sorted(monthly)
+    got = {
+        (r["yr"], r["mo"]): r
+        for r in QUERIES["orders_seasonal_naive"](spark, sf_dir).collect()
+    }
+    expect = {}
+    for i, ym in enumerate(seq):
+        if i >= 12:
+            expect[ym] = (monthly[ym], monthly[seq[i - 12]])
+    assert set(got) == set(expect)
+    for ym, (rev, fc) in expect.items():
+        r = got[ym]
+        assert (r["revenue_cents"], r["forecast_cents"]) == (rev, fc)
+        assert r["error_cents"] == rev - fc
+        assert r["ape"] == abs(rev - fc) / fc

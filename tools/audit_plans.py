@@ -57,6 +57,8 @@ SINGLE_PARTITION_ALLOW = {
     "stats_key_skew",
     # 1-row (N, V) corpus-totals aggregate then broadcast
     "curation_lm_report",
+    # ordered window over the bounded month domain (years × 12 rows)
+    "orders_seasonal_naive",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
