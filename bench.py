@@ -98,6 +98,12 @@ HEADLINE = [
     "graph_pagerank_trade",
     "ann_topk_ivf",
     "streaming_dedup_agree",
+    # round-6 third wave: leakage audit + per-source LM report (the
+    # two heaviest compositions), PQ ADC, stateful streaming gate.
+    "split_leakage_check",
+    "curation_lm_report",
+    "ann_topk_pq_adc",
+    "streaming_stateful_totals_agree",
 ]
 
 
