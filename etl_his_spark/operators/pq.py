@@ -99,10 +99,11 @@ def pq_codes(
     k: int = PQ_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """Exploded code table (id, subspace, code, d2) — the persisted PQ
     index layout; stack of the wide form, still zero-shuffle."""
-    wide = pq_encode_wide(vectors, m, k, id_col, vec_col)
+    wide = pq_encode_wide(vectors, m, k, id_col, vec_col, cents=cents)
     stack = ", ".join(f"{s}, code_{s}, d2_{s}" for s in range(m))
     return wide.selectExpr(
         id_col,
@@ -123,6 +124,7 @@ def pq_adc_topk(
     k: int = PQ_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: candidates ranked by the sum of M
     per-subspace codebook lookups (module docstring).
@@ -132,7 +134,7 @@ def pq_adc_topk(
     the documented cheap-scan shape (codes only; compose with IVF for
     pruning at scale). ADC distance sums the M lookups in fixed
     subspace order."""
-    cents = pq_codebooks(vectors, k, id_col, vec_col)
+    cents = cents or pq_codebooks(vectors, k, id_col, vec_col)
     d = len(cents[0])
     sub = d // m
     cand = pq_encode_wide(vectors, m, k, id_col, vec_col, cents=cents).select(

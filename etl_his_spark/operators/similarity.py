@@ -337,6 +337,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Centroid-cell IVF top-k: the LEARNED-partition counterpart of
     the sign-bucket variants (data-adaptive cells follow the actual
@@ -358,8 +359,9 @@ def ivf_topk(
     from .clustering import _sq_dist, kmeans_assign
 
     # deterministic lowest-id centroid init (k rows to the driver —
-    # the bounded fetch the clustering module documents)
-    cents = [
+    # the bounded fetch the clustering module documents); callers with
+    # a persisted/trained codebook pass it in and skip the fetch
+    cents = centroids or [
         list(r["e"])
         for r in vectors.select(id_col, to_double_array(vec_col).alias("e"))
         .orderBy(id_col)
