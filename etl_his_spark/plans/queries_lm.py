@@ -535,3 +535,102 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+@register(
+    "curation_gopher_filter",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w)))
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(
+                   ['the', 'a', 'of', 'to', 'and'],
+                   sw -> list_contains(ws, sw))) AS BIGINT)
+                   AS n_stopword_types
+        FROM base WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+           n_stopword_types,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}) AS pass_word_count,
+           (CAST(sum_len AS DOUBLE) / n_words >= {GOPHER_MIN_MWL}
+            AND CAST(sum_len AS DOUBLE) / n_words <= {GOPHER_MAX_MWL})
+               AS pass_mean_word_len,
+           (n_stopword_types >= 2) AS pass_stopwords,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND CAST(sum_len AS DOUBLE) / n_words >= {GOPHER_MIN_MWL}
+            AND CAST(sum_len AS DOUBLE) / n_words <= {GOPHER_MAX_MWL}
+            AND n_stopword_types >= 2) AS pass_all
+    FROM stats
+    """,
+)
+def curation_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021, public
+    paper — the word-count / mean-word-length / stopword subset that
+    is computable without external resources): per-document rule flags
+    plus the conjunction, the batch quality gate between ingestion and
+    dedup.
+
+    Map-only: every statistic derives from the token array inside one
+    projection (no explode, no shuffle); mean word length is one
+    division of exact integer sums, and the rule comparisons sit on
+    engine-identical values. The stopword probe is a fixed 5-element
+    list fold, not a join."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") > 0)
+    sum_len = F.aggregate(
+        F.transform("ws", lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    n_stop = sum(
+        [
+            F.when(F.array_contains("ws", sw), 1).otherwise(0)
+            for sw in GOPHER_STOPWORDS
+        ][1:],
+        start=F.when(F.array_contains("ws", GOPHER_STOPWORDS[0]), 1).otherwise(0),
+    ).cast("long")
+    stats = base.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        sum_len.alias("sum_len"),
+        n_stop.alias("n_stopword_types"),
+    )
+    mwl = F.col("sum_len").cast("double") / F.col("n_words")
+    pass_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    pass_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    pass_sw = F.col("n_stopword_types") >= 2
+    return stats.select(
+        "doc_id", "n_words",
+        mwl.alias("mean_word_len"),
+        "n_stopword_types",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_sw.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_sw).alias("pass_all"),
+    )

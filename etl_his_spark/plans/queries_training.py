@@ -331,3 +331,62 @@ def training_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.col("n_kept"))
         .select("doc_id", "source", "sample_rank", "n_kept")
     )
+
+
+N_EPOCHS = 2
+
+
+@register(
+    "training_epoch_shuffle",
+    f"""
+    WITH docs_n AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+    epochs AS (SELECT unnest(range({N_EPOCHS})) AS epoch),
+    keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS k
+        FROM docs_n d CROSS JOIN epochs e
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY epoch ORDER BY k, doc_id
+           ) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible multi-epoch corpus shuffle: each epoch orders
+    documents by md5(epoch:doc_id) — a different, deterministic
+    permutation per epoch with NO RNG state to checkpoint or
+    distribute (re-running epoch 7 after a crash reproduces the exact
+    order; a seeded rand() depends on partition layout).
+
+    Positions are minted per epoch with the PARALLEL dense-id scheme
+    (``surrogate.dense_ids`` keyed on the hash — range repartition +
+    per-partition window + broadcast offsets), so no epoch ever routes
+    the corpus through one task; the epoch fan-out is a 2-row explode
+    on the driver-sized epoch list."""
+    from ..operators.surrogate import dense_ids
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    out = []
+    for ep in range(N_EPOCHS):
+        keyed = docs.select(
+            F.lit(ep).cast("long").alias("epoch"),
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(str(ep)), F.lit(":"), F.col("doc_id").cast("string")
+                )
+            ).alias("k"),
+        )
+        ranked = dense_ids(keyed, [F.col("k"), F.col("doc_id")], id_col="pos")
+        out.append(ranked.select("epoch", "doc_id", "pos"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -296,3 +296,51 @@ def test_split_leakage_planted_duplicate(spark, tmp_path):
     a, b = min(train_id, test_id), max(train_id, test_id)
     assert (a, b) in pairs
     assert set(pairs[(a, b)]) == {"train", "test"}
+
+
+def test_gopher_filter_reference(spark, sf_dir):
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["curation_gopher_filter"](spark, sf_dir).collect()
+    }
+    stop = ["the", "a", "of", "to", "and"]
+    for doc_id, text in _docs(sf_dir):
+        ws = _toks(text)
+        if not ws:
+            assert doc_id not in got
+            continue
+        r = got[doc_id]
+        mwl = sum(len(w) for w in ws) / len(ws)
+        n_st = sum(s in ws for s in stop)
+        assert r["n_words"] == len(ws)
+        assert r["mean_word_len"] == mwl
+        assert r["n_stopword_types"] == n_st
+        assert r["pass_word_count"] == (40 <= len(ws) <= 100_000)
+        assert r["pass_mean_word_len"] == (3.0 <= mwl <= 10.0)
+        assert r["pass_stopwords"] == (n_st >= 2)
+        assert r["pass_all"] == (
+            r["pass_word_count"] and r["pass_mean_word_len"] and r["pass_stopwords"]
+        )
+    # the rule set must discriminate on the fixture (not all-pass/fail)
+    flags = [r["pass_all"] for r in got.values()]
+    assert any(flags) and not all(flags)
+
+
+def test_epoch_shuffle_permutations(spark, sf_dir):
+    rows = QUERIES["training_epoch_shuffle"](spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1}
+    ids = set(by_epoch[0])
+    n = len(ids)
+    for ep, m in by_epoch.items():
+        assert set(m) == ids                      # same docs each epoch
+        assert sorted(m.values()) == list(range(1, n + 1))  # gap-free perm
+    # different epochs give different orders
+    assert by_epoch[0] != by_epoch[1]
+    # reproducible: second invocation identical
+    again = QUERIES["training_epoch_shuffle"](spark, sf_dir).collect()
+    assert {(r["epoch"], r["doc_id"], r["pos"]) for r in again} == {
+        (r["epoch"], r["doc_id"], r["pos"]) for r in rows
+    }
