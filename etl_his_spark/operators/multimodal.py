@@ -321,12 +321,13 @@ def decode_media(
             "decoder='fake' is the no-codec stub; pass allow_fake=True "
             "to acknowledge, or use the real 'pil'/'netpbm' decoders"
         )
-    if decoder not in ("pil", "netpbm", "wav", "fake"):
+    if decoder not in ("pil", "netpbm", "wav", "wav_stats", "fake"):
         raise ValueError(f"unknown decoder: {decoder!r}")
     decoders = {
         "pil": _pil_image_features,
         "netpbm": _netpbm_image_features,
         "wav": _wav_audio_features,
+        "wav_stats": _wav_stats_features,
         "fake": _fake_byte_features,
     }
     chosen = decoder
@@ -625,6 +626,30 @@ def parse_wav(b: bytes):
         # chunks are word-aligned: odd sizes carry a pad byte
         pos += 8 + csize + (csize % 2)
     return None
+
+
+def _wav_stats_features(b: bytes) -> list[float] | None:
+    """Exact sample statistics from a real WAV PCM decode:
+    [n_samples, sum_samples, sum_squares] — each an integer computed
+    in int64 and returned as float64 (exact below 2^53, the driver
+    canonicalizer's own integer-exactness bound). The loudness/DC
+    statistics an audio-curation pass aggregates; unlike the
+    normalized histogram these are hash-verifiable as integers.
+    None for non-WAV / corrupt bytes."""
+    import numpy as np
+
+    parsed = parse_wav(b)
+    if parsed is None:
+        return None
+    _, _, samples = parsed
+    if len(samples) == 0:
+        return None
+    s64 = samples.astype(np.int64)
+    return [
+        float(len(s64)),
+        float(int(s64.sum())),
+        float(int((s64 * s64).sum())),
+    ]
 
 
 def _wav_audio_features(b: bytes) -> list[float] | None:

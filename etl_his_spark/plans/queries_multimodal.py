@@ -254,3 +254,53 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("features", lambda x: F.format_string("%.6f", x))
         ).alias("features_enc"),
     )
+
+
+@register(
+    "multimodal_wav_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST((doc_id % 128) * 2016 AS BIGINT) AS sum_samples,
+           CAST((doc_id % 128) * (doc_id % 128) * 85344 AS BIGINT)
+               AS sum_squares
+    FROM documents
+    """,
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audio sample statistics from a REAL WAV decode, under an
+    analytic oracle with NON-CONSTANT samples: each doc becomes a
+    PCM-16 mono file whose 64 samples are the ramp ``v·i`` (v =
+    doc_id mod 128, i = 0..63 — every sample different, so a decoder
+    that misreads offsets or endianness cannot luck into the answer).
+    The wav_stats lane decodes and returns [n, Σs, Σs²] as exact
+    integers; the oracle states them in closed form (Σi = 2016,
+    Σi² = 85344 for i<64) without touching audio bytes. The loudness
+    statistics an audio-curation pass feeds into its quality rules."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    v = F.pmod(F.col("doc_id"), F.lit(128)).cast("int")
+    # per-sample little-endian int16 hex; v·i ≤ 127·63 stays positive
+    hexes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.concat(
+            F.lpad(F.lower(F.hex(F.pmod(v * i, F.lit(256)))), 2, "0"),
+            F.lpad(F.lower(F.hex(((v * i) / 256).cast("int"))), 2, "0"),
+        ),
+    )
+    data = F.unhex(F.concat_ws("", hexes))
+    media_bytes = F.concat(F.lit(_wav_header(64)), data)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        media_bytes.alias("media_bytes"),
+        F.length(media_bytes).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("declared_width"),
+        F.lit(None).cast("int").alias("declared_height"),
+    )
+    decoded = decode_media(media, decoder="wav_stats")
+    return decoded.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("n_samples"),
+        F.element_at("features", 2).cast("long").alias("sum_samples"),
+        F.element_at("features", 3).cast("long").alias("sum_squares"),
+    )

@@ -339,3 +339,22 @@ def test_frame_sample_ffmpeg_transcodes_to_y4m_lane(spark):
         for r in frame_sample(media, every_n=2, decoder="y4m").collect()
     }
     assert via_ffmpeg == via_y4m
+
+
+def test_wav_stats_features_reference_and_corrupt():
+    import struct
+
+    from etl_his_spark.operators.multimodal import _wav_stats_features
+    from etl_his_spark.plans.queries_multimodal import _wav_header
+
+    samples = [3, -5, 100, -32768, 32767, 0]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = _wav_header(len(samples)) + data
+    got = _wav_stats_features(wav)
+    assert got == [
+        float(len(samples)),
+        float(sum(samples)),
+        float(sum(s * s for s in samples)),
+    ]
+    assert _wav_stats_features(b"not a wav") is None
+    assert _wav_stats_features(wav[:20]) is None
