@@ -307,3 +307,86 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_dt,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY last_dt, o_custkey) AS rr,
+               row_number() OVER (ORDER BY frequency, o_custkey) AS fr,
+               row_number() OVER (ORDER BY monetary_cents, o_custkey) AS mr,
+               count(*) OVER () AS n
+        FROM cust
+    ),
+    scored AS (
+        SELECT o_custkey, frequency, monetary_cents,
+               CAST(((rr - 1) * 5) // n AS BIGINT) AS r_score,
+               CAST(((fr - 1) * 5) // n AS BIGINT) AS f_score,
+               CAST(((mr - 1) * 5) // n AS BIGINT) AS m_score
+        FROM ranked
+    )
+    SELECT o_custkey, frequency, monetary_cents, r_score, f_score, m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+                THEN 'champion'
+                WHEN r_score >= 3 AND f_score < 2 THEN 'new'
+                WHEN r_score < 2 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintile scores (0-4) and a rule-based segment label — the
+    classic customer-analytics cut, built scale-safe.
+
+    Each quintile rank comes from the PARALLEL dense-id scheme (three
+    chained `dense_ids` calls — range repartition + per-partition
+    window + broadcast offsets; the oracle's three global windows are
+    the relational statement of the same total orders), and the score
+    is the even-spread formula ((rank−1)·5) div n, one integer
+    division. Monetary rides as exact cents; n is one collected
+    scalar (bounded driver traffic)."""
+    from ..operators.surrogate import dense_ids
+
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    n = cust.count()
+    c = dense_ids(cust, [F.col("last_dt"), F.col("o_custkey")], id_col="rr")
+    c = dense_ids(c, [F.col("frequency"), F.col("o_custkey")], id_col="fr")
+    c = dense_ids(
+        c, [F.col("monetary_cents"), F.col("o_custkey")], id_col="mr"
+    )
+    score = lambda col: (((F.col(col) - 1) * 5) / F.lit(n)).cast("long")  # noqa: E731
+    scored = c.select(
+        "o_custkey", "frequency", "monetary_cents",
+        score("rr").alias("r_score"),
+        score("fr").alias("f_score"),
+        score("mr").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") < 2), "new")
+        .when((F.col("r_score") < 2) & (F.col("f_score") >= 3), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

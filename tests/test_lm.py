@@ -344,3 +344,24 @@ def test_epoch_shuffle_permutations(spark, sf_dir):
     assert {(r["epoch"], r["doc_id"], r["pos"]) for r in again} == {
         (r["epoch"], r["doc_id"], r["pos"]) for r in rows
     }
+
+
+def test_rfm_segments_invariants(spark, sf_dir):
+    rows = QUERIES["customer_rfm_segments"](spark, sf_dir).collect()
+    n = len(rows)
+    for col in ["r_score", "f_score", "m_score"]:
+        vals = [r[col] for r in rows]
+        assert set(vals) <= set(range(5))
+        # even-spread: each quintile holds n//5 or n//5+1 customers
+        from collections import Counter
+
+        c = Counter(vals)
+        assert max(c.values()) - min(c.values()) <= 1
+    # monetary quintiles are ordered by monetary value
+    by_m = sorted(rows, key=lambda r: (r["monetary_cents"], r["o_custkey"]))
+    scores = [r["m_score"] for r in by_m]
+    assert scores == sorted(scores)
+    # segment rule spot-check
+    for r in rows:
+        if r["segment"] == "champion":
+            assert r["r_score"] >= 3 and r["f_score"] >= 3 and r["m_score"] >= 3
