@@ -54,3 +54,34 @@ def test_pagerank_mass_invariants(spark, sf_dir):
     assert total <= n * PR_UNIT
     # losses are bounded: ≤ degree micro-units/node/iter ≪ 1% of mass
     assert total >= int(n * PR_UNIT * 0.98)
+
+
+def test_triangle_counts_match_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_his_spark.registry import QUERIES
+
+    pairs = QUERIES["dedup_simhash_pairs"](spark, sf_dir).collect()
+    edges = {(min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"]))
+             for r in pairs}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # enumerate each triangle once as a < b < c; credit all three nodes
+    want = defaultdict(int)
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in QUERIES["graph_triangle_counts"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
