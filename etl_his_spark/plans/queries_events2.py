@@ -453,3 +453,72 @@ def orders_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.alias("error_cents"),
         (F.abs(err).cast("double") / F.col("forecast_cents")).alias("ape"),
     )
+
+
+@register(
+    "events_churn_training_set",
+    """
+    WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+    feat AS (
+        SELECT e.user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN CAST(ROUND(COALESCE(e.value, 0) * 100)
+                                  AS BIGINT) ELSE 0 END), 0) AS BIGINT)
+                   AS revenue_cents,
+               CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT)
+                   AS days_active,
+               CAST(date_diff('second', max(e.ts), h.max_ts) AS BIGINT)
+                   AS silence_secs
+        FROM events e CROSS JOIN horizon h
+        GROUP BY e.user_id, h.max_ts
+    )
+    SELECT user_id, n_events, revenue_cents, days_active, silence_secs,
+           (silence_secs >= 86400) AS churned
+    FROM feat
+    """,
+)
+def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly: per-user behavioral features plus a churn
+    label (no activity in the horizon's last 7 days) — the
+    feature-and-label generation step between the event store and a
+    churn model, with every feature an exact integer (counts, cents,
+    distinct days, silence seconds).
+
+    One user-keyed aggregation; the label threshold compares exact
+    integer seconds against the single-scalar horizon (1-row broadcast
+    — the streaming-gate max-ts discipline)."""
+    e = read_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("max_ts"))
+    feat = (
+        e.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "max_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                        .cast("long"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("long")
+            .alias("days_active"),
+            (
+                F.unix_timestamp(F.col("max_ts"))
+                - F.unix_timestamp(F.max("ts"))
+            )
+            .cast("long")
+            .alias("silence_secs"),
+        )
+    )
+    return feat.select(
+        "user_id", "n_events", "revenue_cents", "days_active", "silence_secs",
+        (F.col("silence_secs") >= 86400).alias("churned"),
+    )

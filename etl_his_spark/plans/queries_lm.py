@@ -634,3 +634,60 @@ def curation_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_sw.alias("pass_stopwords"),
         (pass_wc & pass_mwl & pass_sw).alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix detection
+# ---------------------------------------------------------------------------
+
+PREFIX_TOKENS = 8
+
+
+@register(
+    "curation_boilerplate_prefixes",
+    f"""
+    WITH pfx AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[1:{PREFIX_TOKENS}], ' ')) AS prefix_fp
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE len(ws) >= {PREFIX_TOKENS}
+    )
+    SELECT prefix_fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM pfx GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def curation_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate header detection: groups of documents opening with
+    the SAME first {8} tokens (license banners, scraped template
+    headers — the text that inflates n-gram counts and leaks across
+    splits). One map-only prefix fingerprint + one grouped count with
+    HAVING ≥ 2; downstream, the prefix groups feed span-level removal
+    (dedup_repeated_spans' cross-document complement)."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    pfx = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= PREFIX_TOKENS)
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("ws", 1, PREFIX_TOKENS), " ")
+            ).alias("prefix_fp"),
+        )
+    )
+    return (
+        pfx.groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -163,3 +163,42 @@ def test_seasonal_naive_reference(spark, sf_dir):
         assert (r["revenue_cents"], r["forecast_cents"]) == (rev, fc)
         assert r["error_cents"] == rev - fc
         assert r["ape"] == abs(rev - fc) / fc
+
+
+def test_churn_training_set_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    max_ts = max(r["ts"] for r in rows)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["events_churn_training_set"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_user)
+    for uid, evs in by_user.items():
+        r = got[uid]
+        assert r["n_events"] == len(evs)
+        assert r["revenue_cents"] == sum(
+            round((e["value"] or 0) * 100)
+            for e in evs if e["event_type"] == "purchase"
+        )
+        assert r["days_active"] == len({e["ts"].date() for e in evs})
+        # engine convention (unix_timestamp / date_diff'second'):
+        # truncate each timestamp to whole seconds BEFORE subtracting
+        last = max(e["ts"] for e in evs)
+        silence = int(
+            (
+                max_ts.replace(microsecond=0) - last.replace(microsecond=0)
+            ).total_seconds()
+        )
+        assert r["silence_secs"] == silence
+        assert r["churned"] == (silence >= 86400)
+    # the label must discriminate on the fixture
+    labels = [r["churned"] for r in got.values()]
+    assert any(labels) and not all(labels)

@@ -59,6 +59,8 @@ SINGLE_PARTITION_ALLOW = {
     "curation_lm_report",
     # ordered window over the bounded month domain (years × 12 rows)
     "orders_seasonal_naive",
+    # 1-row horizon max(ts) aggregate then broadcast
+    "events_churn_training_set",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -86,6 +88,7 @@ CROSS_JOIN_ALLOW = {
     "ann_topk_pq_adc",
     "stats_key_skew",  # broadcast of the 1-row (total, n_keys) agg
     "curation_lm_report",  # broadcast of the 1-row (N, V) totals
+    "events_churn_training_set",  # broadcast of the 1-row horizon max(ts)
 }
 
 
