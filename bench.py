@@ -104,6 +104,8 @@ HEADLINE = [
     "curation_lm_report",
     "ann_topk_pq_adc",
     "streaming_stateful_totals_agree",
+    "graph_triangle_counts",
+    "customer_rfm_segments",
 ]
 
 
