@@ -2,7 +2,13 @@
 100 TB training pipeline runs between ingestion and packing (the
 CCNet/Gopher-rules family, re-expressed as exact-oracle Spark plans).
 
-Three signals:
+The module grew through round 6 into the full quality stage: the three
+core signals below, plus `training_curriculum_deciles` (rank-and-cut
+over the LM score), `curation_lm_report` (the per-source roll-up),
+`curation_gopher_filter` (the composite rule gate), and
+`curation_boilerplate_prefixes` (shared-opening detection).
+
+Core signals:
 
 * ``text_script_detect`` — per-document character-class census and
   dominant script (the charset/garbage gate that runs before any
