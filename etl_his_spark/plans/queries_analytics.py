@@ -390,3 +390,95 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+@register(
+    "basket_brand_affinity",
+    """
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    brand_n AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ),
+    orders_n AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM items
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab, na.n AS n_a, nb.n AS n_b,
+           (CAST(p.n_ab AS DOUBLE) * o.n_orders) / (na.n * nb.n) AS lift
+    FROM pairs p
+    JOIN brand_n na ON na.p_brand = p.brand_a
+    JOIN brand_n nb ON nb.p_brand = p.brand_b
+    CROSS JOIN orders_n o
+    WHERE p.n_ab >= 5
+    """,
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: for brand pairs
+    co-occurring in ≥5 orders, the lift n_ab·N / (n_a·n_b) — >1 means
+    the brands are bought together more than independence predicts.
+    The co-occurrence statistics a recommender or assortment analysis
+    starts from.
+
+    Scale shape: the self-join runs on DISTINCT (order, brand) rows —
+    the brand domain is small (≈25), so per-order fan-out is bounded
+    at brand² pairs per order and the pair table is domain-bounded
+    (≤ brands²) after its one aggregation. Lift is one fixed-order
+    expression over exact integer counts; the order count is a 1-row
+    broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    # items feeds brand_n, orders_n, and both self-join sides
+    items = items.localCheckpoint(eager=True)
+    brand_n = items.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    orders_n = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    lift = (F.col("n_ab").cast("double") * F.col("n_orders")) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return (
+        pairs.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(orders_n))
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b", lift.alias("lift")
+        )
+    )

@@ -373,3 +373,63 @@ def streaming_stateful_totals_agree(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("s.total_cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "streaming_window_counts_agree",
+    """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, sum_value
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR
+          < (SELECT max(ts) - INTERVAL 3 HOUR FROM events)
+    """,
+)
+def streaming_window_counts_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-type counts from a REAL watermarked
+    streaming aggregation (the `windowed_counts` operator on the
+    multi-file replay), hash-checked against batch SQL on the
+    horizon-closed windows — the fifth live streaming execution under
+    the gate, covering the watermarked groupBy-window aggregation
+    lane the other four gates don't (session windows, dropDuplicates,
+    applyInPandasWithState).
+
+    Same determinism design as the session gates: append mode emits a
+    window only when the watermark passes it; both sides keep only
+    windows ENDING strictly below max(ts) − 3 h (2 h watermark + 1 h
+    slack), where emission is guaranteed and micro-batch layout
+    cannot change the result. Sums ride integer cents."""
+    from ..streaming.events import stream_events, windowed_counts
+
+    replay = _events_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_wincount_gate")
+    q = (
+        windowed_counts(
+            stream_events(spark, replay), window="1 hour", watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_ts = (
+        read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = max_ts - timedelta(hours=3)
+    return (
+        spark.table(name)
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            < F.lit(horizon)
+        )
+        .select("window_start", "event_type", "n_events", "sum_value")
+    )

@@ -365,3 +365,38 @@ def test_rfm_segments_invariants(spark, sf_dir):
     for r in rows:
         if r["segment"] == "champion":
             assert r["r_score"] >= 3 and r["f_score"] >= 3 and r["m_score"] >= 3
+
+
+def test_basket_affinity_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    parts = {
+        r["p_partkey"]: r["p_brand"]
+        for r in pq.read_table(f"{sf_dir}/part.parquet").to_pylist()
+    }
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r["l_orderkey"]].add(parts[r["l_partkey"]])
+    brand_n = Counter()
+    pair_n = Counter()
+    for brands in per_order.values():
+        bs = sorted(brands)
+        brand_n.update(bs)
+        for i, a in enumerate(bs):
+            for b in bs[i + 1:]:
+                pair_n[(a, b)] += 1
+    n_orders = len(per_order)
+    got = {
+        (r["brand_a"], r["brand_b"]): r
+        for r in QUERIES["basket_brand_affinity"](spark, sf_dir).collect()
+    }
+    want = {k: v for k, v in pair_n.items() if v >= 5}
+    assert set(got) == set(want)
+    for (a, b), n_ab in want.items():
+        r = got[(a, b)]
+        assert r["n_ab"] == n_ab
+        assert r["n_a"] == brand_n[a]
+        assert r["n_b"] == brand_n[b]
+        assert r["lift"] == (n_ab * n_orders) / (brand_n[a] * brand_n[b])

@@ -61,6 +61,8 @@ SINGLE_PARTITION_ALLOW = {
     "orders_seasonal_naive",
     # 1-row horizon max(ts) aggregate then broadcast
     "events_churn_training_set",
+    # 1-row distinct-order-count aggregate then broadcast
+    "basket_brand_affinity",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -89,6 +91,7 @@ CROSS_JOIN_ALLOW = {
     "stats_key_skew",  # broadcast of the 1-row (total, n_keys) agg
     "curation_lm_report",  # broadcast of the 1-row (N, V) totals
     "events_churn_training_set",  # broadcast of the 1-row horizon max(ts)
+    "basket_brand_affinity",  # broadcast of the 1-row order-count agg
 }
 
 
