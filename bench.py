@@ -106,6 +106,7 @@ HEADLINE = [
     "streaming_stateful_totals_agree",
     "graph_triangle_counts",
     "customer_rfm_segments",
+    "streaming_window_counts_agree",
 ]
 
 
