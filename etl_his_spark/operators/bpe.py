@@ -12,15 +12,17 @@ would be ruinous.
 Representation: each word is a symbol STRING — its characters joined
 by single spaces, wrapped in sentinel spaces, with an atomic ``</w>``
 end-of-word marker (`` h i </w> ``). Symbols never contain spaces, so
-
-* adjacent pairs come from zipping the split array with itself, and
-* applying a merge (l, r) is the literal replacement
-  `` l r `` → `` lr `` — run TWICE, because a left-to-right scan over
-  a chain like ``a b a b`` consumes the separator space of every other
-  occurrence; after one pass no two remaining occurrences share a
-  boundary, so the second pass catches them all. Both engines'
-  ``replace`` scan left-to-right non-overlapping, which is exactly the
-  BPE convention.
+adjacent pairs come from zipping the split array with itself, and a
+merge (l, r) is applied by a GREEDY LEFT-TO-RIGHT STATE-MACHINE FOLD
+over the symbol array: carry (output, pending); when pending == l and
+the next symbol == r, emit the merged symbol and clear pending, else
+flush pending. This is exactly Sennrich greedy merging — including
+SELF-pairs (l == r), where a naive string replacement mis-groups runs
+(`` a a a a a `` must become ``aa aa a``, but a left-to-right string
+replace yields ``aa a aa`` because the first match consumes the
+shared separator — the round-6 review finding this fold fixes). The
+oracle runs the IDENTICAL fold via DuckDB ``list_reduce`` with the
+(output, pending) state packed into one string on a \x01 separator.
 
 Determinism: the winning pair each step is ordered by (weighted count
 DESC, pair string ASC) — a total order, identical in the SQL oracle.
@@ -92,11 +94,49 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def apply_merge(words: DataFrame, pair: str) -> DataFrame:
-    """Replace every occurrence of the winning pair with its merge —
-    the boundary-safe double replacement (module docstring)."""
-    pat = F.lit(f" {pair} ")
-    rep = F.lit(" " + pair.replace(" ", "") + " ")
-    merged = F.replace(F.replace(F.col("sym"), pat, rep), pat, rep)
+    """Apply the winning merge with the greedy left-to-right
+    state-machine fold (module docstring): accumulator = (out, pend);
+    pend==left and x==right → emit merged, clear pend; else flush
+    pend. Equals Sennrich greedy for every pair INCLUDING self-pairs,
+    which string replacement mis-groups on runs ≥ 5."""
+    left, right = pair.split(" ")
+    merged_sym = left + right
+    ts = F.filter(F.split("sym", " "), lambda x: x != F.lit(""))
+
+    def step(acc, x):
+        return F.when(
+            (acc["pend"] == F.lit(left)) & (x == F.lit(right)),
+            F.struct(
+                F.concat(acc["out"], F.lit(" "), F.lit(merged_sym)).alias(
+                    "out"
+                ),
+                F.lit("").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["pend"] != F.lit(""),
+                    F.concat(acc["out"], F.lit(" "), acc["pend"]),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                x.alias("pend"),
+            )
+        )
+
+    def fin(acc):
+        full = F.when(
+            acc["pend"] != F.lit(""),
+            F.concat(acc["out"], F.lit(" "), acc["pend"]),
+        ).otherwise(acc["out"])
+        return F.concat(full, F.lit(" "))
+
+    merged = F.aggregate(
+        ts,
+        F.struct(F.lit("").alias("out"), F.lit("").alias("pend")),
+        step,
+        fin,
+    )
     return words.select("word", "n", merged.alias("sym"))
 
 

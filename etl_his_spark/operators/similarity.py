@@ -368,7 +368,9 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     ]
-    assigned = kmeans_assign(vectors, k=n_cells, centroids=cents).select(
+    assigned = kmeans_assign(
+        vectors, k=n_cells, id_col=id_col, vec_col=vec_col, centroids=cents
+    ).select(
         F.col(id_col).alias("cand_id"), F.col("cluster_id").alias("cell")
     )
     v = _prep(vectors, id_col, vec_col, "cand").withColumn(

@@ -372,7 +372,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = dense_ids(
         c, [F.col("monetary_cents"), F.col("o_custkey")], id_col="mr"
     )
-    score = lambda col: (((F.col(col) - 1) * 5) / F.lit(n)).cast("long")  # noqa: E731
+    # integer floor division (div), not double division + cast — the
+    # curriculum-decile exactness argument (an IEEE quotient can round
+    # up across the truncation boundary at extreme n)
+    score = lambda col: F.expr(f"(({col} - 1) * 5) div {n}").cast("long")  # noqa: E731
     scored = c.select(
         "o_custkey", "frequency", "monetary_cents",
         score("rr").alias("r_score"),

@@ -992,6 +992,11 @@ def corpus_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .queries_quality import SPLIT_CASE_SQL as _SPLIT_CASE_SQL  # noqa: E402
+from .queries_quality import SPLIT_HASH_SQL as _SPLIT_HASH_SQL  # noqa: E402
+from .queries_quality import split_assign_expr as _split_assign_expr  # noqa: E402
+
+
 @register(
     "split_leakage_check",
     f"""
@@ -1010,14 +1015,8 @@ def corpus_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sig sb ON sb.doc_id = c.b_id
     ),
     splits AS (
-        SELECT doc_id,
-               CASE WHEN h % 100 < 90 THEN 'train'
-                    WHEN h % 100 < 95 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (SELECT doc_id,
-                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                          AS BIGINT) AS h
-              FROM documents)
+        SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+        FROM (SELECT doc_id, {_SPLIT_HASH_SQL} AS h FROM documents)
     )
     SELECT e.a_id, e.b_id, pa.split AS split_a, pb.split AS split_b,
            e.est_sim
@@ -1045,17 +1044,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs).filter(F.col("est_sim") >= 0.5)
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    bucket = h % 100
-    splits = docs.select(
-        "doc_id",
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    splits = docs.select("doc_id", _split_assign_expr().alias("split"))
     return (
         pairs.join(
             splits.select(

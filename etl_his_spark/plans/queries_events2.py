@@ -480,7 +480,9 @@ def orders_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set assembly: per-user behavioral features plus a churn
-    label (no activity in the horizon's last 7 days) — the
+    label (no activity in the horizon's last DAY — the threshold is
+    scaled to the fixture's ~3-day event span; production would use
+    weeks) — the
     feature-and-label generation step between the event store and a
     churn model, with every feature an exact integer (counts, cents,
     distinct days, silence seconds).

@@ -65,6 +65,41 @@ def _tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def _token_counts(docs: DataFrame):
+    """(toks, cnt, tot) — the unigram-LM building blocks shared by
+    quality_unigram_likelihood and curation_lm_report (one definition;
+    a change to tokenization or totals moves both queries together)."""
+    toks = _tokens(docs)
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab_v"),
+    )
+    return toks, cnt, tot
+
+
+def _bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg) — adjacent-token bigrams as 60-bit md5 longs, the
+    shared pipeline of quality_novel_ngrams and curation_lm_report."""
+    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", arr.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg_s"),
+        )
+        .select("doc_id", seeded_hash60(F.col("bg_s")).alias("bg"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character-class census / dominant script
 # ---------------------------------------------------------------------------
@@ -227,12 +262,7 @@ def quality_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast from runtime size — Heaps-law vocab can outgrow a forced
     hint at corpus scale), a per-doc agg on the doc_id shuffle, and a
     1-row totals broadcast."""
-    toks = _tokens(read_table(spark, sf_dir, "documents"))
-    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(
-        F.sum("c").cast("long").alias("big_n"),
-        F.count(F.lit(1)).cast("long").alias("vocab_v"),
-    )
+    toks, cnt, tot = _token_counts(read_table(spark, sf_dir, "documents"))
     per_doc = (
         toks.join(cnt, "token")
         .groupBy("doc_id")
@@ -305,24 +335,7 @@ def quality_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent) and shuffle as 60-bit md5 longs (dedup_approx
     discipline: 8-byte keys, engine-identical collisions). Docs with
     fewer than 2 tokens have no bigrams and drop out in both engines."""
-    d = read_table(spark, sf_dir, "documents")
-    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
-    bigrams = (
-        d.filter(F.col("text").isNotNull())
-        .select("doc_id", arr.alias("ts"))
-        .filter(F.size("ts") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice("ts", 1, F.size("ts") - 1),
-                    F.slice("ts", 2, F.size("ts") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("bg_s"),
-        )
-        .select("doc_id", seeded_hash60(F.col("bg_s")).alias("bg"))
-    )
+    bigrams = _bigram_rows(read_table(spark, sf_dir, "documents"))
     cnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     return (
         bigrams.join(cnt, "bg")
@@ -384,13 +397,22 @@ def training_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one scalar (the streaming-gate max-ts discipline)."""
     from ..operators.surrogate import dense_ids
 
-    scored = quality_unigram_likelihood(spark, sf_dir)
+    # Lazy-checkpoint the scored frame BEFORE count(): the count
+    # materializes it, so dense_ids and the decile agg reuse the
+    # blocks instead of re-running the whole unigram pipeline
+    # (review finding: the un-checkpointed form computed it twice).
+    scored = quality_unigram_likelihood(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     n = scored.count()
     ranked = dense_ids(
         scored, [F.col("mean_token_prob"), F.col("doc_id")], id_col="rnk"
     )
-    decile = (
-        ((F.col("rnk") - 1) * N_CURRICULUM_BUCKETS) / F.lit(n)
+    # integer floor division (div), NOT double division + cast: at
+    # extreme n an IEEE quotient can round UP across the truncation
+    # boundary and flip a decile against the oracle's exact `//`
+    decile = F.expr(
+        f"((rnk - 1) * {N_CURRICULUM_BUCKETS}) div {n}"
     ).cast("long")
     return (
         ranked.groupBy(decile.alias("decile"))
@@ -472,12 +494,7 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     src = docs.select("doc_id", "source")
-    toks = _tokens(docs)
-    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(
-        F.sum("c").cast("long").alias("big_n"),
-        F.count(F.lit(1)).cast("long").alias("vocab_v"),
-    )
+    toks, cnt, tot = _token_counts(docs)
     tok_src = (
         toks.join(cnt, "token")
         .join(src, "doc_id")
@@ -487,22 +504,7 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("sum_freq"),
         )
     )
-    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
-    bigrams = (
-        docs.select("doc_id", arr.alias("ts"))
-        .filter(F.size("ts") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice("ts", 1, F.size("ts") - 1),
-                    F.slice("ts", 2, F.size("ts") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("bg_s"),
-        )
-        .select("doc_id", seeded_hash60(F.col("bg_s")).alias("bg"))
-    )
+    bigrams = _bigram_rows(docs)
     bcnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     bg_src = (
         bigrams.join(bcnt, "bg")

@@ -228,6 +228,31 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The 90/5/5 md5 split rule — THE one definition, shared by
+# dataset_split_assign (below) and split_leakage_check
+# (queries_dedup), in both Spark-Column and SQL forms. Change the
+# fractions or hash width HERE and both the split roll-up and the
+# leakage audit move together.
+SPLIT_HASH_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+SPLIT_CASE_SQL = (
+    "CASE WHEN h % 100 < 90 THEN 'train' "
+    "WHEN h % 100 < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def split_assign_expr():
+    """doc_id → 'train'/'val'/'test' Column (md5-mod-100, 90/5/5)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h % 100
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
 @register(
     "dataset_split_assign",
     """
@@ -260,13 +285,7 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    bucket = h % 100
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
+    split = split_assign_expr()
     from ..functions.text import word_tokens
 
     toks = F.size(word_tokens("text"))

@@ -303,14 +303,35 @@ def _bpe_oracle(k: int) -> str:
     ),
     b{s} AS (SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair LIMIT 1)""")
         if s < k:
+            # greedy left-to-right merge as a list_reduce state
+            # machine — (out, pend) packed into one string on a \x01
+            # separator (operators/bpe.py module docstring; a plain
+            # string replace mis-groups self-pair runs)
             parts.append(f"""
     w{s} AS (
         SELECT word, n,
-               replace(replace(sym,
-                   ' ' || b{s}.pair || ' ',
-                   ' ' || replace(b{s}.pair, ' ', '') || ' '),
-                   ' ' || b{s}.pair || ' ',
-                   ' ' || replace(b{s}.pair, ' ', '') || ' ') AS sym
+               (SELECT split_part(r, chr(1), 1)
+                       || CASE WHEN split_part(r, chr(1), 2) <> ''
+                               THEN ' ' || split_part(r, chr(1), 2)
+                               ELSE '' END
+                       || ' '
+                FROM (SELECT list_reduce(
+                    list_prepend(chr(1),
+                        list_filter(string_split(sym, ' '),
+                                    x -> x <> '')),
+                    (acc, x) -> CASE
+                        WHEN split_part(acc, chr(1), 2)
+                                 = split_part(b{s}.pair, ' ', 1)
+                             AND x = split_part(b{s}.pair, ' ', 2)
+                        THEN split_part(acc, chr(1), 1) || ' '
+                             || replace(b{s}.pair, ' ', '') || chr(1)
+                        ELSE split_part(acc, chr(1), 1)
+                             || CASE WHEN split_part(acc, chr(1), 2) <> ''
+                                     THEN ' ' || split_part(acc, chr(1), 2)
+                                     ELSE '' END
+                             || chr(1) || x
+                    END) AS r)
+               ) AS sym
         FROM w{s-1} CROSS JOIN b{s}
     )""")
     selects = "\n    UNION ALL ".join(

@@ -60,22 +60,64 @@ def test_bpe_merges_match_reference(spark, sf_dir):
     assert got == _ref_bpe(texts, 3)
 
 
-def test_double_replace_handles_chains(spark):
-    # 'ababab' → chars a b a b a b: merging (a,b) must produce ab ab ab,
-    # exactly what greedy left-to-right BPE does — the single-replace
-    # miss (ab a b ab) is the bug the double replacement exists for.
+def test_greedy_merge_handles_chains_and_self_pairs(spark):
+    cases = [
+        # alternating chains
+        (" a b a b a b </w> ", "a b", " ab ab ab </w> "),
+        (" b a b a b </w> ", "a b", " b ab ab </w> "),
+        # SELF-pair runs — the case a left-to-right string replace
+        # mis-groups (' a a a a a ' → 'aa a aa'); greedy pairs from
+        # the left: 'aa aa a' (round-6 review finding)
+        (" a a a a a </w> ", "a a", " aa aa a </w> "),
+        (" a a a a a a </w> ", "a a", " aa aa aa </w> "),
+        (" a a a </w> ", "a a", " aa a </w> "),
+        # merged symbol must not re-merge within the same step
+        (" a a a b </w> ", "a a", " aa a b </w> "),
+    ]
     df = spark.createDataFrame(
-        [("ababab", 1, " a b a b a b </w> ")], "word string, n long, sym string"
+        [(str(i), 1, sym) for i, (sym, _, _) in enumerate(cases)],
+        "word string, n long, sym string",
     )
-    out = apply_merge(df, "a b").first()["sym"]
-    assert out == " ab ab ab </w> "
-    # odd-length chain: b a b a b → b ab ab
-    df2 = spark.createDataFrame(
-        [("babab", 1, " b a b a b </w> ")], "word string, n long, sym string"
-    )
-    assert apply_merge(df2, "a b").first()["sym"] == " b ab ab </w> "
+    for i, (sym, pair, want) in enumerate(cases):
+        sub = spark.createDataFrame(
+            [(str(i), 1, sym)], "word string, n long, sym string"
+        )
+        assert apply_merge(sub, pair).first()["sym"] == want, (sym, pair)
 
 
 def test_bpe_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_merge_steps(df, k=2).count() == 0
+
+
+def test_bpe_oracle_agrees_on_self_pair_corpus(spark, tmp_path):
+    """The DuckDB oracle's list_reduce fold and the Spark fold must
+    agree on a corpus where a SELF-pair ('a a') wins the first merge
+    and words contain odd runs — the regime where the old string
+    replacement diverged."""
+    import duckdb
+
+    from etl_his_spark.registry import ORACLES, QUERIES
+
+    docs = [
+        (1, "aaaaa aaa bb"),
+        (2, "aaaaa aaaa bb"),
+        (3, "aaa cc aaaaa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "bpe")
+    df.write.parquet(f"{out}/documents.parquet")
+    got = sorted(
+        (r["step"], r["pair"], r["new_symbol"], r["pair_count"])
+        for r in QUERIES["training_bpe_merges"](spark, out).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["training_bpe_merges"]).fetchall())
+    assert got == want
+    # and both match the greedy Python reference
+    ref = sorted(_ref_bpe([t for _, t in docs], 3))
+    assert got == ref
