@@ -612,3 +612,90 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         f"stack({JL_OUT_DIMS}, {stack}) AS (out_dim, value)",
     ).select("vec_id", F.col("out_dim").cast("int").alias("out_dim"), "value")
+
+
+@register(
+    "embedding_label_separation",
+    f"""
+    WITH {_VECS_CTE},
+    vl AS (SELECT v.vec_id, v.e, emb.label
+           FROM v JOIN embeddings emb ON emb.vec_id = v.vec_id),
+    comp AS (
+        SELECT label, CAST(gs.dim AS INT) - 1 AS dim, e[gs.dim] AS x
+        FROM vl, generate_series(1, {EMB_DIMS}) AS gs(dim)
+    ),
+    m AS (
+        SELECT label, dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(x * {_MICRO}) AS BIGINT)) AS BIGINT) AS s1
+        FROM comp GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT label, max(n) AS n,
+               list(CAST(s1 AS DOUBLE) / n / {_MICRO} ORDER BY dim) AS mu
+        FROM m GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+           list_sum(list_transform(generate_series(1, {EMB_DIMS}),
+                 i -> (a.mu[i] - b.mu[i]) * (a.mu[i] - b.mu[i])))
+               AS centroid_dist2
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation diagnostic: squared L2 distance between every
+    pair of label centroids — the check that an embedding space
+    actually separates its classes before trusting it for ANN-based
+    dedup or curation (collapsed centroids ⇒ labels are not linearly
+    probeable from this space).
+
+    Exactness: per-(label, dim) means come from micro-fixed-point
+    BIGINT sums (the embedding_standardize device) — one division
+    chain each; centroid vectors assemble in dim order on BOTH
+    engines (array_sort over (dim, mean) structs vs list(... ORDER BY
+    dim)) and the distance is one sequential zip-fold. Scale: the
+    component agg is label×dim cells; the pair join is label-dim-sized
+    (tiny at any corpus size)."""
+    from ..functions.vector import to_double_array
+
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "label", to_double_array("embedding").alias("e")
+    )
+    comp = v.select("label", F.posexplode("e").alias("dim", "x"))
+    m = comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("x") * _MICRO).cast("long"))
+        .cast("long")
+        .alias("s1"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / _MICRO
+    cent = (
+        m.select("label", "dim", "n", mean.alias("mean"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("mu"),
+        )
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("a.mu"), F.col("b.mu"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            dist2.alias("centroid_dist2"),
+        )
+    )

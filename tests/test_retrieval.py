@@ -258,3 +258,33 @@ def test_jl_projection_reference_and_distortion(spark, sf_dir):
             ratios.append(d_out / d_in)
     med = float(np.median(ratios))
     assert 0.6 < med < 1.4
+
+
+def test_label_separation_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq_.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(list(r["embedding"]))
+    mu = {}
+    for lab, vecs in by_label.items():
+        arr = np.array(vecs, dtype=np.float64)
+        s1 = np.round(arr * 1_000_000).astype(np.int64).sum(axis=0)
+        mu[lab] = s1 / len(vecs) / 1_000_000
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in QUERIES["embedding_label_separation"](spark, sf_dir).collect()
+    }
+    labs = sorted(by_label)
+    assert set(got) == {(a, b) for a in labs for b in labs if a < b}
+    for (a, b), r in got.items():
+        assert r["n_a"] == len(by_label[a])
+        assert r["n_b"] == len(by_label[b])
+        acc = 0.0
+        for x, y in zip(mu[a], mu[b]):
+            acc = acc + (x - y) * (x - y)
+        assert r["centroid_dist2"] == acc

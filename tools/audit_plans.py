@@ -92,6 +92,9 @@ CROSS_JOIN_ALLOW = {
     "curation_lm_report",  # broadcast of the 1-row (N, V) totals
     "events_churn_training_set",  # broadcast of the 1-row horizon max(ts)
     "basket_brand_affinity",  # broadcast of the 1-row order-count agg
+    # label-dim × label-dim centroid pairs (≤ |labels|² rows — a
+    # domain-bounded triangle join at any corpus size)
+    "embedding_label_separation",
 }
 
 
