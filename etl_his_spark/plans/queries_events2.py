@@ -524,3 +524,63 @@ def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "revenue_cents", "days_active", "silence_secs",
         (F.col("silence_secs") >= 86400).alias("churned"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH user_days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM user_days),
+    dau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS dau FROM user_days GROUP BY 1
+    ),
+    wau AS (
+        SELECT days.d,
+               CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM days JOIN user_days ud
+          ON ud.d > days.d - INTERVAL 7 DAY AND ud.d <= days.d
+        GROUP BY 1
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the canonical
+    product-engagement triple, computed exactly (a sliding DISTINCT
+    cannot ride a plain window frame, so the WAU is a bounded range
+    join: the day dimension is ~365 rows/year however large the event
+    stream, and the heavy side is the deduped user-day table, not raw
+    events). Stickiness is one division of exact counts."""
+    e = read_table(spark, sf_dir, "events")
+    user_days = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    # user_days feeds dau, the day dim, and the range join probe
+    user_days = user_days.localCheckpoint(eager=True)
+    days = user_days.select("d").distinct()
+    dau = user_days.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    ud = user_days.select(
+        F.col("d").alias("ud_d"), F.col("user_id")
+    )
+    wau = (
+        days.join(
+            ud,
+            (F.col("ud_d") > F.date_sub(F.col("d"), 7))
+            & (F.col("ud_d") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"), "dau", "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

@@ -202,3 +202,29 @@ def test_churn_training_set_reference(spark, sf_dir):
     # the label must discriminate on the fixture
     labels = [r["churned"] for r in got.values()]
     assert any(labels) and not all(labels)
+
+
+def test_dau_wau_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from etl_his_spark.registry import QUERIES
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r["ts"].date()].add(r["user_id"])
+    got = {
+        r["day"]: r
+        for r in QUERIES["events_dau_wau_stickiness"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        week = set()
+        for back in range(7):
+            week |= by_day.get(d - timedelta(days=back), set())
+        r = got[d]
+        assert r["dau"] == len(users)
+        assert r["wau"] == len(week)
+        assert r["stickiness"] == len(users) / len(week)

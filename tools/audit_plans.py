@@ -95,6 +95,9 @@ CROSS_JOIN_ALLOW = {
     # label-dim × label-dim centroid pairs (≤ |labels|² rows — a
     # domain-bounded triangle join at any corpus size)
     "embedding_label_separation",
+    # day-dim × user-day range join: build side is the bounded day
+    # dimension (~365 rows/year), broadcast by design
+    "events_dau_wau_stickiness",
 }
 
 
