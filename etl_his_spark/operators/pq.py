@@ -129,11 +129,13 @@ def pq_adc_topk(
     """Asymmetric-distance top-k: candidates ranked by the sum of M
     per-subspace codebook lookups (module docstring).
 
-    The query-side lookup table rides as |queries|·M·K CASE literals
-    inside one broadcast-nested-loop projection over the code table —
-    the documented cheap-scan shape (codes only; compose with IVF for
-    pruning at scale). ADC distance sums the M lookups in fixed
-    subspace order."""
+    The query-side lookup table is precomputed as ``qd_{s}_{j}``
+    COLUMNS on the query frame (|q|·M·K squared-distance folds total,
+    evaluated once before the join), then a broadcast crossJoin against
+    the materialized code table selects among those plain columns per
+    candidate — the documented cheap-scan shape (codes only; compose
+    with IVF for pruning at scale). ADC distance sums the M lookups in
+    fixed subspace order."""
     cents = cents or pq_codebooks(vectors, k, id_col, vec_col)
     d = len(cents[0])
     sub = d // m

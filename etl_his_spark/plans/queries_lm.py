@@ -234,7 +234,8 @@ _UNIGRAM_SCORE_CTE = f"""
     udoc AS (
         SELECT d.doc_id, d.n_tokens, d.sum_tok_freq,
                CAST(d.sum_tok_freq + d.n_tokens AS DOUBLE)
-                   / (d.n_tokens * (tot.big_n + tot.vocab_v))
+                   / (CAST(d.n_tokens AS DOUBLE)
+                      * CAST(tot.big_n + tot.vocab_v AS DOUBLE))
                    AS mean_token_prob
         FROM per_doc d CROSS JOIN tot
     )
@@ -271,11 +272,20 @@ def quality_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("sum_tok_freq"),
         )
     )
+    # Denominator factors are cast to double BEFORE the multiply (both
+    # engines, same order): the exact BIGINT product n_tokens*(N+V) can
+    # exceed int64 at 100 TB scale (N+V ~1e13 tokens × 1e6-token docs)
+    # and would throw rather than degrade. Cost: results can differ by
+    # ~1 ulp from the exact-product form once the product passes 2^53 —
+    # below that (all fixture scales) both forms are bit-identical.
     return per_doc.crossJoin(F.broadcast(tot)).select(
         "doc_id", "n_tokens", "sum_tok_freq",
         (
             (F.col("sum_tok_freq") + F.col("n_tokens")).cast("double")
-            / (F.col("n_tokens") * (F.col("big_n") + F.col("vocab_v")))
+            / (
+                F.col("n_tokens").cast("double")
+                * (F.col("big_n") + F.col("vocab_v")).cast("double")
+            )
         ).alias("mean_token_prob"),
     )
 
@@ -468,7 +478,8 @@ def training_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM documents WHERE text IS NOT NULL GROUP BY 1)
     SELECT d.source, d.n_docs, t.n_tokens,
            CAST(t.sum_freq + t.n_tokens AS DOUBLE)
-               / (t.n_tokens * (tot.big_n + tot.vocab_v))
+               / (CAST(t.n_tokens AS DOUBLE)
+                  * CAST(tot.big_n + tot.vocab_v AS DOUBLE))
                AS mean_token_prob,
            CAST(b.n_novel AS DOUBLE) / b.n_bigrams AS novel_frac,
            CAST(c.n_letters AS DOUBLE) / c.n_chars AS letter_ratio
@@ -531,9 +542,14 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs", "n_tokens",
+            # double-cast-before-multiply: same int64-headroom fix as
+            # quality_unigram_likelihood (see comment there)
             (
                 (F.col("sum_freq") + F.col("n_tokens")).cast("double")
-                / (F.col("n_tokens") * (F.col("big_n") + F.col("vocab_v")))
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("big_n") + F.col("vocab_v")).cast("double")
+                )
             ).alias("mean_token_prob"),
             (F.col("n_novel").cast("double") / F.col("n_bigrams")).alias(
                 "novel_frac"

@@ -420,12 +420,38 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real pipeline trains it once and persists it beside the index. One
 # k-row fetch per (dataset path, k) per process instead of one Spark
 # job per gate invocation (the fetch dominated warm-session ADC/IVF
-# cost at fixture scale). Fixture paths are immutable by contract.
+# cost at fixture scale). The memo key carries a cheap on-disk
+# fingerprint (file count + total bytes + max mtime) of the embeddings
+# table, so a fixture REGENERATED in place at the same path (a reused
+# tmp dir in tests) mints a fresh codebook instead of silently reusing
+# a stale one; clear_codebook_memo() is the explicit hook for fixtures
+# whose rewrite could tie on the fingerprint.
 _CODEBOOK_MEMO: dict = {}
 
 
+def _table_fingerprint(sf_dir: str, table: str) -> tuple:
+    import glob as _glob
+    import os as _os
+
+    root = _os.path.join(sf_dir, f"{table}.parquet")
+    paths = [root] if _os.path.isfile(root) else sorted(
+        _glob.glob(_os.path.join(root, "**", "*"), recursive=True)
+    )
+    n, size, mtime = 0, 0, 0.0
+    for p in paths:
+        if _os.path.isfile(p):
+            st = _os.stat(p)
+            n, size, mtime = n + 1, size + st.st_size, max(mtime, st.st_mtime)
+    return (n, size, mtime)
+
+
+def clear_codebook_memo() -> None:
+    """Test-fixture hook: drop all memoized codebooks."""
+    _CODEBOOK_MEMO.clear()
+
+
 def _codebook(spark: SparkSession, sf_dir: str, k: int) -> list:
-    key = (sf_dir, k)
+    key = (sf_dir, k, _table_fingerprint(sf_dir, "embeddings"))
     if key not in _CODEBOOK_MEMO:
         from ..operators.pq import pq_codebooks
 

@@ -32,6 +32,15 @@ MIN_FREQ = 5
 # on the tokenize/OOV queries at sf0.1).
 _VOCAB_BCAST_CORPUS_BYTES = 64 << 30
 
+# Last gate decision, observable from outside (r6 verdict item 5: the
+# driver-env bench regressed on the tokenize/OOV queries and nothing
+# recorded whether the gate actually fired there). Read it after
+# building a plan — tools/vocab_gate_probe.py prints it next to the
+# physical join strategy actually planned.
+LAST_GATE_DECISION: dict = {}
+
+_GATE_LOG = __import__("logging").getLogger("etl_his_spark.vocab_gate")
+
 
 def _maybe_broadcast_vocab(vocab: DataFrame, docs: DataFrame) -> DataFrame:
     from ..sources.readers import input_size_bytes
@@ -40,7 +49,14 @@ def _maybe_broadcast_vocab(vocab: DataFrame, docs: DataFrame) -> DataFrame:
     # not just local files — a local-only probe would silently disable
     # this gate exactly where it matters.
     size = input_size_bytes(docs)
-    if 0 < size < _VOCAB_BCAST_CORPUS_BYTES:
+    broadcast = 0 < size < _VOCAB_BCAST_CORPUS_BYTES
+    LAST_GATE_DECISION.update(
+        corpus_bytes=size,
+        threshold_bytes=_VOCAB_BCAST_CORPUS_BYTES,
+        decision="broadcast" if broadcast else "shuffle",
+    )
+    _GATE_LOG.info("vocab join gate: %s", LAST_GATE_DECISION)
+    if broadcast:
         return F.broadcast(vocab)
     return vocab
 

@@ -81,7 +81,98 @@ from .plans import queries_graph  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- Round 6 window (50 slots). ---
+    # --- Round 7 window (50 slots) — the consolidation rotation the
+    # r6 verdict ordered (items 1 and 7): positions 1-43 are ALL 43
+    # queries that have never had a driver CORRECTNESS row (every one
+    # r6-new, every one green in the full local oracle gate), ordered
+    # new-machinery-first per the verdict's priority list; positions
+    # 44-50 are seven of the eight r3-displaced queries waiting since
+    # the r6 rotation. That fills the window exactly, so NO family
+    # sentinels ride this round — a deliberate one-round exception to
+    # the pin-the-sentinels rule: all ten sentinels were driver-green
+    # in r6 (CORRECTNESS_r06), none of their code paths changed in r7
+    # (consolidation round, no new query machinery), and the local
+    # 189-query gate plus pytest still hard-check them every round.
+    # Sentinels return at positions 41-50 in the r8 window.
+    #
+    # Positions 1-8: the verdict's named new-machinery lanes — IVF
+    # ANN, degree-oriented triangle counting, the two streaming gates
+    # that missed the r6 window, corpus n-gram novelty, exact 2-sample
+    # KS, SCD2 as-of temporal join, PERMISSIVE JSONL ingestion.
+    "ann_topk_ivf",
+    "graph_triangle_counts",
+    "streaming_sessionize_agree",
+    "streaming_window_counts_agree",
+    "quality_novel_ngrams",
+    "stats_ks_drift",
+    "fact_scd2_asof_join",
+    "jsonl_ingest_corrupt",
+    # Positions 9-43: the remaining 35 never-driver-checked queries,
+    # grouped by family (lakehouse/CDC, embedding/vector, LM quality,
+    # events/stats, misc layout).
+    "table_diff_changelog",
+    "schema_evolution_read",
+    "incremental_agg_refresh",
+    "table_analyze_stats",
+    "bloom_prefilter_join",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_update",
+    "embedding_gram_matrix",
+    "embedding_standardize",
+    "embedding_pq_codes",
+    "embedding_jl_projection",
+    "embedding_label_separation",
+    "split_leakage_check",
+    "corpus_dedup_keeper_quality",
+    "dedup_containment_pairs",
+    "source_overlap_matrix",
+    "quality_unigram_likelihood",
+    "curation_lm_report",
+    "curation_gopher_filter",
+    "curation_boilerplate_prefixes",
+    "text_script_detect",
+    "stats_winsorized",
+    "stats_key_skew",
+    "customer_rfm_segments",
+    "basket_brand_affinity",
+    "events_decayed_revenue",
+    "events_markov_transitions",
+    "events_churn_training_set",
+    "events_dau_wau_stickiness",
+    "orders_seasonal_naive",
+    "dataset_split_assign",
+    "inference_length_batches",
+    "contrastive_triplets",
+    "training_epoch_shuffle",
+    "multimodal_wav_stats",
+    # Positions 44-50: seven of the eight r3-displaced queries (r6
+    # verdict item 7 — direct driver rows instead of two rounds of
+    # machinery-subsumption arguments).
+    "curation_source_report",
+    "date_parts",
+    "dedup_repeated_spans",
+    "embedding_quantize_int8",
+    "fk_resolution",
+    "json_schema_parse",
+    "surrogate_dense_ids",
+    # Positions 51-54 (outside the 50-slot window — r8 leaders):
+    # training_mixture_sample (the eighth displaced query; weakest
+    # slot claim because its strict superset training_temperature_
+    # mixture was driver-green in r6) and the three r6-displaced
+    # subsumption cases, so r8's window starts from a written-down
+    # queue instead of an archaeology pass.
+    "training_mixture_sample",
+    "posexplode_positions",
+    "sample_deterministic",
+    "text_word_tokens",
+    # Positions 55+: everything else keeps registration order; all
+    # were driver-green in r5/r6 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R6_WINDOW_HISTORY = [
+    # --- Round 6 window (50 slots), kept for the audit trail. ---
     # Positions 1-9: the 8 round-5 queries that have NEVER had a
     # driver CORRECTNESS row (added after the r5 window was fixed;
     # r5 verdict item 1 makes them lead this window), plus
@@ -125,14 +216,16 @@ _CHECK_FIRST = [
     # strongly); their slots go to the window additions above. The
     # five r1-last expression queries keep their documented
     # subsumption by in-window sentinels (see COVERAGE.md).
-    # Positions 13-20: the highest-driver-risk queries of this round's
+    # Positions 13-19: the highest-driver-risk queries of that round's
     # SECOND wave (new machinery first under the hard signal: two new
     # streaming lanes — stateful dropDuplicates and
     # applyInPandasWithState — the BPE driver-loop operator, the two
     # float-discipline-heavy rankers, integer-div PageRank, and the
-    # dense-ids-over-doubles curriculum). Their 8 slots come from
-    # r3-last queries whose machinery an in-window query now subsumes
-    # (each named below at its displacement).
+    # dense-ids-over-doubles curriculum). Their 7 slots came from
+    # r3-last queries whose machinery an in-window query subsumed
+    # (each named below at its displacement; an eighth r3-last query,
+    # training_mixture_sample, was swapped for its strict superset
+    # training_temperature_mixture further down — 8 displaced total).
     "streaming_dedup_agree",
     "streaming_stateful_totals_agree",
     "training_bpe_merges",

@@ -396,25 +396,20 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     for pair in set(bf_sims) & set(mp_sims):
         assert bf_sims[pair] == mp_sims[pair]
 
-def test_connected_components_probes_every_other_round(spark, monkeypatch):
-    """The r6 convergence cadence: the per-round driver ACTION (the
-    limit(1).count() convergence probe) fires every SECOND round, so a
-    deep chain that needs ~6 propagation rounds submits ≤ 3-4 probe
-    actions instead of one per round. Counted by wrapping
-    DataFrame.count; result correctness is pinned by the long-path
-    test above (monotone propagation — a skipped probe never changes
-    the answer)."""
+def test_connected_components_one_action_per_round(spark, monkeypatch):
+    """The r7 convergence contract (r6 verdict item 4): exactly ONE
+    driver action per propagation round — the checkpoint-materializing
+    count whose Observation metric carries the changed-count — and the
+    loop exits at the FIRST converged round (no extra shuffle round,
+    which the r6 probe-every-2nd cadence could execute). Counted by
+    wrapping DataFrame.count; result correctness is pinned by the
+    long-path test above."""
     # the concrete (non-Connect) DataFrame class in PySpark 4 — the
     # base pyspark.sql.dataframe.DataFrame's count is overridden there
     import pyspark.sql.classic.dataframe as D
 
     from etl_his_spark.operators.graph import connected_components
 
-    n = 40
-    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
-    )
     probes = []
     orig_count = D.DataFrame.count
 
@@ -422,11 +417,29 @@ def test_connected_components_probes_every_other_round(spark, monkeypatch):
         probes.append(1)
         return orig_count(self)
 
+    # A single edge: round 0 relabels node 1, round 1 changes nothing
+    # -> exactly 2 rounds, so exactly 2 internal actions. A third
+    # action would mean an extra post-convergence round ran.
+    vertices2 = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    edge1 = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    monkeypatch.setattr(D.DataFrame, "count", counting)
+    out2 = connected_components(vertices2, edge1, max_iter=12)
+    assert len(probes) == 2, f"{len(probes)} actions for the 2-round graph"
+    monkeypatch.undo()
+    assert {(r.doc_id, r.component) for r in out2.collect()} == {(0, 0), (1, 0)}
+
+    n = 40
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    probes.clear()
     monkeypatch.setattr(D.DataFrame, "count", counting)
     out = connected_components(vertices, edges, max_iter=12)
-    internal_probes = len(probes)
+    internal = len(probes)
     monkeypatch.undo()
     assert out.count() == n
-    # path halving converges the 40-path in ~6 rounds; every-round
-    # probing would fire ≥ 6 internal counts, every-other-round ≤ 4
-    assert 1 <= internal_probes <= 4, f"{internal_probes} probes"
+    # path halving converges the 40-path in ~6 rounds; one action per
+    # round means the action count stays in that band (it would be 12
+    # if convergence were not detected, 40 without halving)
+    assert 4 <= internal <= 8, f"{internal} actions"
