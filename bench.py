@@ -151,8 +151,22 @@ def run_isolated(names: list[str]) -> int:
             timings[name] = json.loads(line)[name]
         except Exception:
             timings[name] = None
-    print(json.dumps({"metric": "isolated_queries", "queries": timings}))
+    payload = {"metric": "isolated_queries", "queries": timings}
+    _persist(payload, "BENCH_ISOLATED.json")
+    print(json.dumps(payload))
     return 0
+
+
+def _persist(payload: dict, fname: str) -> None:
+    """Write the FULL bench JSON beside the script: the driver's tail
+    capture truncates stdout, so per-run evidence (runs_all) survives
+    only here (r6 verdict: perf claims must be auditable next round)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
 
 
 def main() -> int:
@@ -165,7 +179,10 @@ def main() -> int:
         n for n in sorted(qs) if n.startswith("bench_") and n not in HEADLINE
     ]
     if "--isolate" in sys.argv:
-        return run_isolated(names)
+        # optional trailing names restrict the sweep (full list default)
+        subset = [a for a in sys.argv[sys.argv.index("--isolate") + 1:]
+                  if not a.startswith("-")]
+        return run_isolated([n for n in names if n in subset] if subset else names)
     one = None
     if "--one" in sys.argv:
         one = sys.argv[sys.argv.index("--one") + 1]
@@ -212,23 +229,21 @@ def main() -> int:
     core_total = round(sum(timings.get(n, 0.0) for n in CORE), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                # comparable to BENCH_r04 and earlier (same query set)
-                "core_queries_total": core_total,
-                # every pass's raw time per query (timings = min):
-                # makes run-to-run variance visible instead of folded
-                # silently into the headline number
-                "runs_all": all_runs,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        # comparable to BENCH_r04 and earlier (same query set)
+        "core_queries_total": core_total,
+        # every pass's raw time per query (timings = min):
+        # makes run-to-run variance visible instead of folded
+        # silently into the headline number
+        "runs_all": all_runs,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    _persist(payload, "BENCH_LOCAL.json")
+    print(json.dumps(payload))
     return 0
 
 

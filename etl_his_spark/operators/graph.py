@@ -73,26 +73,41 @@ def connected_components(
     # scale this shrinks the iterated frame from |V| (every document)
     # to ~2|E| (documents that matched anything), which is what keeps
     # k rounds of joins affordable when |V| is 10^11 and |E| is 10^7.
-    labels = bidir.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    labels = None
 
     for rnd in range(max_iter):
-        nbr = (
-            bidir.join(labels, bidir.u == labels.node)
-            .groupBy("v")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # The PREVIOUS label rides through the round as __old, so
-        # convergence is a filter on the round's own output — no
-        # separate halved-vs-labels join per round.
-        stepped = labels.join(nbr, labels.node == nbr.v, "left").select(
-            "node",
-            F.col("label").alias("__old"),
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-        )
+        if rnd == 0:
+            # Round 0 FUSED: against the identity labeling, the
+            # neighbor-min of node v is simply min(u) over its
+            # incident edges — one aggregation over bidir, no initial
+            # distinct and no edge⋈labels join (each of which is a
+            # full shuffle of the edge list, the round's largest
+            # frame). bidir is symmetric, so groupBy(v) covers every
+            # endpoint node exactly once. Result is identical to the
+            # generic round below applied to identity labels.
+            stepped = bidir.groupBy("v").agg(
+                F.min("u").alias("nbr_label")
+            ).select(
+                F.col("v").alias("node"),
+                F.col("v").alias("__old"),
+                F.least(F.col("v"), F.col("nbr_label")).alias("label"),
+            )
+        else:
+            nbr = (
+                bidir.join(labels, bidir.u == labels.node)
+                .groupBy("v")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            # The PREVIOUS label rides through the round as __old, so
+            # convergence is a filter on the round's own output — no
+            # separate halved-vs-labels join per round.
+            stepped = labels.join(nbr, labels.node == nbr.v, "left").select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
@@ -119,9 +134,12 @@ def connected_components(
         obs = Observation(f"cc_round_{rnd}")
         halved.observe(
             obs,
-            F.sum((F.col("label") != F.col("__old")).cast("long")).alias(
-                "changed"
-            ),
+            # coalesce: sum over an EMPTY frame (no edges at all) is
+            # NULL, which must read as converged, not as != 0
+            F.coalesce(
+                F.sum((F.col("label") != F.col("__old")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
         ).count()
         labels = halved.drop("__old")
         if obs.get["changed"] == 0:

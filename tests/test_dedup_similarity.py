@@ -420,6 +420,17 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
     # A single edge: round 0 relabels node 1, round 1 changes nothing
     # -> exactly 2 rounds, so exactly 2 internal actions. A third
     # action would mean an extra post-convergence round ran.
+    # Empty edge set: the Observation's sum over zero rows is NULL —
+    # must coalesce to 0 and converge in ONE round, every vertex its
+    # own singleton component (regression: a non-coalesced sum spins
+    # all max_iter rounds).
+    from etl_his_spark.operators.graph import connected_components as _cc
+
+    v_only = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    no_edges = spark.createDataFrame([], "a_id long, b_id long")
+    out0 = _cc(v_only, no_edges, max_iter=5)
+    assert {(r.doc_id, r.component) for r in out0.collect()} == {(7, 7), (9, 9)}
+
     vertices2 = spark.createDataFrame([(0,), (1,)], "doc_id long")
     edge1 = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
     monkeypatch.setattr(D.DataFrame, "count", counting)
