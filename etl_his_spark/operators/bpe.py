@@ -140,16 +140,12 @@ def apply_merge(words: DataFrame, pair: str) -> DataFrame:
     return words.select("word", "n", merged.alias("sym"))
 
 
-def bpe_merge_steps(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Run ``k`` BPE merge iterations; return the merge table.
-
-    Output: (step, pair, new_symbol, pair_count) — k rows, the
-    trained merge list in order. The word table is eager-checkpointed
-    ONCE (it feeds every iteration's agg); per-step symbol updates are
-    narrow map ops stacked on that one materialization, so no shuffle
-    is ever recomputed.
-    """
-    spark = docs.sparkSession
+def _train(
+    docs: DataFrame, k: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared k-iteration training loop: returns (merge list, word
+    table with all k merges applied — lazily; a merges-only caller
+    never executes the final apply_merge)."""
     words = word_symbol_table(docs).localCheckpoint(eager=True)
     out: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
@@ -164,6 +160,29 @@ def bpe_merge_steps(docs: DataFrame, k: int = 3) -> DataFrame:
         pair, cnt = best[0]["pair"], best[0]["cnt"]
         out.append((step, pair, pair.replace(" ", ""), cnt))
         words = apply_merge(words, pair)
+    return out, words
+
+
+def bpe_merge_steps(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Run ``k`` BPE merge iterations; return the merge table.
+
+    Output: (step, pair, new_symbol, pair_count) — k rows, the
+    trained merge list in order. The word table is eager-checkpointed
+    ONCE (it feeds every iteration's agg); per-step symbol updates are
+    narrow map ops stacked on that one materialization, so no shuffle
+    is ever recomputed.
+    """
+    spark = docs.sparkSession
+    out, _ = _train(docs, k)
     return spark.createDataFrame(
         out, "step long, pair string, new_symbol string, pair_count long"
     )
+
+
+def bpe_encode_words(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(word, n, sym) AFTER the first ``k`` trained merges — the
+    ENCODE-side artifact: the word → subword-sequence mapping a
+    tokenizer applies to the corpus. Same distinct-word scaling as
+    training (the mapping is Heaps-law-sized, never corpus-sized);
+    encoding the corpus is then one equi-join on ``word``."""
+    return _train(docs, k)[1]

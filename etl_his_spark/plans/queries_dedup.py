@@ -1061,3 +1061,76 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("a_id", "b_id", "split_a", "split_b", "est_sim")
     )
+
+
+@register(
+    "dedup_semantic_cells",
+    f"""
+    WITH {_VECS_CTE},
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    dists AS (
+        SELECT v.vec_id, c.cluster_id,
+               round(list_sum(list_transform(generate_series(1, len(v.e)),
+                     i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), 6) AS d2
+        FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cluster_id
+        FROM (SELECT vec_id, cluster_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cluster_id) AS rk
+              FROM dists)
+        WHERE rk = 1
+    ),
+    cells AS (
+        SELECT a.vec_id, a.cluster_id, v.e
+        FROM assigned a JOIN v ON v.vec_id = a.vec_id
+    )
+    SELECT CAST(a.cluster_id AS INT) AS cell,
+           a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.e, b.e), 6) AS sim
+    FROM cells a
+    JOIN cells b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-bucketed (r7; the SemDeDup idiom —
+    Abbas et al. 2023, public paper): assign every embedding to its
+    nearest of k=8 deterministic centroids (a map-only projection with
+    centroid literals — ``operators/clustering.kmeans_assign``), then
+    score exact cosine ONLY within each cell via a cell-keyed
+    self-join. Same scale argument as IVF ANN: pairwise work is
+    bounded per cell, never corpus x corpus; a skewed cell composes
+    with the LSH hot-bucket cap (``banded_neardup_pairs(bucket_cap)``)
+    the same way hot LSH buckets do. Complements the sign-LSH banded
+    path (``embedding_neardup``): centroid cells are learned from the
+    data rather than axis-aligned, the trade a curation pipeline makes
+    when it already maintains a k-means index."""
+    from ..operators.clustering import kmeans_assign
+    from ..functions.vector import cosine, to_double_array
+
+    vecs = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(vecs, k=8).select("vec_id", "cluster_id")
+    v = vecs.select("vec_id", to_double_array("embedding").alias("e"))
+    cells = assigned.join(v, "vec_id")
+    a = cells.select(
+        F.col("cluster_id").alias("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ea"),
+    )
+    b = cells.select(
+        F.col("cluster_id").alias("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("eb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= 0.4)
+        .select("cell", "a_id", "b_id", F.round(sim, 6).alias("sim"))
+    )

@@ -292,6 +292,16 @@ def _bpe_oracle(k: int) -> str:
     """Unrolled k-step BPE oracle: each step is a pair-count CTE, a
     1-row argmax CTE, and a merged word table feeding the next step —
     the SQL mirror of the operator's driver loop."""
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, pair,"
+        f" replace(pair, ' ', '') AS new_symbol, cnt AS pair_count FROM b{s}"
+        for s in range(1, k + 1)
+    )
+    # merges-only: the k-th merged word table is never consumed
+    return "WITH " + ",".join(_bpe_ctes(k, apply_last=False)) + "\n    " + selects
+
+
+def _bpe_ctes(k: int, apply_last: bool) -> list[str]:
     parts = [
         """
     wordcnt AS (
@@ -318,7 +328,7 @@ def _bpe_oracle(k: int) -> str:
         GROUP BY 1
     ),
     b{s} AS (SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair LIMIT 1)""")
-        if s < k:
+        if s < k or apply_last:
             # greedy left-to-right merge as a list_reduce state
             # machine — (out, pend) packed into one string on a \x01
             # separator (operators/bpe.py module docstring; a plain
@@ -350,12 +360,7 @@ def _bpe_oracle(k: int) -> str:
                ) AS sym
         FROM w{s-1} CROSS JOIN b{s}
     )""")
-    selects = "\n    UNION ALL ".join(
-        f"SELECT CAST({s} AS BIGINT) AS step, pair,"
-        f" replace(pair, ' ', '') AS new_symbol, cnt AS pair_count FROM b{s}"
-        for s in range(1, k + 1)
-    )
-    return "WITH " + ",".join(parts) + "\n    " + selects
+    return parts
 
 
 @register("training_bpe_merges", _bpe_oracle(BPE_STEPS))
@@ -369,3 +374,59 @@ def training_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_merge_steps
 
     return bpe_merge_steps(read_table(spark, sf_dir, "documents"), k=BPE_STEPS)
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Encode oracle: the merge CTE chain with ALL k merges applied
+    (``w{k}``), then per-doc subword totals through a word join."""
+    return (
+        "WITH "
+        + ",".join(_bpe_ctes(k, apply_last=True))
+        + f""",
+    toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> ''
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(list_filter(string_split(w.sym, ' '),
+                                    x -> x <> ''))) AS BIGINT) AS n_subwords
+    FROM toks t JOIN w{k} w ON w.word = t.tok
+    GROUP BY 1
+    """
+    )
+
+
+@register("training_bpe_encode", _bpe_encode_oracle(BPE_STEPS))
+def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the BPE tokenizer (r7; completes the
+    train-then-apply story of ``training_bpe_merges``): per document,
+    token count and total subword count after the first k=3 trained
+    merges.
+
+    Scale shape: the word -> subword-sequence mapping is the
+    Heaps-law-sized word table with the k merges applied (never
+    corpus-sized), so encoding the corpus is ONE equi-join on ``word``
+    plus a doc-keyed aggregation — the same join shape the vocab gate
+    governs for ``training_tokenize_docs``. ``n_subwords`` counts the
+    atomic ``</w>`` end-of-word marker as a symbol (it can merge into
+    real subwords, so excluding it would be ill-defined); both engines
+    count identically."""
+    from ..operators.bpe import bpe_encode_words
+
+    docs = read_table(spark, sf_dir, "documents")
+    nsub = F.size(F.filter(F.split("sym", " "), lambda x: x != F.lit("")))
+    mapping = bpe_encode_words(docs, k=BPE_STEPS).select(
+        "word", nsub.alias("n_sub")
+    )
+    toks = _tokens(docs).select("doc_id", F.col("token").alias("word"))
+    return (
+        toks.join(mapping, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+    )

@@ -121,3 +121,50 @@ def test_bpe_oracle_agrees_on_self_pair_corpus(spark, tmp_path):
     # and both match the greedy Python reference
     ref = sorted(_ref_bpe([t for _, t in docs], 3))
     assert got == ref
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Encode side: per-doc (n_words, n_subwords) after k=3 merges
+    equals the pure-Python greedy reference applied document-wise."""
+    rows = [
+        r
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+        if r["text"] is not None
+    ]
+    texts = [r["text"] for r in rows]
+    # rebuild the reference final symbol table (same loop as _ref_bpe)
+    words = Counter()
+    for t in texts:
+        for w in t.strip().split(" "):
+            if w:
+                words[w] += 1
+    syms = {w: list(w) + ["</w>"] for w in words}
+    for step in range(3):
+        pairs = Counter()
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pairs[f"{a} {b}"] += words[w]
+        if not pairs:
+            break
+        pair, _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        left, right = pair.split(" ")
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == left and ss[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    want = {}
+    for r in rows:
+        toks = [w for w in r["text"].strip().split(" ") if w]
+        if toks:
+            want[r["doc_id"]] = (len(toks), sum(len(syms[w]) for w in toks))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in QUERIES["training_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got == want

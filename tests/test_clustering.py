@@ -55,3 +55,38 @@ def test_lloyd_iteration_never_increases_inertia(spark, sf_dir):
     inertia2 = a2.agg(F.sum("d2")).collect()[0][0]
     assert inertia2 <= inertia1 + 1e-6
     assert a2.count() == a1.count()
+
+
+def test_semantic_cells_match_numpy_reference(spark, sf_dir):
+    """dedup_semantic_cells: within-cell cosine>=0.4 pairs equal the
+    numpy reference (centroids = 8 lowest-id vectors, assignment by
+    (rounded d2, cluster_id)); no pair spans two cells by shape."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_his_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    tbl.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in tbl]
+    X = np.array([[float(x) for x in r["embedding"]] for r in tbl])
+    C = X[:8]
+    # sequential-fold distances, rounded like both engines
+    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    assign = np.argmin(d2, axis=1)  # argmin takes first on ties = id tie-break
+    want = set()
+    sims = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] != assign[j]:
+                continue
+            cos = X[i] @ X[j] / (np.linalg.norm(X[i]) * np.linalg.norm(X[j]))
+            if cos >= 0.4:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((int(assign[i]), a, b))
+                sims[(a, b)] = cos
+    out = QUERIES["dedup_semantic_cells"](spark, sf_dir).collect()
+    got = {(r["cell"], r["a_id"], r["b_id"]) for r in out}
+    assert got == want
+    for r in out:
+        assert abs(r["sim"] - sims[(r["a_id"], r["b_id"])]) < 1e-5
