@@ -107,6 +107,10 @@ HEADLINE = [
     "graph_triangle_counts",
     "customer_rfm_segments",
     "streaming_window_counts_agree",
+    # round-7 additions (the round's only two new queries): BPE corpus
+    # encode and cluster-bucketed semantic dedup.
+    "training_bpe_encode",
+    "dedup_semantic_cells",
 ]
 
 
@@ -209,7 +213,14 @@ def main() -> int:
     # footer reads — absorbed by min-of-3. _quiesce between queries
     # keeps the previous query's async cleanup out of the next timing.
     RUNS = int(os.environ.get("BENCH_RUNS", "3"))
-    RESTART_EVERY = int(os.environ.get("BENCH_RESTART_EVERY", "8"))
+    # 8 → 6 in r7: the r6 driver bench showed the LAST queries of each
+    # restart block carrying a position penalty (dedup_minhash_lsh at
+    # block position 7: 2.12 s in-sequence vs 1.29 s isolated, same
+    # plan). A full A/B of the whole suite (BENCH_LOCAL_r7_insequence
+    # vs the committed re6 run) moved block-tail queries 20-35% with no
+    # query slower; restarts stay outside the timed windows. Same
+    # context-age root cause as r6's 8-query bound, tightened.
+    RESTART_EVERY = int(os.environ.get("BENCH_RESTART_EVERY", "6"))
     bench_names = names if one is None else [one]
     all_runs: dict[str, list[float]] = {n: [] for n in bench_names}
     for i, name in enumerate(bench_names):

