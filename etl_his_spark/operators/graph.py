@@ -36,8 +36,17 @@ surface (BASELINE.json north star).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+# Observation names must be unique among concurrently-live listeners:
+# two in-flight observations sharing a name could cross-fill. The loop
+# below consumes each observation before creating the next, but a
+# caller may run two connected_components calls on parallel threads —
+# a process-wide counter keeps every name distinct.
+_OBS_SEQ = itertools.count()
 
 
 def connected_components(
@@ -131,7 +140,7 @@ def connected_components(
         # (downstream of the LogicalRDD): attached upstream, the
         # metric node executes inside RDD computation where no Dataset
         # action listener sees it, and the observation yields null.
-        obs = Observation(f"cc_round_{rnd}")
+        obs = Observation(f"cc_{next(_OBS_SEQ)}")
         halved.observe(
             obs,
             # coalesce: sum over an EMPTY frame (no edges at all) is

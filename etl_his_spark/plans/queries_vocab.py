@@ -413,7 +413,13 @@ def training_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     governs for ``training_tokenize_docs``. ``n_subwords`` counts the
     atomic ``</w>`` end-of-word marker as a symbol (it can merge into
     real subwords, so excluding it would be ill-defined); both engines
-    count identically."""
+    count identically.
+
+    Contract note (same as the unrolled merges oracle): a degenerate
+    corpus exhausting its merge-able pairs before step k is outside
+    the oracle's shape (the unrolled w{s} CTEs assume every step finds
+    a pair); any corpus with one 3+-character word has >= k=3 steps,
+    so all fixtures and any real corpus qualify."""
     from ..operators.bpe import bpe_encode_words
 
     docs = read_table(spark, sf_dir, "documents")
