@@ -107,10 +107,12 @@ HEADLINE = [
     "graph_triangle_counts",
     "customer_rfm_segments",
     "streaming_window_counts_agree",
-    # round-7 additions (the round's only two new queries): BPE corpus
-    # encode and cluster-bucketed semantic dedup.
+    # round-7 additions (the round's only three new queries): BPE
+    # corpus encode, cluster-bucketed semantic dedup, and
+    # perceptual-hash image dedup.
     "training_bpe_encode",
     "dedup_semantic_cells",
+    "multimodal_image_dedup",
 ]
 
 

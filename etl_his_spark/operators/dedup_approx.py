@@ -748,29 +748,53 @@ def simhash_pairs_blocked(
     sig = simhash_signatures(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
+    return hamming_pairs_blocked(
+        sig, max_hamming, bits=SIMHASH_BITS, id_col=id_col, sig_col="simhash"
+    )
+
+
+def hamming_pairs_blocked(
+    sig: DataFrame,
+    max_hamming: int,
+    bits: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Pairs of integer signatures within Hamming ≤ max_hamming via
+    lossless pigeonhole chunk blocking — the (id, signature) → pairs
+    core shared by SimHash text dedup and perceptual-hash image dedup
+    (any ≤64-bit fingerprint qualifies). Output: (a_id, b_id,
+    hamming). The caller materializes ``sig`` if it is expensive —
+    both sides of the chunk self-join consume it."""
     n_chunks = max_hamming + 1
-    base, extra = divmod(SIMHASH_BITS, n_chunks)
+    base, extra = divmod(bits, n_chunks)
     widths = [base + 1 if i < extra else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("c"),
+                # LOGICAL right shift: keeps the top chunk correct for
+                # signatures using bit 63 (arithmetic >> would smear
+                # the sign bit across high-chunk values)
                 F.expr(
-                    f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1}"
+                    f"shiftrightunsigned({sig_col}, {offsets[i]})"
+                    f" & {(1 << widths[i]) - 1}"
                 ).alias("v"),
             )
             for i in range(n_chunks)
         ]
     )
     exploded = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ch")
-    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+        F.col(id_col), F.col(sig_col), F.explode(chunks).alias("ch")
+    ).select(
+        id_col, sig_col, F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
+    )
     a = exploded.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"), "c", "v"
+        F.col(id_col).alias("a_id"), F.col(sig_col).alias("sig_a"), "c", "v"
     )
     b = exploded.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"), "c", "v"
+        F.col(id_col).alias("b_id"), F.col(sig_col).alias("sig_b"), "c", "v"
     )
     # Signatures ride along the explode (8 bytes/row) so candidates
     # need no join back to sig. The exact Hamming filter runs BEFORE
@@ -779,9 +803,8 @@ def simhash_pairs_blocked(
     # distinct-then-filter, but the distinct's shuffle shrinks from
     # every chunk-collision candidate (~chunks x bucket-pair volume)
     # to just the true near-dup pairs — the filter itself is a
-    # map-side bit_count in the join stage (r7: 3.9 -> 2.6 s on the
-    # sf0.1 pair step, and the same factor on any cluster because it
-    # is pure shuffle-volume reduction).
+    # map-side bit_count in the join stage (r7; pure shuffle-volume
+    # reduction, so the factor holds on any cluster).
     return (
         a.join(b, ["c", "v"])
         .filter(F.col("a_id") < F.col("b_id"))

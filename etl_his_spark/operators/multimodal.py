@@ -355,6 +355,60 @@ def decode_media(
     return media.mapInPandas(batches, out_schema)
 
 
+def _ahash_one(b: bytes | None) -> int | None:
+    """64-bit average hash of one image via the real netpbm lane:
+    decode → luminance → nearest-neighbor 8x8 downsample (identity for
+    8x8 inputs — the same center-of-cell grid as resize_image) → mean
+    threshold → row-major bit pack (bit j set iff pixel j > mean).
+    None for undecodable bytes."""
+    import numpy as np
+
+    if b is None:
+        return None
+    arr = parse_netpbm(b)
+    if arr is None:
+        return None
+    lum = _netpbm_luminance(arr)
+    h, w = lum.shape
+    rows = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
+    cols = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
+    small = lum[rows][:, cols].astype("float64").ravel()
+    mean = small.mean()
+    hsh = 0
+    for j in range(64):
+        if small[j] > mean:
+            hsh |= 1 << j
+    if hsh >= 1 << 63:  # wrap to signed int64 (bit 63 as sign bit)
+        hsh -= 1 << 64
+    return hsh
+
+
+def perceptual_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, ahash) — the classic perceptual fingerprint for image
+    near-dup detection (average hash): Hamming distance between hashes
+    approximates visual difference, so Hamming-blocked pairing
+    (``dedup_approx.hamming_pairs_blocked``) finds visual duplicates
+    with the same pigeonhole machinery as SimHash text dedup. Real
+    decode, Arrow-batched ``mapInPandas``, 8 bytes per image out."""
+    out_schema = T.StructType(
+        [media.schema[id_col], T.StructField("ahash", T.LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash": pd.array(
+                        [_ahash_one(b) for b in pdf["media_bytes"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)
+
+
 def parse_y4m(b: bytes):
     """Decode an uncompressed YUV4MPEG2 (``.y4m``) stream to
     ``(width, height, [Y-plane bytes per frame])`` — pure byte/numpy

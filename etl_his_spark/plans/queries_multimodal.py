@@ -304,3 +304,79 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).cast("long").alias("sum_samples"),
         F.element_at("features", 3).cast("long").alias("sum_squares"),
     )
+
+
+@register(
+    "multimodal_image_dedup",
+    """
+    WITH k AS (SELECT doc_id, CAST(doc_id % 48 AS BIGINT) AS k
+               FROM documents),
+    kc AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
+    nn AS (
+        SELECT a.k, CAST(SUM(b.c) AS BIGINT) - 1 AS n_near
+        FROM (SELECT DISTINCT k FROM k) a
+        JOIN kc b ON abs(a.k - b.k) <= 1
+        GROUP BY 1
+    )
+    SELECT d.doc_id AS media_id,
+           CAST((1::BIGINT << d.k) - 1 AS BIGINT) AS ahash,
+           nn.n_near
+    FROM k d JOIN nn ON nn.k = d.k
+    """,
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual-hash image dedup under a hard oracle (r7) — the
+    multimodal analog of SimHash text dedup, end to end: Spark builds
+    a valid binary PGM per doc (first ``doc_id % 48`` pixels of an 8x8
+    raster white, the rest black), the dependency-free netpbm lane
+    DECODES it for real, ``perceptual_ahash`` computes the 64-bit
+    average hash (luminance → 8x8 downsample → mean threshold → bit
+    pack), and ``hamming_pairs_blocked`` pairs hashes within Hamming
+    ≤ 1 by lossless pigeonhole chunking. Output: per image, its hash
+    and its near-duplicate degree.
+
+    The oracle does no image work: a prefix raster's aHash is
+    analytically ``2^k - 1`` (k white pixels above the mean, which
+    sits strictly between 0 and 255 for 0 < k < 64) and the Hamming
+    distance between prefix hashes is ``|ka - kb|``, so the expected
+    degree is pure arithmetic over ``doc_id % 48`` — yet the Spark
+    side's hash only matches if the PGM encoder, netpbm parser,
+    downsample grid, mean threshold, bit order, AND the chunked
+    Hamming join are all right.
+
+    Scale: hashing is a map-only Arrow-batched stage emitting 8 bytes
+    per image; pairing is the same keyed pigeonhole equi-join that
+    carries SimHash at corpus scale; the degree roll-up is one
+    id-keyed aggregation."""
+    from ..operators.dedup_approx import hamming_pairs_blocked
+    from ..operators.multimodal import perceptual_ahash
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(48)).cast("int")
+    with_k = docs.withColumn("k", k)
+    raster = F.unhex(
+        F.concat(
+            F.expr("repeat('ff', k)"), F.expr("repeat('00', 64 - k)")
+        )
+    )
+    media = with_k.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(b"P5\n8 8\n255\n"), raster).alias("media_bytes"),
+    )
+    # the hash table feeds both sides of the pigeonhole self-join and
+    # the final degree join — materialize the decode once
+    ah = perceptual_ahash(media).localCheckpoint(eager=False)
+    pairs = hamming_pairs_blocked(
+        ah, max_hamming=1, bits=64, id_col="media_id", sig_col="ahash"
+    )
+    deg = (
+        pairs.select(F.col("a_id").alias("media_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    return ah.join(deg, "media_id", "left").select(
+        "media_id",
+        "ahash",
+        F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+    )

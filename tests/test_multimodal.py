@@ -358,3 +358,56 @@ def test_wav_stats_features_reference_and_corrupt():
     ]
     assert _wav_stats_features(b"not a wav") is None
     assert _wav_stats_features(wav[:20]) is None
+
+
+def test_ahash_reference_cases():
+    """_ahash_one against hand-computable rasters: prefix PGM (the
+    oracle's analytic case), a 16x16 downsample case, a P6 color
+    raster, the all-dark image, sign-bit wrap, and corrupt bytes."""
+    from etl_his_spark.operators.multimodal import _ahash_one
+
+    # 8x8 prefix raster: k white pixels -> hash 2^k - 1
+    for k in (0, 1, 7, 31, 47):
+        b = b"P5\n8 8\n255\n" + b"\xff" * k + b"\x00" * (64 - k)
+        assert _ahash_one(b) == (1 << k) - 1, k
+    # 16x16 input: nearest-neighbor center grid samples odd rows/cols;
+    # make top half white, bottom half black -> 8x8 top 4 rows white
+    b16 = b"P5\n16 16\n255\n" + b"\xff" * 128 + b"\x00" * 128
+    assert _ahash_one(b16) == (1 << 32) - 1
+    # P6 color: pure-red top half vs black bottom; red luminance 76>mean
+    b6 = b"P6\n8 8\n255\n" + b"\xff\x00\x00" * 32 + b"\x00\x00\x00" * 32
+    assert _ahash_one(b6) == (1 << 32) - 1
+    # bit 63 participates: single white pixel in the LAST position of
+    # an otherwise-dark-but-nonuniform raster -> negative (signed wrap)
+    b63 = b"P5\n8 8\n255\n" + b"\x00" * 63 + b"\xff"
+    assert _ahash_one(b63) == -(1 << 63)
+    # uniform image: nothing strictly above the mean -> hash 0
+    assert _ahash_one(b"P5\n8 8\n255\n" + b"\x80" * 64) == 0
+    assert _ahash_one(b"not an image") is None
+    assert _ahash_one(None) is None
+
+
+def test_image_dedup_degree_matches_arithmetic(spark, sf_dir):
+    """multimodal_image_dedup: n_near equals the doc_id%48 arithmetic
+    and the hash is the analytic prefix value — checked in Python
+    (independent of the DuckDB oracle)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from etl_his_spark.registry import QUERIES
+
+    ids = [
+        r["doc_id"]
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    ]
+    kc = Counter(i % 48 for i in ids)
+    out = {
+        r["media_id"]: (r["ahash"], r["n_near"])
+        for r in QUERIES["multimodal_image_dedup"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(ids)
+    for i in ids:
+        k = i % 48
+        want_near = sum(kc.get(kk, 0) for kk in (k - 1, k, k + 1)) - 1
+        assert out[i] == ((1 << k) - 1, want_near), i
