@@ -107,12 +107,13 @@ HEADLINE = [
     "graph_triangle_counts",
     "customer_rfm_segments",
     "streaming_window_counts_agree",
-    # round-7 additions (the round's only three new queries): BPE
-    # corpus encode, cluster-bucketed semantic dedup, and
-    # perceptual-hash image dedup.
+    # round-7 additions (the round's only four new queries): BPE
+    # corpus encode, cluster-bucketed semantic dedup, perceptual-hash
+    # image dedup, and the stream-stream join gate.
     "training_bpe_encode",
     "dedup_semantic_cells",
     "multimodal_image_dedup",
+    "streaming_join_agree",
 ]
 
 

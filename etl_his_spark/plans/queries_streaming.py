@@ -433,3 +433,82 @@ def streaming_window_counts_agree(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("window_start", "event_type", "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (time-bounded inner) under the gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_join_agree",
+    """
+    WITH v AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM v
+    JOIN p ON p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 1 HOUR
+    CROSS JOIN m
+    WHERE v.ts < m.mx - INTERVAL 3 HOUR
+      AND p.ts < m.mx - INTERVAL 3 HOUR
+    """,
+)
+def streaming_join_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded stream-stream INNER join from a REAL execution
+    (r7; the sixth live streaming lane under the hash gate — the one
+    the other five don't cover): views ⋈ purchases of the same user
+    within one hour, both sides watermarked so join state is
+    evictable, run to completion on the multi-file replay
+    (availableNow → memory sink) and hash-checked against the plain
+    batch join.
+
+    Determinism design, same family as the other gates: an inner
+    stream-stream join emits a match in the micro-batch where the
+    second side arrives, so every qualifying pair is emitted as long
+    as neither row was watermark-dropped; both sides therefore filter
+    to rows strictly below max(ts) − 3 h (2 h watermark + 1 h join
+    bound), where state is provably still live whenever the partner
+    row can still arrive. Scale: the join is keyed on user_id with an
+    event-time residual — state per key is bounded by the 1-hour
+    window, the canonical clicks⋈impressions shape."""
+    from ..streaming.events import stream_events, stream_stream_join
+
+    replay = _events_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_join_gate")
+    left = stream_events(spark, replay).filter(F.col("event_type") == "view")
+    right = stream_events(spark, replay).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        stream_stream_join(left, right, within="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    max_ts = (
+        read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = max_ts - timedelta(hours=3)
+    return (
+        spark.table(name)
+        .filter((F.col("l_ts") < F.lit(horizon)) & (F.col("r_ts") < F.lit(horizon)))
+        .select(
+            F.col("l_key").alias("user_id"),
+            F.col("l_event_id").alias("view_event_id"),
+            F.col("r_event_id").alias("purchase_event_id"),
+            F.col("l_ts").alias("view_ts"),
+            F.col("r_ts").alias("purchase_ts"),
+        )
+    )
