@@ -107,13 +107,15 @@ HEADLINE = [
     "graph_triangle_counts",
     "customer_rfm_segments",
     "streaming_window_counts_agree",
-    # round-7 additions (the round's only four new queries): BPE
+    # round-7 additions (the round's only five new queries): BPE
     # corpus encode, cluster-bucketed semantic dedup, perceptual-hash
-    # image dedup, and the stream-stream join gate.
+    # image dedup, and the stream-stream join + stream-static enrich
+    # gates.
     "training_bpe_encode",
     "dedup_semantic_cells",
     "multimodal_image_dedup",
     "streaming_join_agree",
+    "streaming_enrich_agree",
 ]
 
 

@@ -512,3 +512,48 @@ def streaming_join_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_ts").alias("purchase_ts"),
         )
     )
+
+
+@register(
+    "streaming_enrich_agree",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_nationkey
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def streaming_enrich_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment from a REAL execution (r7;
+    the seventh live streaming lane under the hash gate): the event
+    stream left-joins the bounded customer dimension per micro-batch
+    (the streaming analog of the batch pipeline's J1-J9 catalog joins,
+    SURVEY.md §2.3), run to completion on the multi-file replay and
+    hash-checked against the plain batch left join.
+
+    Unlike the windowed/sessionized gates this needs NO horizon
+    filter: enrichment is stateless and watermark-free, so the full
+    row set is emitted regardless of micro-batch layout — the output
+    is deterministically the batch join. Scale: the static side rides
+    Catalyst's broadcast decision (never forced — resolve_fk
+    rationale); events with no dim match survive with NULLs."""
+    from ..streaming.events import enrich_with_dim, stream_events
+
+    replay = _events_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_enrich_gate")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    q = (
+        enrich_with_dim(stream_events(spark, replay), dim, on="user_id")
+        .select("event_id", "user_id", "event_type", "c_name", "c_nationkey")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "c_name", "c_nationkey"
+    )
