@@ -191,6 +191,18 @@ def main() -> int:
         # optional trailing names restrict the sweep (full list default)
         subset = [a for a in sys.argv[sys.argv.index("--isolate") + 1:]
                   if not a.startswith("-")]
+        if subset:
+            # Fail loudly on typos: a silently-empty intersection would
+            # run nothing and overwrite BENCH_ISOLATED.json with an
+            # empty payload (r7 advisor).
+            unknown = [a for a in subset if a not in names]
+            if unknown:
+                print(
+                    f"error: --isolate names not in the benchmark set: "
+                    f"{unknown}\nknown: {names}",
+                    file=sys.stderr,
+                )
+                return 2
         return run_isolated([n for n in names if n in subset] if subset else names)
     one = None
     if "--one" in sys.argv:

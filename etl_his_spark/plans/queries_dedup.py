@@ -1094,7 +1094,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(a.e, b.e), 6) AS sim
     FROM cells a
     JOIN cells b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
     """,
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,9 +1143,12 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # Threshold on the ROUNDED similarity in both engines (r7 advisor):
+    # Spark and DuckDB may disagree by ~1 ulp on the raw float, so a
+    # pair sitting exactly at 0.4 could otherwise flip the gate.
     return (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(sim >= 0.4)
+        .filter(F.round(sim, 6) >= 0.4)
         .select("cell", "a_id", "b_id", F.round(sim, 6).alias("sim"))
     )

@@ -26,6 +26,7 @@ import atexit
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,43 @@ def _fresh_sink(spark: SparkSession, gate: str) -> str:
     return name
 
 
+def _normalize_replay_order(out: str) -> None:
+    """Make the replay TIME-SORTED and its batch order deterministic.
+
+    ``FileStreamSource`` feeds unseen files oldest-modification-time
+    first, so after a range-partitioned write (whose task completion
+    order — and hence file mtimes — is arbitrary) the parquet parts
+    are renamed ``chunk-00i.parquet`` in ascending min(ts) order (read
+    from the parquet footer statistics, no data scan) with strictly
+    increasing mtimes. Result: micro-batches arrive in event-time
+    order regardless of file count or ``maxFilesPerTrigger``."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        p
+        for p in os.listdir(out)
+        if p.endswith(".parquet") and not p.startswith((".", "_"))
+    )
+
+    def min_ts(name: str) -> int:
+        md = pq.ParquetFile(os.path.join(out, name)).metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "ts"
+        )
+        return min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+
+    base = _time.time()
+    for i, name in enumerate(sorted(parts, key=min_ts)):
+        dst = os.path.join(out, f"chunk-{i:03d}.parquet")
+        os.rename(os.path.join(out, name), dst)
+        os.utime(dst, (base + 2 * i, base + 2 * i))
+
+
 def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _REPLAY_DIRS:
         out = os.path.join(
@@ -70,12 +108,47 @@ def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         # ts stays nanos-long (EVENTS_RAW_SCHEMA contract); 8 files at
         # maxFilesPerTrigger=4 → ≥2 data batches before the flush.
-        read_events_raw(spark, sf_dir).repartition(8).write.mode(
-            "overwrite"
-        ).parquet(out)
+        #
+        # The files are RANGE-partitioned on ts and replayed in time
+        # order (_normalize_replay_order). This is what makes the
+        # watermark-sensitive gates robust rather than accidental (r7
+        # advisor): with time-ordered batches the watermark when batch
+        # k runs is max(ts of earlier batches) − 2 h, so for any
+        # qualifying stream-stream pair (p.ts ≥ batch-k lower bound,
+        # v.ts ≥ p.ts − 1 h) the view's join state is provably still
+        # live — for ANY file count and ANY maxFilesPerTrigger, not
+        # just the 8-files×4-per-trigger = 2-data-batch layout the r7
+        # gate happened to run. Same monotone-watermark argument closes
+        # the session/window gates' below-horizon emissions.
+        read_events_raw(spark, sf_dir).repartitionByRange(
+            8, "ts", "event_id"
+        ).write.mode("overwrite").parquet(out)
+        _normalize_replay_order(out)
         atexit.register(shutil.rmtree, out, ignore_errors=True)
         _REPLAY_DIRS[sf_dir] = out
     return _REPLAY_DIRS[sf_dir]
+
+
+@contextmanager
+def _stream_run_conf(spark: SparkSession, partitions: str = "8"):
+    """Scoped micro-batch tuning for the availableNow replay gates.
+
+    Stateful streaming stages plan with the static
+    ``spark.sql.shuffle.partitions`` (AQE does not apply inside
+    streaming queries), and every state partition costs a state-store
+    instance commit per micro-batch — at the default 32 that overhead
+    dominates these second-scale replays (r7 verdict item 3). 8 keeps
+    the replay parallel while quartering per-batch state-store and
+    shuffle-task machinery; results are partitioning-independent. The
+    previous value is restored after the stream completes so batch
+    queries in the same session are untouched."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, partitions)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @register(
@@ -147,17 +220,19 @@ def streaming_attribution_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = _events_replay_dir(spark, sf_dir)
     name = _fresh_sink(spark, "stream_attrib_gate")
-    q = (
-        attribution_stream(
-            stream_events(spark, replay), gap_minutes=30, watermark="2 hours"
+    with _stream_run_conf(spark):
+        q = (
+            attribution_stream(
+                stream_events(spark, replay), gap_minutes=30,
+                watermark="2 hours",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
     max_ts = (
         read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
@@ -218,17 +293,19 @@ def streaming_sessionize_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = _events_replay_dir(spark, sf_dir)
     name = _fresh_sink(spark, "stream_sess_gate")
-    q = (
-        sessionize_stream(
-            stream_events(spark, replay), gap_minutes=30, watermark="2 hours"
+    with _stream_run_conf(spark):
+        q = (
+            sessionize_stream(
+                stream_events(spark, replay), gap_minutes=30,
+                watermark="2 hours",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     max_ts = (
         read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     )
@@ -311,14 +388,15 @@ def streaming_dedup_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["fingerprint"])
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_conf(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("fingerprint", "norm_len")
 
 
@@ -353,15 +431,16 @@ def streaming_stateful_totals_agree(spark: SparkSession, sf_dir: str) -> DataFra
 
     replay = _events_replay_dir(spark, sf_dir)
     name = _fresh_sink(spark, "stream_stateful_gate")
-    q = (
-        running_user_totals(stream_events(spark, replay))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_conf(spark):
+        q = (
+            running_user_totals(stream_events(spark, replay))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = F.max(F.struct("n_events", "total_cents")).alias("s")
     return (
         spark.table(name)
@@ -410,17 +489,19 @@ def streaming_window_counts_agree(spark: SparkSession, sf_dir: str) -> DataFrame
 
     replay = _events_replay_dir(spark, sf_dir)
     name = _fresh_sink(spark, "stream_wincount_gate")
-    q = (
-        windowed_counts(
-            stream_events(spark, replay), window="1 hour", watermark="2 hours"
+    with _stream_run_conf(spark):
+        q = (
+            windowed_counts(
+                stream_events(spark, replay), window="1 hour",
+                watermark="2 hours",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     max_ts = (
         read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     )
@@ -476,27 +557,37 @@ def streaming_join_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     second side arrives, so every qualifying pair is emitted as long
     as neither row was watermark-dropped; both sides therefore filter
     to rows strictly below max(ts) − 3 h (2 h watermark + 1 h join
-    bound), where state is provably still live whenever the partner
-    row can still arrive. Scale: the join is keyed on user_id with an
-    event-time residual — state per key is bounded by the 1-hour
-    window, the canonical clicks⋈impressions shape."""
+    bound). That state is still live when the partner arrives is
+    guaranteed by the TIME-SORTED replay (r7 advisor — see
+    ``_events_replay_dir``): batches arrive in event-time order, so
+    when the purchase's batch runs the watermark is at most
+    (batch lower bound − 2 h) and any qualifying view
+    (v.ts ≥ p.ts − 1 h) is above the eviction threshold — for any
+    file count and trigger size, not just the r7 2-batch layout.
+    Scale: the join is keyed on user_id with an event-time residual —
+    state per key is bounded by the 1-hour window, the canonical
+    clicks⋈impressions shape."""
     from ..streaming.events import stream_events, stream_stream_join
 
     replay = _events_replay_dir(spark, sf_dir)
     name = _fresh_sink(spark, "stream_join_gate")
-    left = stream_events(spark, replay).filter(F.col("event_type") == "view")
-    right = stream_events(spark, replay).filter(
-        F.col("event_type") == "purchase"
-    )
-    q = (
-        stream_stream_join(left, right, within="1 hour")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # ONE streaming source, both join sides derived from it (self-join
+    # on disjoint filters): a second stream_events() reader would
+    # track offsets and list/scan the replay dir twice per micro-batch
+    # for identical bytes (r7 verdict item 3).
+    ev = stream_events(spark, replay)
+    left = ev.filter(F.col("event_type") == "view")
+    right = ev.filter(F.col("event_type") == "purchase")
+    with _stream_run_conf(spark):
+        q = (
+            stream_stream_join(left, right, within="1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     max_ts = (
         read_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     )
@@ -544,16 +635,19 @@ def streaming_enrich_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
     )
-    q = (
-        enrich_with_dim(stream_events(spark, replay), dim, on="user_id")
-        .select("event_id", "user_id", "event_type", "c_name", "c_nationkey")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_conf(spark):
+        q = (
+            enrich_with_dim(stream_events(spark, replay), dim, on="user_id")
+            .select(
+                "event_id", "user_id", "event_type", "c_name", "c_nationkey"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "event_id", "user_id", "event_type", "c_name", "c_nationkey"
     )
