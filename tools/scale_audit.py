@@ -45,7 +45,16 @@ def main() -> int:
     from etl_his_spark.session import get_spark
 
     qs = ordered_queries()
+    # Merge into the existing audit so partial runs (new queries only)
+    # extend the record instead of clobbering prior exponents.
+    audit_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_AUDIT.json",
+    )
     out: dict = {}
+    if os.path.exists(audit_path):
+        with open(audit_path) as f:
+            out = json.load(f)
     for name in names:
         per_sf: dict[str, float] = {}
         for sf_dir in SF_DIRS:
@@ -71,8 +80,7 @@ def main() -> int:
             )
         out[name] = {"sec": per_sf, "alpha": alphas}
         print(f"{name}: {out[name]}", file=sys.stderr)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALE_AUDIT.json"), "w") as f:
+    with open(audit_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
