@@ -121,7 +121,21 @@ def write_table(
     ``partition_by`` is the Spark analog of the reference's secondary
     indexes (PostgresSchemaBuilder.php:88-91 indexes turno(fecha) etc.):
     partition pruning serves the same frequent-query access paths.
+
+    Partitioned writes first hash-repartition on the partition columns
+    — the standard dynamic-partition write discipline. Without it
+    every writing task emits a file into every Hive partition it
+    touches: tasks × |partitions| files (the small-files explosion at
+    100 TB), and at the other extreme an AQE-coalesced single task
+    writes all partitions SERIALLY (measured r8: the sf0.01 turno fact
+    — 2399 date dirs — took ~40 s through one task; ~3 s once dates
+    spread across the cluster). After the repartition each partition
+    value lands in exactly one task: one file per partition, written
+    in parallel. A skewed giant partition would need an extra salt
+    column to split — not needed for date-grain facts here.
     """
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
