@@ -417,3 +417,42 @@ def test_streaming_dedup_drops_exact_duplicates(spark, tmp_path):
     got = spark.table(name).collect()
     assert len(got) == 2  # {hello world, different doc}
     assert {r["norm_len"] for r in got} == {11, 13}
+
+
+def test_gate_replay_dir_is_time_sorted(spark, sf_dir):
+    """The gate harness's replay must feed micro-batches in event-time
+    order (r7 advisor): files named chunk-00i with ascending min(ts)
+    AND strictly increasing mtimes — FileStreamSource orders unseen
+    files by modification time, so both must agree for the
+    monotone-watermark determinism argument to hold at any
+    maxFilesPerTrigger."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_his_spark.plans.queries_streaming import _events_replay_dir
+
+    replay = _events_replay_dir(spark, sf_dir)
+    parts = sorted(
+        p for p in os.listdir(replay) if p.endswith(".parquet")
+    )
+    assert parts == [f"chunk-{i:03d}.parquet" for i in range(len(parts))]
+    mins, mtimes = [], []
+    for p in parts:
+        full = os.path.join(replay, p)
+        md = pq.ParquetFile(full).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "ts"
+        )
+        mins.append(
+            min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+        )
+        mtimes.append(os.path.getmtime(full))
+    assert mins == sorted(mins), "chunk files not in ascending min(ts)"
+    assert all(b > a for a, b in zip(mtimes, mtimes[1:])), (
+        "mtimes not strictly increasing"
+    )

@@ -124,12 +124,44 @@ def main() -> int:
         ) and name not in CROSS_JOIN_ALLOW:
             violations.append(f"{name}: cartesian/nested-loop join present")
 
+    # The HIS pipeline's 4 outputs are not registry queries (they are
+    # produced by run_pipeline), so audit them explicitly: same
+    # scale-posture rules as every gate query. dense-id minting on the
+    # two dims is the documented SinglePartition window
+    # (surrogate.dense_ids_small), same allowance as flagship_fact.
+    from etl_his_spark.plans.his_pipeline import run_pipeline
+    from etl_his_spark.sources.his_synth import his_tables_from_testdata
+
+    # The dim outputs mint ids with the documented dim-scale
+    # SinglePartition window (dense_ids_small); turno inherits
+    # paciente's window through its dim join lineage — only the
+    # BRIDGE (the largest output, parallel two-phase ids) must be
+    # exchange-parallel throughout.
+    his_allow_single = {"paciente", "prestacion", "turno"}
+    try:
+        outputs = run_pipeline(his_tables_from_testdata(spark, sf_dir))
+        for name, df in outputs.items():
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            qname = f"his_pipeline.{name}"
+            if (
+                "Exchange SinglePartition" in plan
+                and name not in his_allow_single
+            ):
+                violations.append(f"{qname}: Exchange SinglePartition")
+            if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+                violations.append(f"{qname}: cartesian/nested-loop join present")
+    except Exception as e:  # noqa: BLE001
+        violations.append(f"his_pipeline: plan build failed: {e}")
+
     if violations:
         print(f"{len(violations)} plan-posture violations:")
         for v in violations:
             print("  -", v)
         return 1
-    print(f"plan audit clean: {len(entrymod.queries())} queries")
+    print(
+        f"plan audit clean: {len(entrymod.queries())} queries "
+        f"+ his_pipeline outputs"
+    )
     return 0
 
 
