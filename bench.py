@@ -116,6 +116,11 @@ HEADLINE = [
     "multimodal_image_dedup",
     "streaming_join_agree",
     "streaming_enrich_agree",
+    # round-8 additions (the round's only three new queries): hybrid
+    # RRF retrieval, bigram conditional-LM score, event-rate anomaly.
+    "retrieval_hybrid_rrf",
+    "quality_bigram_likelihood",
+    "events_rate_anomaly",
 ]
 
 

@@ -485,3 +485,98 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a", "brand_b", "n_ab", "n_a", "n_b", lift.alias("lift")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection (r8)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_BASELINE = 24   # trailing buckets forming the baseline
+_ANOMALY_SIGMA2 = 9      # 3-sigma rule, squared (no sqrt → no libm)
+
+
+@register(
+    "events_rate_anomaly",
+    f"""
+    WITH buckets AS (
+        SELECT event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+        SELECT event_type, window_start, n_events,
+               CAST(count(*) OVER w AS BIGINT) AS n_base,
+               CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+               CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+        FROM buckets
+        WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                     ROWS BETWEEN {_ANOMALY_BASELINE} PRECEDING
+                              AND 1 PRECEDING)
+    ),
+    stats AS (
+        SELECT event_type, window_start, n_events,
+               CAST(s1 AS DOUBLE) / n_base AS mean,
+               CAST(s2 AS DOUBLE) / n_base
+                 - (CAST(s1 AS DOUBLE) / n_base)
+                   * (CAST(s1 AS DOUBLE) / n_base) AS var
+        FROM trail WHERE n_base = {_ANOMALY_BASELINE}
+    )
+    SELECT event_type, window_start, n_events,
+           round(mean, 6) AS baseline_mean,
+           round(var, 6) AS baseline_var,
+           round((n_events - mean) * (n_events - mean)
+                 - {_ANOMALY_SIGMA2} * var, 6) > 0 AS is_anomaly
+    FROM stats
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly flags per event type: a bucket is
+    anomalous when its count deviates from the trailing-24-bucket
+    baseline by more than 3σ — the standard ops-monitoring rule a
+    pipeline runs over its own ingest stream.
+
+    Exactness without libm: σ and the deviation never materialize —
+    the 3σ rule is applied SQUARED, (n−μ)² > 9·Var, so there is no
+    sqrt; μ and Var come from exact integer window sums (Σn, Σn²)
+    with single fixed-order double divisions, and the boundary
+    comparison rides the rounded difference (the advisor's ulp-safe
+    threshold device). Buckets with fewer than 24 predecessors carry
+    no baseline and drop in both engines.
+
+    Scale: the corpus-sized work is one groupBy (events → type×hour
+    buckets, report-sized at any input: |types|·|hours|); the trailing
+    window runs on that bounded bucket table, partitioned by type —
+    sequential per type by definition of a trailing baseline, parallel
+    across types, state bounded by the 25-row frame."""
+    ev = read_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour")["start"].alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-_ANOMALY_BASELINE, -1)
+    )
+    trail = buckets.select(
+        "event_type", "window_start", "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_base"),
+        F.sum("n_events").over(w).cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("long")
+        .alias("s2"),
+    ).filter(F.col("n_base") == _ANOMALY_BASELINE)
+    mean = F.col("s1").cast("double") / F.col("n_base")
+    var = F.col("s2").cast("double") / F.col("n_base") - mean * mean
+    dev2 = (F.col("n_events") - mean) * (F.col("n_events") - mean)
+    return trail.select(
+        "event_type", "window_start", "n_events",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(var, 6).alias("baseline_var"),
+        (F.round(dev2 - F.lit(_ANOMALY_SIGMA2) * var, 6) > 0).alias(
+            "is_anomaly"
+        ),
+    )

@@ -715,3 +715,143 @@ def curation_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional-likelihood score (r8)
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for the per-instance conditional probability.
+# (c_bg+1)*SCALE must stay in int64: bigram counts reach ~1e12 at
+# 100 TB, ×1e6 = 1e18 < 2^63 — documented headroom, no overflow path.
+_BIGRAM_PPM_SCALE = 1_000_000
+
+_BIGRAM_PREV_CTE = """
+    toks_pos AS (
+        SELECT doc_id, i AS pos, ts[i] AS token
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(trim(text), ' '),
+                               x -> x <> '') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ) t, unnest(range(1, len(ts) + 1)) AS u(i)
+    ),
+    big_prev AS (
+        SELECT a.doc_id, a.token AS prev,
+               CAST('0x' || substr(md5(a.token || ' ' || b.token), 1, 15)
+                    AS BIGINT) AS bg
+        FROM toks_pos a JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+"""
+
+
+@register(
+    "quality_bigram_likelihood",
+    f"""
+    WITH {_BIGRAM_PREV_CTE},
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cu
+            FROM toks_pos GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_v FROM uni),
+    bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb
+             FROM big_prev GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               ((c.cb + 1) * {_BIGRAM_PPM_SCALE}) // (u.cu + t.vocab_v)
+                   AS ppm
+        FROM big_prev p
+        JOIN bcnt c ON p.bg = c.bg
+        JOIN uni u ON p.prev = u.token
+        CROSS JOIN tot t
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ppm) AS BIGINT) AS score_ppm
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, score_ppm,
+           round(CAST(score_ppm AS DOUBLE) / n_bigrams, 6) AS mean_ppm
+    FROM per_doc
+    """,
+)
+def quality_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed bigram CONDITIONAL probability per doc,
+    in exact fixed-point: p(w_i | w_{i-1}) = (c(bigram)+1)/(c(prev)+V).
+
+    The next step up from ``quality_unigram_likelihood``: a unigram LM
+    scores "are these common words", this scores "do these words
+    follow each other the way the corpus's words do" — template spam
+    full of frequent-but-shuffled tokens scores high under unigram and
+    low here. Unlike the unigram case the smoothing denominator VARIES
+    per history token, so the global-denominator algebra that made the
+    unigram mean a single division does not apply; exactness comes
+    from fixed-point integer division instead: each instance
+    contributes ⌊(c_bg+1)·10^6 / (c_prev+V)⌋ (BIGINT `div` in Spark,
+    `//` in DuckDB — identical floors), the per-doc score is an exact
+    integer SUM (order-independent, unlike double summation), and the
+    only float op is ONE final division for the mean. No logs, no
+    libm, no accumulation-order hazard — this module's float
+    discipline.
+
+    Plan: the bigram zip (no positional self-join — oracle's pos-join
+    is the SQL equivalent), one bigram-dim groupBy and one token-dim
+    groupBy (both Heaps-law-sized, joins unhinted so AQE sizes them),
+    a 1-row vocab-size broadcast, and the per-doc agg on the doc_id
+    shuffle. Bigrams travel as 60-bit md5 longs (dedup_approx
+    discipline)."""
+    from ..operators.dedup_approx import seeded_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    big_prev = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", arr.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("prev"),
+                        F.concat(a, F.lit(" "), b).alias("bg_s"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.prev").alias("prev"),
+            seeded_hash60(F.col("p.bg_s")).alias("bg"),
+        )
+    )
+    toks = _tokens(docs)
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    tot = uni.agg(F.count(F.lit(1)).cast("long").alias("vocab_v"))
+    bcnt = big_prev.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    return (
+        big_prev.join(bcnt, "bg")
+        .join(uni, F.col("prev") == F.col("token"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(cb + 1L) * {_BIGRAM_PPM_SCALE}L div (cu + vocab_v)"
+            ).alias("ppm"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("ppm").cast("long").alias("score_ppm"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "score_ppm",
+            F.round(
+                F.col("score_ppm").cast("double") / F.col("n_bigrams"), 6
+            ).alias("mean_ppm"),
+        )
+    )

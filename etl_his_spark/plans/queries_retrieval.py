@@ -725,3 +725,200 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.alias("centroid_dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ embedding cosine via reciprocal-rank fusion (r8)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the standard RRF damping constant (Cormack et al.)
+RRF_LANE_N = 50   # per-lane candidate depth fused into the final top-k
+RRF_TOP_K = 20
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    f"""
+    WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS d_docs,
+                   CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE token IN ({_terms_sql()}) GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ((tot.d_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+               * ((tf.tf * 2.2e0)
+                  / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0
+                     * (dl.dl / (CAST(tot.n_toks AS DOUBLE) / tot.d_docs)))))
+                   AS contrib
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN token = 'spark' THEN contrib END), 0.0e0)
+             + coalesce(max(CASE WHEN token = 'hash' THEN contrib END), 0.0e0)
+             + coalesce(max(CASE WHEN token = 'merge' THEN contrib END), 0.0e0)
+                   AS score
+        FROM scored
+        GROUP BY 1
+    ),
+    lex AS (SELECT doc_id, score FROM agg
+            ORDER BY score DESC, doc_id LIMIT {RRF_LANE_N}),
+    lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS BIGINT) AS lex_rank
+             FROM lex),
+    ve AS (SELECT v.vec_id AS doc_id,
+                  list_transform(v.embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+    q AS (SELECT e FROM ve WHERE doc_id = 0),
+    sem AS (SELECT ve.doc_id, list_cosine_similarity(ve.e, q.e) AS sim
+            FROM ve CROSS JOIN q WHERE ve.doc_id <> 0
+            ORDER BY sim DESC, doc_id LIMIT {RRF_LANE_N}),
+    semr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                         AS BIGINT) AS sem_rank
+             FROM sem),
+    fused AS (
+        SELECT doc_id, lex_rank, sem_rank,
+               coalesce(1.0e0 / ({RRF_K} + lex_rank), 0.0e0)
+             + coalesce(1.0e0 / ({RRF_K} + sem_rank), 0.0e0) AS rrf
+        FROM lexr FULL JOIN semr USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, sem_rank, round(rrf, 9) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP_K}
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by reciprocal rank:
+    rrf(d) = Σ_lanes 1/(60 + rank_lane(d)) over the BM25 lane (the
+    fixed 3-term keyword query, rational-idf scoring mirrored from
+    ``retrieval_bm25_topk``) and the embedding lane (cosine to doc 0's
+    embedding over docs that carry one). The standard production
+    answer to "BM25 misses paraphrases, ANN misses exact keywords" —
+    rank fusion needs no score calibration between lanes, which is
+    exactly why RRF beats score-averaging across heterogeneous
+    retrievers.
+
+    Float discipline: each lane's scores are the bit-exact forms
+    already proven under the gate (rational BM25, sequential-fold
+    cosine); ranks are integers; the fused score is TWO fixed-order
+    double terms (one division each) — no accumulation hazard. Ties in
+    rrf (symmetric rank pairs across lanes) break on doc_id in both
+    engines.
+
+    Plan/scale: each lane reduces to its top-{RRF_LANE_N} via
+    orderBy+limit (TakeOrdered — per-partition heaps, no global sort),
+    and ONLY the ≤{RRF_LANE_N}-row lane results see a rank window
+    (single partition over a report-sized frame — allowlisted, same
+    class as the 1-row totals broadcasts). The full outer fuse joins
+    two ≤{RRF_LANE_N}-row frames. Corpus-scale work is the BM25 tf
+    pushdown scan and one map-only cosine projection."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot, norm, to_double_array
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("token"),
+        )
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("d_docs"),
+        F.sum("dl").cast("long").alias("n_toks"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    avgdl = F.col("n_toks").cast("double") / F.col("d_docs")
+    contrib = (
+        (F.col("d_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+        )
+    )
+    pivot = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("contrib"))), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    lex_score = pivot[0] + pivot[1] + pivot[2]
+    lex = (
+        tf.join(dfr, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "token", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(lex_score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_LANE_N)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    ve = (
+        read_table(spark, sf_dir, "embeddings")
+        .join(docs.select("doc_id"), F.col("vec_id") == F.col("doc_id"))
+        .select("doc_id", to_double_array("embedding").alias("e"))
+    )
+    q = F.broadcast(
+        ve.filter(F.col("doc_id") == 0).select(
+            F.col("e").alias("qe"), norm(F.col("e")).alias("qn")
+        )
+    )
+    sem = (
+        ve.filter(F.col("doc_id") != 0)
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            (dot(F.col("e"), F.col("qe")) / (norm(F.col("e")) * F.col("qn")))
+            .alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(RRF_LANE_N)
+    )
+    semr = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOP_K)
+        .select(
+            "doc_id", "lex_rank", "sem_rank",
+            F.round(F.col("rrf"), 9).alias("rrf_score"),
+        )
+    )

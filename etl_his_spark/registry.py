@@ -174,8 +174,16 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51-64 (outside the 50-slot window — r9 leaders): the
-    # fourteen r4-last TPC-H queries that did not fit this window.
+    # Positions 51-53 (outside the 50-slot window — FIRST r9 leaders,
+    # per the new-machinery-first rule the r7 ADVICE reaffirmed): the
+    # three r8 additions, each hash-exact in the local gate at
+    # sf0.001 AND sf0.01 on registration day. They lead the r9 window
+    # ahead of everything else.
+    "retrieval_hybrid_rrf",
+    "quality_bigram_likelihood",
+    "events_rate_anomaly",
+    # Positions 54-67 (r9 leaders, second block): the fourteen
+    # r4-last TPC-H queries that did not fit this window.
     "tpch_q2_min_cost",
     "tpch_q4_priority",
     "tpch_q6_forecast",
@@ -190,7 +198,7 @@ _CHECK_FIRST = [
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
     "tpch_q22_dormant",
-    # Positions 65+: everything else keeps registration order; all
+    # Positions 68+: everything else keeps registration order; all
     # were driver-green in r5/r6/r7 and remain covered by pytest + the
     # local DuckDB oracle gate (tools/check_correctness.py) every
     # round.

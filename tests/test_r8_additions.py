@@ -1,0 +1,122 @@
+"""Round-8 additions: reference tests beyond the DuckDB oracles.
+
+Each query's oracle proves cross-engine agreement; these tests prove
+the SEMANTICS against independent pure-Python references on the
+sf0.001 fixtures (the test strategy of every other family)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from etl_his_spark.plans.queries_analytics import events_rate_anomaly
+from etl_his_spark.plans.queries_lm import quality_bigram_likelihood
+from etl_his_spark.plans.queries_retrieval import (
+    RRF_K,
+    RRF_LANE_N,
+    RRF_TOP_K,
+    retrieval_hybrid_rrf,
+)
+
+
+def test_hybrid_rrf_scores_are_rank_fusions(spark, sf_dir):
+    rows = retrieval_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOP_K
+    for r in rows:
+        assert r.lex_rank is not None or r.sem_rank is not None
+        want = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= RRF_LANE_N
+            want += 1.0 / (RRF_K + r.lex_rank)
+        if r.sem_rank is not None:
+            assert 1 <= r.sem_rank <= RRF_LANE_N
+            want += 1.0 / (RRF_K + r.sem_rank)
+        assert r.rrf_score == pytest.approx(want, abs=1e-9)
+    # result is sorted-by-construction top-k: scores non-increasing
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc present in both lanes must outrank one with a single,
+    # deeper rank — spot the invariant rather than one fixture value
+    both = [r for r in rows if r.lex_rank and r.sem_rank]
+    only = [r for r in rows if (r.lex_rank is None) != (r.sem_rank is None)]
+    if both and only:
+        assert max(r.rrf_score for r in both) > min(
+            r.rrf_score for r in only
+        )
+
+
+def test_bigram_likelihood_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.sources.readers import read_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    }
+    toks = {d: [t for t in txt.strip().split(" ") if t] for d, txt in docs.items()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    big = Counter(
+        (ts[i], ts[i + 1])
+        for ts in toks.values()
+        for i in range(len(ts) - 1)
+    )
+    v = len(uni)
+    want = {}
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        ppms = [
+            ((big[(ts[i], ts[i + 1])] + 1) * 1_000_000)
+            // (uni[ts[i]] + v)
+            for i in range(len(ts) - 1)
+        ]
+        want[d] = (len(ppms), sum(ppms))
+    got = {
+        r.doc_id: (r.n_bigrams, r.score_ppm, r.mean_ppm)
+        for r in quality_bigram_likelihood(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n, s) in want.items():
+        gn, gs, gm = got[d]
+        assert (gn, gs) == (n, s), d
+        assert gm == pytest.approx(round(s / n, 6), abs=1e-9)
+
+
+def test_rate_anomaly_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.sources.readers import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "ts")
+        .collect()
+    )
+    buckets: Counter = Counter()
+    for r in ev:
+        hour = r.ts.replace(minute=0, second=0, microsecond=0)
+        buckets[(r.event_type, hour)] += 1
+    series: dict[str, list] = {}
+    for (et, hour), n in sorted(buckets.items()):
+        series.setdefault(et, []).append((hour, n))
+    want = {}
+    for et, pts in series.items():
+        for i, (hour, n) in enumerate(pts):
+            base = pts[max(0, i - 24):i]
+            if len(base) != 24:
+                continue
+            s1 = sum(b for _, b in base)
+            s2 = sum(b * b for _, b in base)
+            mean = s1 / 24
+            var = s2 / 24 - mean * mean
+            flag = round((n - mean) * (n - mean) - 9 * var, 6) > 0
+            want[(et, hour)] = (n, flag)
+    got = {
+        (r.event_type, r.window_start): (r.n_events, r.is_anomaly)
+        for r in events_rate_anomaly(spark, sf_dir).collect()
+    }
+    # Both the ROWS frame and the python slice are position-based over
+    # the sorted EXISTING buckets (gaps skip identically) → exact.
+    assert got == want

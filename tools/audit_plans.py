@@ -47,6 +47,8 @@ SINGLE_PARTITION_ALLOW = {
     "stats_ks_drift",
     # 1-row corpus-totals aggregate (N, V) then broadcast
     "quality_unigram_likelihood",
+    # 1-row vocab-size aggregate then broadcast (r8)
+    "quality_bigram_likelihood",
     # 1-row (D, N) corpus-totals aggregate then broadcast
     "retrieval_bm25_topk",
     # single-row final aggregate (the whole-table stats row)
@@ -63,6 +65,9 @@ SINGLE_PARTITION_ALLOW = {
     "events_churn_training_set",
     # 1-row distinct-order-count aggregate then broadcast
     "basket_brand_affinity",
+    # rank windows over the two ≤50-row lane results (post
+    # orderBy+limit TakeOrdered — report-sized frames by construction)
+    "retrieval_hybrid_rrf",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -82,6 +87,7 @@ CROSS_JOIN_ALLOW = {
     "tpch_q22_dormant",
     "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
     "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
+    "quality_bigram_likelihood",   # broadcast of the 1-row vocab-size row
     "retrieval_bm25_topk",  # broadcast of the 1-row (D, N) totals
     "training_temperature_mixture",  # broadcast of the 1-row quota totals
     # ADC's documented shape: 10-row query-lookup broadcast over the
@@ -98,6 +104,9 @@ CROSS_JOIN_ALLOW = {
     # day-dim × user-day range join: build side is the bounded day
     # dimension (~365 rows/year), broadcast by design
     "events_dau_wau_stickiness",
+    # 1-row broadcasts: the corpus-totals row (BM25 lane) and the
+    # single query-embedding row (semantic lane)
+    "retrieval_hybrid_rrf",
 }
 
 
