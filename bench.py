@@ -121,6 +121,11 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "quality_bigram_likelihood",
     "events_rate_anomaly",
+    # round-8 second wave: C4-style line dedup with reassembly,
+    # time-spine LOCF gap fill, interval-union coverage.
+    "corpus_line_dedup",
+    "events_gapfill_locf",
+    "events_interval_coverage",
 ]
 
 

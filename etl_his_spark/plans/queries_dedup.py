@@ -1152,3 +1152,96 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.round(sim, 6) >= 0.4)
         .select("cell", "a_id", "b_id", F.round(sim, 6).alias("sim"))
     )
+
+
+@register(
+    "corpus_line_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL
+    ),
+    lines AS (
+        SELECT doc_id, i AS line_no,
+               array_to_string(ts[i*8+1 : i*8+8], ' ') AS line
+        FROM (SELECT doc_id, ts,
+                     unnest(range(0, greatest(
+                         CAST(ceil(len(ts) / 8.0) AS BIGINT), 1))) AS i
+              FROM toks) t
+    ),
+    ranked AS (
+        SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, line_no) AS rn
+        FROM lines
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+                               ORDER BY line_no), '') AS text_deduped,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line-level dedup WITH document reassembly: split
+    every document into fixed 8-token pseudo-lines (the synthetic
+    corpus has no newlines), keep exactly one global occurrence of
+    every distinct line (first by (doc_id, line_no)), and rebuild each
+    document from its surviving lines in original order. This is the
+    removal-and-reassembly op the C4/mC4 pipelines run corpus-wide —
+    ``dedup_repeated_spans`` only *detects* repeated spans; this one
+    produces the cleaned corpus.
+
+    Scale: tokenise + line-split are map-side (``transform`` over a
+    ``sequence``, no UDF); the global first-occurrence pick is ONE hash
+    shuffle partitioned by the line text (at 100 TB you'd pre-hash the
+    line to a fixed-width digest as the shuffle key — same plan
+    shape); reassembly is one groupBy(doc_id) whose per-doc state is
+    the doc's own line list. Nothing is quadratic; the heavy shuffle
+    carries one row per line, exactly like the C4 reference
+    implementation's sharded groupby."""
+    from ..operators.curation import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    lines = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words(F.col("text")).alias("ts"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform("
+                    " sequence(0, greatest(cast(ceil(size(ts)/8.0) as int),"
+                    "                      1) - 1),"
+                    " i -> array_join(slice(ts, i*8+1, 8), ' '))"
+                )
+            ).alias("line_no", "line"),
+        )
+    )
+    wdup = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(wdup))
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("line_no", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_dropped"),
+    )

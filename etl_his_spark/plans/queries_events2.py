@@ -584,3 +584,162 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+        FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM users, bounds
+    ),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               max(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           CAST(last_value(d.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS value_filled,
+           d.cents IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap fill with last-observation-carried-forward: every
+    (user, day) cell of the dense daily grid gets the user's most
+    recent observed daily max value (NULL before the first
+    observation). The canonical resampling/imputation step a
+    feature-engineering pipeline runs before windowed training joins.
+
+    Scale: the spine is a map-side ``explode(sequence(mn, mx))`` per
+    user row — users × days rows, generated in place, never a
+    cartesian shuffle; the single 1-row bounds aggregate rides the
+    documented broadcast-scalar pattern (audit-allowlisted). The fill
+    is one window per user over its own ordered days — linear state,
+    partition-local. The value rides the exact-cents idiom so both
+    engines compare integers until the final /100."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("mn"),
+        F.max(F.col("ts").cast("date")).alias("mx"),
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        (
+            F.last("cents", ignorenulls=True).over(wf).cast("double") / 100
+        ).alias("value_filled"),
+        F.col("cents").isNotNull().alias("is_observed"),
+    )
+
+
+@register(
+    "events_interval_coverage",
+    """
+    WITH iv AS (
+        SELECT event_id, user_id, ts AS s,
+               ts + INTERVAL 30 MINUTE AS e
+        FROM events
+    ),
+    m AS (
+        SELECT *, max(e) OVER (
+            PARTITION BY user_id ORDER BY s, e, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS prev_max
+        FROM iv
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                       THEN 1 ELSE 0 END AS flag
+        FROM m
+    ),
+    isl AS (
+        SELECT *, sum(flag) OVER (
+            PARTITION BY user_id ORDER BY s, e, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS island
+        FROM f
+    ),
+    agg AS (
+        SELECT user_id, island, min(s) AS ms, max(e) AS me
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_islands,
+           CAST(sum(epoch_us(me) - epoch_us(ms)) AS BIGINT) AS covered_us
+    FROM agg GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps interval union: each event opens a 30-minute
+    activity interval; overlapping/touching intervals per user merge
+    into islands, and the output is each user's island count and total
+    covered microseconds. The classic interval-coverage op (ad
+    exposure, machine uptime, session stitching by overlap rather than
+    gap) that plain GROUP BY cannot express.
+
+    Scale: one hash shuffle on user_id, then everything is
+    partition-local ordered-window arithmetic — running max of
+    interval ends flags island starts, a running sum numbers them.
+    State per partition is O(1); no self-join, no cartesian. Ordering
+    carries event_id as the final tiebreak so both engines walk ties
+    identically."""
+    e = read_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    ww = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(
+        ww.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "flag",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("flag").over(
+            ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.unix_micros("me") - F.unix_micros("ms"))
+        .cast("long")
+        .alias("covered_us"),
+    )

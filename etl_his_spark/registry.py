@@ -182,7 +182,14 @@ _CHECK_FIRST = [
     "retrieval_hybrid_rrf",
     "quality_bigram_likelihood",
     "events_rate_anomaly",
-    # Positions 54-67 (r9 leaders, second block): the fourteen
+    # Positions 54-56 (r9 leaders, second wave of r8 additions —
+    # same registration-day discipline: hash-exact in the local gate
+    # at sf0.001 AND sf0.01): C4-style line dedup with reassembly,
+    # time-spine LOCF gap fill, interval-union coverage.
+    "corpus_line_dedup",
+    "events_gapfill_locf",
+    "events_interval_coverage",
+    # Positions 57-70 (r9 leaders, third block): the fourteen
     # r4-last TPC-H queries that did not fit this window.
     "tpch_q2_min_cost",
     "tpch_q4_priority",

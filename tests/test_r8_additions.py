@@ -120,3 +120,130 @@ def test_rate_anomaly_matches_python_reference(spark, sf_dir):
     # Both the ROWS frame and the python slice are position-based over
     # the sorted EXISTING buckets (gaps skip identically) → exact.
     assert got == want
+
+
+def test_corpus_line_dedup_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.plans.queries_dedup import corpus_line_dedup
+    from etl_his_spark.sources.readers import read_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    }
+    # reference: 8-token pseudo-lines, global first occurrence by
+    # (doc_id, line_no), reassemble survivors in original order
+    lines: dict[int, list] = {}
+    for d in sorted(docs):
+        ts = [t for t in docs[d].strip().split(" ") if t]
+        n = max(-(-len(ts) // 8), 1)
+        lines[d] = [" ".join(ts[i * 8 : i * 8 + 8]) for i in range(n)]
+    first: dict[str, tuple] = {}
+    for d in sorted(lines):
+        for i, ln in enumerate(lines[d]):
+            first.setdefault(ln, (d, i))
+    want = {}
+    for d, ls in lines.items():
+        kept = [ln for i, ln in enumerate(ls) if first[ln] == (d, i)]
+        want[d] = (" ".join(kept), len(kept), len(ls) - len(kept))
+    got = {
+        r.doc_id: (r.text_deduped, r.n_lines_kept, r.n_lines_dropped)
+        for r in corpus_line_dedup(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the op actually removed something on this corpus
+    assert sum(v[2] for v in want.values()) > 0
+
+
+def test_gapfill_locf_matches_python_reference(spark, sf_dir):
+    from datetime import timedelta
+
+    from etl_his_spark.plans.queries_events2 import events_gapfill_locf
+    from etl_his_spark.sources.readers import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    mn = min(r.ts for r in ev).date()
+    mx = max(r.ts for r in ev).date()
+    users = sorted({r.user_id for r in ev})
+    daily: dict[tuple, int] = {}
+    for r in ev:
+        if r.value is None:
+            continue
+        k = (r.user_id, r.ts.date())
+        c = round(r.value * 100)
+        daily[k] = max(daily.get(k, c), c)
+    want = {}
+    for u in users:
+        last = None
+        d = mn
+        while d <= mx:
+            obs = daily.get((u, d))
+            if obs is not None:
+                last = obs
+            want[(u, d)] = (
+                None if last is None else last / 100,
+                obs is not None,
+            )
+            d += timedelta(days=1)
+    got = {
+        (r.user_id, r.day): (r.value_filled, r.is_observed)
+        for r in events_gapfill_locf(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (v, o) in want.items():
+        gv, go = got[k]
+        assert go == o, k
+        if v is None:
+            assert gv is None, k
+        else:
+            assert gv == pytest.approx(v, abs=1e-9), k
+
+
+def test_interval_coverage_matches_python_reference(spark, sf_dir):
+    from datetime import timedelta
+
+    from etl_his_spark.plans.queries_events2 import events_interval_coverage
+    from etl_his_spark.sources.readers import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    dur = timedelta(minutes=30)
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(
+            (r.ts, r.ts + dur, r.event_id)
+        )
+    want = {}
+    for u, iv in per_user.items():
+        iv.sort()
+        islands = []
+        cur_s, cur_e = iv[0][0], iv[0][1]
+        for s, e, _ in iv[1:]:
+            if s > cur_e:
+                islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        covered = sum(
+            int((e - s) / timedelta(microseconds=1)) for s, e in islands
+        )
+        want[u] = (len(islands), covered)
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in events_interval_coverage(spark, sf_dir).collect()
+    }
+    assert got == want
+    # at least one user actually merged overlapping intervals
+    assert any(
+        n < len(per_user[u]) for u, (n, _) in want.items()
+    )

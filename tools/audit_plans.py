@@ -68,6 +68,8 @@ SINGLE_PARTITION_ALLOW = {
     # rank windows over the two ≤50-row lane results (post
     # orderBy+limit TakeOrdered — report-sized frames by construction)
     "retrieval_hybrid_rrf",
+    # 1-row min/max date-bounds aggregate then broadcast (r8)
+    "events_gapfill_locf",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -107,6 +109,9 @@ CROSS_JOIN_ALLOW = {
     # 1-row broadcasts: the corpus-totals row (BM25 lane) and the
     # single query-embedding row (semantic lane)
     "retrieval_hybrid_rrf",
+    # broadcast of the 1-row min/max date bounds feeding the per-user
+    # spine explode (users x days rows generated map-side)
+    "events_gapfill_locf",
 }
 
 
