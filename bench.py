@@ -116,8 +116,8 @@ HEADLINE = [
     "multimodal_image_dedup",
     "streaming_join_agree",
     "streaming_enrich_agree",
-    # round-8 additions (the round's only three new queries): hybrid
-    # RRF retrieval, bigram conditional-LM score, event-rate anomaly.
+    # round-8 first wave: hybrid RRF retrieval, bigram
+    # conditional-LM score, event-rate anomaly.
     "retrieval_hybrid_rrf",
     "quality_bigram_likelihood",
     "events_rate_anomaly",
@@ -126,6 +126,10 @@ HEADLINE = [
     "corpus_line_dedup",
     "events_gapfill_locf",
     "events_interval_coverage",
+    # round-8 third wave: PMI collocation mining, positional-index
+    # phrase match.
+    "text_collocations_pmi",
+    "retrieval_phrase_match",
 ]
 
 

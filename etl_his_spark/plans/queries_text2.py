@@ -284,6 +284,179 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_collocations_pmi",
+    """
+    WITH toked AS (
+        SELECT list_filter(string_split(trim(text), ' '),
+                           t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT unnest(w) AS tok FROM toked),
+    ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    utot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM ucnt),
+    bgx AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toked WHERE len(w) >= 2),
+    bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM bgx),
+    bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+             FROM bg GROUP BY 1, 2),
+    btot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM bcnt),
+    scored AS (
+        SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+               round(CAST(b.c_ab AS DOUBLE)
+                     * u.n_uni / ua.c * u.n_uni / ub.c / t.n_bg,
+                     6) AS pmi_ratio
+        FROM bcnt b
+        JOIN ucnt ua ON b.w1 = ua.tok
+        JOIN ucnt ub ON b.w2 = ub.tok, utot u, btot t
+        WHERE b.c_ab >= 5
+    )
+    SELECT w1, w2, c_ab, c_a, c_b, pmi_ratio
+    FROM scored ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise-mutual-information ratio
+    (Church & Hanks 1990): p(ab)/(p(a)p(b)) = c_ab·N_uni²/(c_a·c_b·N_bg)
+    over adjacent-token bigrams with min support 5 — the classic
+    phrase-mining pass of a corpus pipeline.
+
+    Exactness: the ratio (not its log — libm-free) is one fixed
+    left-associative chain of IEEE double ops over exact integers,
+    bit-equal across engines; ordering uses the ROUNDED value with a
+    (w1, w2) tiebreak so the top-50 cutoff can't flip on a ulp. Scale:
+    bigrams are built map-side (zip_with of two slices — no positional
+    self-join); both count dimensions are Heaps-law vocab-sized joins
+    AQE can broadcast; the two totals are 1-row broadcasts; the top-50
+    is TakeOrderedAndProject, never a single-partition sort."""
+    from ..functions.text import word_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toked = (
+        d.filter(F.col("text").isNotNull())
+        .select(word_tokens("text").alias("ts"))
+    )
+    uni = toked.select(F.explode("ts").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("long").alias("n_uni"))
+    bg = (
+        toked.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    btot = bcnt.agg(F.sum("c_ab").cast("long").alias("n_bg"))
+    ua = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    ub = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.col("c_ab").cast("double")
+        * F.col("n_uni") / F.col("c_a")
+        * F.col("n_uni") / F.col("c_b")
+        / F.col("n_bg"),
+        6,
+    )
+    return (
+        bcnt.filter(F.col("c_ab") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "c_ab", "c_a", "c_b", pmi.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(50)
+    )
+
+
+# The fixed phrase workload for the positional-index probe: (first
+# token, second token, phrase label). Mirrored verbatim in the oracle's
+# VALUES clause — keep both lists identical.
+PHRASES = [
+    ("hash", "join", "hash join"),
+    ("table", "scan", "table scan"),
+    ("sort", "merge", "sort merge"),
+]
+
+
+@register(
+    "retrieval_phrase_match",
+    """
+    WITH toked AS (
+        SELECT doc_id, list_filter(string_split(trim(text), ' '),
+                                   t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    posx AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p
+             FROM toked),
+    pos AS (SELECT doc_id, w[p] AS tok, p FROM posx),
+    phr AS (SELECT * FROM (VALUES ('hash', 'join', 'hash join'),
+                                  ('table', 'scan', 'table scan'),
+                                  ('sort', 'merge', 'sort merge'))
+            t(p1, p2, phrase))
+    SELECT a.doc_id, ph.phrase, CAST(count(*) AS BIGINT) AS n_matches
+    FROM pos a
+    JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    JOIN phr ph ON a.tok = ph.p1 AND b.tok = ph.p2
+    GROUP BY 1, 2
+    """,
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: per-doc
+    occurrence counts for a fixed two-token phrase workload, resolved
+    by posting-list adjacency (term₁ at p joins term₂ at p+1) — the
+    index-side shape a search engine uses, complementing BM25's
+    bag-of-words lane.
+
+    Scale: both posting sides are filtered map-side to the phrase
+    vocabulary BEFORE the shuffle (at 100 TB that is the difference
+    between shuffling two term posting lists and shuffling the whole
+    corpus); the adjacency join is keyed on (doc_id, position) and the
+    3-row phrase table rides a broadcast equi-join."""
+    from ..functions.text import word_tokens
+
+    firsts = sorted({p[0] for p in PHRASES})
+    seconds = sorted({p[1] for p in PHRASES})
+    phr = spark.createDataFrame(PHRASES, ["p1", "p2", "phrase"])
+    d = read_table(spark, sf_dir, "documents")
+    pos = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(word_tokens("text")).alias("p", "tok"),
+        )
+    )
+    lhs = pos.filter(F.col("tok").isin(firsts)).select(
+        "doc_id", F.col("p").alias("pa"), F.col("tok").alias("ta")
+    )
+    rhs = pos.filter(F.col("tok").isin(seconds)).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("p").alias("pb"),
+        F.col("tok").alias("tb"),
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pb") == F.col("pa") + 1),
+        )
+        .join(
+            F.broadcast(phr),
+            (F.col("ta") == F.col("p1")) & (F.col("tb") == F.col("p2")),
+        )
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+
+
+@register(
     "stats_winsorized",
     """
     WITH ranked AS (

@@ -205,6 +205,74 @@ def test_gapfill_locf_matches_python_reference(spark, sf_dir):
             assert gv == pytest.approx(v, abs=1e-9), k
 
 
+def test_collocations_pmi_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.plans.queries_text2 import text_collocations_pmi
+    from etl_his_spark.sources.readers import read_table
+
+    docs = [
+        r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+        if r.text is not None
+    ]
+    toks = [[t for t in txt.strip().split(" ") if t] for txt in docs]
+    uni = Counter(t for ts in toks for t in ts)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+    )
+    n_uni = sum(uni.values())
+    n_bg = sum(big.values())
+    scored = []
+    for (w1, w2), c_ab in big.items():
+        if c_ab < 5:
+            continue
+        # the query's exact left-associative double chain
+        pmi = round(float(c_ab) * n_uni / uni[w1] * n_uni / uni[w2] / n_bg, 6)
+        scored.append((-pmi, w1, w2, c_ab, uni[w1], uni[w2]))
+    scored.sort()
+    want = [
+        (w1, w2, c_ab, c_a, c_b, -neg)
+        for neg, w1, w2, c_ab, c_a, c_b in scored[:50]
+    ]
+    got = [
+        (r.w1, r.w2, r.c_ab, r.c_a, r.c_b, r.pmi_ratio)
+        for r in text_collocations_pmi(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # a collocation actually beats independence on this corpus
+    assert want[0][5] > 1.0
+
+
+def test_phrase_match_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.plans.queries_text2 import (
+        PHRASES,
+        retrieval_phrase_match,
+    )
+    from etl_his_spark.sources.readers import read_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    }
+    want: Counter = Counter()
+    for d, txt in docs.items():
+        ts = [t for t in txt.strip().split(" ") if t]
+        for i in range(len(ts) - 1):
+            for p1, p2, label in PHRASES:
+                if ts[i] == p1 and ts[i + 1] == p2:
+                    want[(d, label)] += 1
+    got = {
+        (r.doc_id, r.phrase): r.n_matches
+        for r in retrieval_phrase_match(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert len(got) > 0
+
+
 def test_interval_coverage_matches_python_reference(spark, sf_dir):
     from datetime import timedelta
 

@@ -70,6 +70,9 @@ SINGLE_PARTITION_ALLOW = {
     "retrieval_hybrid_rrf",
     # 1-row min/max date-bounds aggregate then broadcast (r8)
     "events_gapfill_locf",
+    # two 1-row corpus-totals aggregates (N_uni, N_bg) then broadcast
+    # (r8 — the quality_unigram_likelihood idiom)
+    "text_collocations_pmi",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -112,6 +115,9 @@ CROSS_JOIN_ALLOW = {
     # broadcast of the 1-row min/max date bounds feeding the per-user
     # spine explode (users x days rows generated map-side)
     "events_gapfill_locf",
+    # broadcasts of the two 1-row corpus totals (N_uni, N_bg) — the
+    # quality_unigram_likelihood idiom (r8)
+    "text_collocations_pmi",
 }
 
 
