@@ -127,9 +127,11 @@ HEADLINE = [
     "events_gapfill_locf",
     "events_interval_coverage",
     # round-8 third wave: PMI collocation mining, positional-index
-    # phrase match.
+    # phrase match, skip-gram context pairs, negative-sampling table.
     "text_collocations_pmi",
     "retrieval_phrase_match",
+    "training_skipgram_pairs",
+    "training_negative_sampling",
 ]
 
 

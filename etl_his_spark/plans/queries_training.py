@@ -390,3 +390,152 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "training_skipgram_pairs",
+    """
+    WITH toked AS (
+        SELECT list_filter(string_split(trim(text), ' '),
+                           t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    d1x AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toked WHERE len(w) >= 2),
+    d2x AS (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM toked WHERE len(w) >= 3),
+    pairs AS (
+        SELECT w[i] AS w_center, w[i + 1] AS w_context, 1 AS dist FROM d1x
+        UNION ALL SELECT w[i + 1], w[i], 1 FROM d1x
+        UNION ALL SELECT w[i], w[i + 2], 2 FROM d2x
+        UNION ALL SELECT w[i + 2], w[i], 2 FROM d2x
+    )
+    SELECT w_center, w_context, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+           CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+)
+def training_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts, window ±2 —
+    the count table a word2vec/GloVe embedding-pretraining pass feeds
+    on, with per-distance splits for distance-weighted variants.
+
+    Scale: all four directed pair streams are built MAP-SIDE from the
+    token array (zip_with over two slices — the bigram idiom, never a
+    positional self-join), so the only shuffle is the grouped count
+    whose key domain is vocab² (Heaps-law bounded) and whose partial
+    aggregation collapses each partition to distinct pairs before the
+    exchange. min-support 5 keeps the gate output report-sized."""
+    from ..functions.text import word_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    n = F.size("ts")
+
+    def pair_arr(offset: int, flip: bool):
+        a = F.slice(ts, 1, n - offset)
+        b = F.slice(ts, 1 + offset, n - offset)
+        if flip:
+            a, b = b, a
+        return F.zip_with(
+            a, b,
+            lambda x, y: F.struct(
+                x.alias("w_center"),
+                y.alias("w_context"),
+                F.lit(offset).alias("dist"),
+            ),
+        )
+
+    pairs = (
+        d.filter(F.col("text").isNotNull())
+        .select(word_tokens("text").alias("ts"))
+        .filter(n >= 2)
+        .select(
+            F.explode(
+                F.concat(
+                    pair_arr(1, False), pair_arr(1, True),
+                    pair_arr(2, False), pair_arr(2, True),
+                )
+            ).alias("p")
+        )
+        .select("p.w_center", "p.w_context", "p.dist")
+    )
+    return (
+        pairs.groupBy("w_center", "w_context")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0))
+            .cast("long").alias("n_d1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+            .cast("long").alias("n_d2"),
+        )
+        .filter(F.col("n_pairs") >= 5)
+    )
+
+
+@register(
+    "training_negative_sampling",
+    """
+    WITH toked AS (
+        SELECT list_filter(string_split(trim(text), ' '),
+                           t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT unnest(w) AS tok FROM toked),
+    ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    wq AS (
+        SELECT tok, c,
+               CAST(round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000)
+                    AS BIGINT) AS w_micro
+        FROM ucnt
+    ),
+    tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS t FROM wq)
+    SELECT tok, c, w_micro,
+           CAST(sum(w_micro) OVER (ORDER BY tok) - w_micro AS BIGINT)
+               AS cum_lo,
+           CAST(sum(w_micro) OVER (ORDER BY tok) AS BIGINT) AS cum_hi,
+           CAST(w_micro AS DOUBLE) / t AS share
+    FROM wq, tot
+    """,
+)
+def training_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: unigram counts raised to the
+    3/4 power (Mikolov et al. 2013), fixed-point micro-unit weights,
+    and cumulative [cum_lo, cum_hi) ranges so a sampler can binary-
+    search a uniform draw into a token without any RNG state here.
+
+    Exactness without libm pow(): c^0.75 = sqrt(sqrt(c³)) — two
+    correctly-rounded IEEE sqrts over one fixed multiply chain, then
+    rounded once to integer micro-units so the cumulative sum and the
+    final share division are exact-integer cross-engine. Scale: the
+    count shuffle is the only corpus-sized stage; the weight table and
+    its cumulative window are vocab-bounded (the stats_ks_drift
+    bounded-global-window argument — ≤ |V| rows at any corpus size)
+    and the 1-row total rides the documented broadcast allowlist."""
+    from ..functions.text import word_tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    uni = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(word_tokens("text")).alias("tok"))
+    )
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c = F.col("c")
+    wq = ucnt.select(
+        "tok", "c",
+        F.round(F.sqrt(F.sqrt(c.cast("double") * c * c)) * 1000000)
+        .cast("long").alias("w_micro"),
+    )
+    tot = wq.agg(F.sum("w_micro").cast("long").alias("t"))
+    w = Window.orderBy("tok")
+    return (
+        wq.crossJoin(F.broadcast(tot))
+        .select(
+            "tok", "c", "w_micro",
+            (F.sum("w_micro").over(w) - F.col("w_micro"))
+            .cast("long").alias("cum_lo"),
+            F.sum("w_micro").over(w).cast("long").alias("cum_hi"),
+            (F.col("w_micro").cast("double") / F.col("t")).alias("share"),
+        )
+    )

@@ -189,13 +189,15 @@ _CHECK_FIRST = [
     "corpus_line_dedup",
     "events_gapfill_locf",
     "events_interval_coverage",
-    # Positions 57-58 (r9 leaders, third wave of r8 additions —
+    # Positions 57-60 (r9 leaders, third wave of r8 additions —
     # same registration-day discipline: hash-exact in the local gate
     # at sf0.001/0.01/0.1): PMI collocation mining, positional-index
-    # phrase match.
+    # phrase match, skip-gram context pairs, negative-sampling table.
     "text_collocations_pmi",
     "retrieval_phrase_match",
-    # Positions 59-72 (r9 leaders, final block): the fourteen
+    "training_skipgram_pairs",
+    "training_negative_sampling",
+    # Positions 61-74 (r9 leaders, final block): the fourteen
     # r4-last TPC-H queries that did not fit this window.
     "tpch_q2_min_cost",
     "tpch_q4_priority",

@@ -273,6 +273,82 @@ def test_phrase_match_matches_python_reference(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_skipgram_pairs_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.plans.queries_training import training_skipgram_pairs
+    from etl_his_spark.sources.readers import read_table
+
+    docs = [
+        r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+        if r.text is not None
+    ]
+    want: dict = {}
+    for txt in docs:
+        ts = [t for t in txt.strip().split(" ") if t]
+        for i in range(len(ts)):
+            for d in (1, 2):
+                if i + d < len(ts):
+                    for a, b in ((ts[i], ts[i + d]), (ts[i + d], ts[i])):
+                        n, n1, n2 = want.get((a, b), (0, 0, 0))
+                        want[(a, b)] = (
+                            n + 1,
+                            n1 + (d == 1),
+                            n2 + (d == 2),
+                        )
+    want = {k: v for k, v in want.items() if v[0] >= 5}
+    got = {
+        (r.w_center, r.w_context): (r.n_pairs, r.n_d1, r.n_d2)
+        for r in training_skipgram_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    # symmetry: the undirected emission makes (a,b) and (b,a) counts equal
+    for (a, b), (n, _, _) in want.items():
+        assert want[(b, a)][0] == n
+
+
+def test_negative_sampling_matches_python_reference(spark, sf_dir):
+    from etl_his_spark.plans.queries_training import (
+        training_negative_sampling,
+    )
+    from etl_his_spark.sources.readers import read_table
+
+    docs = [
+        r.text
+        for r in read_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+        if r.text is not None
+    ]
+    uni = Counter(
+        t for txt in docs for t in txt.strip().split(" ") if t
+    )
+    # the query's chain: c^0.75 = sqrt(sqrt(c^3)) in doubles, then
+    # HALF_UP round to integer micro-units (floor(x+0.5) emulates
+    # Spark/DuckDB half-away for positives; Python round() is banker's)
+    wq = {
+        t: math.floor(
+            math.sqrt(math.sqrt(float(c) * c * c)) * 1_000_000 + 0.5
+        )
+        for t, c in uni.items()
+    }
+    total = sum(wq.values())
+    rows = training_negative_sampling(spark, sf_dir).collect()
+    assert len(rows) == len(uni)
+    cum = 0
+    for r in sorted(rows, key=lambda r: r.tok):
+        assert r.c == uni[r.tok]
+        assert r.w_micro == wq[r.tok], r.tok
+        assert r.cum_lo == cum
+        cum += r.w_micro
+        assert r.cum_hi == cum
+        assert r.share == pytest.approx(r.w_micro / total, abs=0)
+    # ranges tile [0, total) exactly — a sampler can binary-search any
+    # uniform draw into exactly one token
+    assert cum == total
+
+
 def test_interval_coverage_matches_python_reference(spark, sf_dir):
     from datetime import timedelta
 

@@ -73,6 +73,10 @@ SINGLE_PARTITION_ALLOW = {
     # two 1-row corpus-totals aggregates (N_uni, N_bg) then broadcast
     # (r8 — the quality_unigram_likelihood idiom)
     "text_collocations_pmi",
+    # 1-row weight-total aggregate + cumulative window over the
+    # vocab-bounded weight table (≤ |V| rows at any corpus size — the
+    # stats_ks_drift bounded-global-window argument) (r8)
+    "training_negative_sampling",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -118,6 +122,8 @@ CROSS_JOIN_ALLOW = {
     # broadcasts of the two 1-row corpus totals (N_uni, N_bg) — the
     # quality_unigram_likelihood idiom (r8)
     "text_collocations_pmi",
+    # broadcast of the 1-row weight-total aggregate (r8)
+    "training_negative_sampling",
 }
 
 
