@@ -308,6 +308,48 @@ def test_skipgram_pairs_matches_python_reference(spark, sf_dir):
         assert want[(b, a)][0] == n
 
 
+def test_skipgram_pairs_edge_docs(spark, tmp_path):
+    """Pin the short-document edges the sf fixtures may not exercise:
+    1-token docs emit nothing, 2-token docs emit only distance-1 pairs
+    (the distance-2 slice degenerates to an EMPTY array, not an error),
+    and empty/whitespace/NULL texts drop out — on the real query AND
+    its DuckDB oracle (generate_series(1, 0) must be empty there too)."""
+    import duckdb
+
+    from etl_his_spark.registry import ORACLES, QUERIES
+
+    docs = [(1, "solo"), (2, "two words"), (3, ""), (4, "   "),
+            (5, None), (6, "a b c")]
+    # repeat the corpus 5x so every pair clears the min-support 5
+    df = spark.createDataFrame(
+        [(d + 10 * i, t) for i in range(5) for d, t in docs],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "skipgram")
+    df.write.parquet(f"{out}/documents.parquet")
+    got = sorted(
+        (r.w_center, r.w_context, r.n_pairs, r.n_d1, r.n_d2)
+        for r in QUERIES["training_skipgram_pairs"](spark, out).collect()
+    )
+    want = sorted([
+        ("two", "words", 5, 5, 0), ("words", "two", 5, 5, 0),
+        ("a", "b", 5, 5, 0), ("b", "a", 5, 5, 0),
+        ("b", "c", 5, 5, 0), ("c", "b", 5, 5, 0),
+        ("a", "c", 5, 0, 5), ("c", "a", 5, 0, 5),
+    ])
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(ORACLES["training_skipgram_pairs"]).fetchall()
+    )
+    assert oracle == want
+
+
 def test_negative_sampling_matches_python_reference(spark, sf_dir):
     from etl_his_spark.plans.queries_training import (
         training_negative_sampling,
