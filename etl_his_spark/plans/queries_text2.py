@@ -336,7 +336,16 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(word_tokens("text").alias("ts"))
     )
     uni = toked.select(F.explode("ts").alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Both count dimensions are consumed by several downstream branches
+    # (ucnt by ua/ub/utot, bcnt by the join and btot); a lazy local
+    # checkpoint pins each vocab-bounded frame so the corpus is scanned
+    # once per dimension, not once per branch (the dedup_semantic_cells
+    # idiom).
+    ucnt = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     utot = ucnt.agg(F.sum("c").cast("long").alias("n_uni"))
     bg = (
         toked.filter(F.size("ts") >= 2)
@@ -351,8 +360,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    bcnt = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c_ab")
+    bcnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .localCheckpoint(eager=False)
     )
     btot = bcnt.agg(F.sum("c_ab").cast("long").alias("n_bg"))
     ua = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))

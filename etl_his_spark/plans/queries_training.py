@@ -522,11 +522,14 @@ def training_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
     c = F.col("c")
+    # wq feeds both the 1-row total and the output projection; the lazy
+    # checkpoint pins the vocab-bounded frame so the corpus-sized count
+    # aggregation runs once, not once per branch.
     wq = ucnt.select(
         "tok", "c",
         F.round(F.sqrt(F.sqrt(c.cast("double") * c * c)) * 1000000)
         .cast("long").alias("w_micro"),
-    )
+    ).localCheckpoint(eager=False)
     tot = wq.agg(F.sum("w_micro").cast("long").alias("t"))
     w = Window.orderBy("tok")
     return (
