@@ -437,12 +437,18 @@ def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds = sorted({p[1] for p in PHRASES})
     phr = spark.createDataFrame(PHRASES, ["p1", "p2", "phrase"])
     d = read_table(spark, sf_dir, "documents")
+    # One corpus scan: filter to the UNION of phrase vocabularies
+    # map-side, pin the resulting posting slice with a lazy checkpoint,
+    # and derive both adjacency sides from it — without the checkpoint
+    # each self-join side would rescan the corpus.
     pos = (
         d.filter(F.col("text").isNotNull())
         .select(
             "doc_id",
             F.posexplode(word_tokens("text")).alias("p", "tok"),
         )
+        .filter(F.col("tok").isin(sorted(set(firsts) | set(seconds))))
+        .localCheckpoint(eager=False)
     )
     lhs = pos.filter(F.col("tok").isin(firsts)).select(
         "doc_id", F.col("p").alias("pa"), F.col("tok").alias("ta")
