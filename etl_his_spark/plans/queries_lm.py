@@ -70,7 +70,14 @@ def _token_counts(docs: DataFrame):
     quality_unigram_likelihood and curation_lm_report (one definition;
     a change to tokenization or totals moves both queries together)."""
     toks = _tokens(docs)
-    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # cnt feeds two branches in both consumers (the per-token join and
+    # the totals row); the lazy checkpoint pins the vocab-bounded frame
+    # so the corpus-sized explode+count runs once, not per branch.
+    cnt = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = cnt.agg(
         F.sum("c").cast("long").alias("big_n"),
         F.count(F.lit(1)).cast("long").alias("vocab_v"),
@@ -516,7 +523,14 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bigrams = _bigram_rows(docs)
-    bcnt = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # bcnt feeds the corpus-novelty join AND nothing else corpus-sized,
+    # but the join side would rebuild the whole bigram pipeline for it;
+    # the lazy checkpoint pins the Heaps-bounded bigram dimension.
+    bcnt = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     bg_src = (
         bigrams.join(bcnt, "bg")
         .join(src, "doc_id")
@@ -528,17 +542,18 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_novel"),
         )
     )
-    chars = docs.groupBy("source").agg(
+    # doc count and char census share the groupBy("source") key — one
+    # fused aggregation instead of two scans + two shuffles.
+    ds_chars = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
         F.sum(F.regexp_count("text", F.lit("[A-Za-z]")))
         .cast("long")
         .alias("n_letters"),
     )
-    ds = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return (
-        ds.join(tok_src, "source")
+        ds_chars.join(tok_src, "source")
         .join(bg_src, "source")
-        .join(chars, "source")
         .crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs", "n_tokens",
