@@ -843,11 +843,18 @@ def quality_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = _tokens(docs)
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    # Both count dimensions are bounded (Heaps law) and each feeds two
+    # branches; lazy checkpoints pin them so the corpus-sized explodes
+    # run once per dimension (the curation_lm_report treatment).
+    uni = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+        .localCheckpoint(eager=False)
+    )
     tot = uni.agg(F.count(F.lit(1)).cast("long").alias("vocab_v"))
     bcnt = big_prev.groupBy("bg").agg(
         F.count(F.lit(1)).cast("long").alias("cb")
-    )
+    ).localCheckpoint(eager=False)
     return (
         big_prev.join(bcnt, "bg")
         .join(uni, F.col("prev") == F.col("token"))

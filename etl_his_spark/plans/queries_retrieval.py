@@ -103,7 +103,15 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # dl feeds the corpus totals AND the scoring join; tf feeds the
+    # df dimension AND the scoring join. Lazy checkpoints pin both (dl
+    # is one row per doc, tf is term-filtered — each far smaller than
+    # the token explode their branches would otherwise rebuild).
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     tot = dl.agg(
         F.count(F.lit(1)).cast("long").alias("d_docs"),
         F.sum("dl").cast("long").alias("n_toks"),
@@ -112,6 +120,7 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("token").isin(BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     avgdl = F.col("n_toks").cast("double") / F.col("d_docs")
@@ -833,7 +842,15 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # dl feeds the corpus totals AND the scoring join; tf feeds the
+    # df dimension AND the scoring join. Lazy checkpoints pin both (dl
+    # is one row per doc, tf is term-filtered — each far smaller than
+    # the token explode their branches would otherwise rebuild).
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     tot = dl.agg(
         F.count(F.lit(1)).cast("long").alias("d_docs"),
         F.sum("dl").cast("long").alias("n_toks"),
@@ -842,6 +859,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("token").isin(BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     avgdl = F.col("n_toks").cast("double") / F.col("d_docs")
