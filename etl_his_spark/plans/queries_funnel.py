@@ -58,15 +58,20 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (predicate pushdown keeps the heavy log scans narrow)."""
     e = read_table(spark, sf_dir, "events")
     users = e.select("user_id").distinct()
+    # v and c each feed the NEXT step's residual join AND the final
+    # report join; lazy checkpoints pin the user-dim step aggregates so
+    # each filtered event-log scan runs once, not once per consumer.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
