@@ -18,6 +18,8 @@ STEPS_FULL = [
      [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01"]),
     ("plan audit",
      [sys.executable, "tools/audit_plans.py"]),
+    ("scan-amplification audit",
+     [sys.executable, "tools/audit_scans.py"]),
     ("bare-session gate (driver-env parity)",
      [sys.executable, "tools/check_bare_session.py", "/root/testdata/sf0.01"]),
     ("pytest",
