@@ -116,6 +116,144 @@ def pq_codes(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_cents: list[list[float]] | None = None,
+    pq_cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k — the composed FAISS index shape (Jégou et al.
+    2011 §V): IVF centroid cells prune the scan to ``nprobe``/``n_cells``
+    of the corpus, and WITHIN probed cells candidates are ranked by
+    PQ asymmetric distance (sum of M codebook lookups) — the scan
+    touches (cell, 4 codes) rows only, never float vectors. This is
+    the 100 TB ANN shape: the two halves exist separately as
+    ``similarity.ivf_topk`` (flat exact cosine in probed cells) and
+    ``pq_adc_topk`` (ADC over the whole corpus); composing them makes
+    the scan BOTH pruned and compressed.
+
+    Index build is ONE map-side projection over ONE scan of the
+    corpus: the IVF cell argmin and the M per-subspace code argmins
+    are all least-of-structs over literal codebooks, so building the
+    index costs zero joins and zero shuffles at any table size (the
+    same pass a writer would persist as the on-disk index). Queries
+    rank all cell distances map-side and probe their ``nprobe``
+    nearest; the probe fan-out is a query-side explode carrying the
+    precomputed M·K ADC lookup columns, broadcast into an equi-join
+    on cell id — each of a 1000-executor cluster's tasks scans its
+    cells locally.
+
+    Determinism: rounded-d2 tie-breaks everywhere (cell on cell id,
+    code on code id — the kmeans/oracle convention); ADC adds the M
+    lookups in fixed subspace order; final ranking breaks ties on
+    neighbor id."""
+    from .clustering import _sq_dist
+
+    if cell_cents is None:
+        cell_cents = [
+            list(r["e"])
+            for r in vectors.select(id_col, to_double_array(vec_col).alias("e"))
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        ]
+    pq_cents = pq_cents or pq_codebooks(vectors, k, id_col, vec_col)
+    d = len(pq_cents[0])
+    sub = d // m
+
+    # --- index build: one projection, one scan -------------------------
+    v = vectors.select(id_col, to_double_array(vec_col).alias("e"))
+    cell_cands = [
+        F.struct(
+            F.round(_sq_dist(F.col("e"), c), 6).alias("d2"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cell_cents)
+    ]
+    cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.least(*cell_cands)["cell"].alias("cell"),
+    ]
+    for s in range(m):
+        cols.append(_sub_assign(F.col("e"), pq_cents, s, sub)["code"].alias(f"code_{s}"))
+    # Materialize the (cell, codes) index before the probe join — the
+    # pq_adc_topk measurement (cold 2.4 s → 0.8 s) applies doubly here
+    # because the projection now folds n_cells + m·k distance argmins.
+    cand = v.select(*cols).localCheckpoint(eager=False)
+
+    # --- query side: cell ranking + ADC lookup columns, map-side -------
+    qcell_cands = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist(F.col("qe"), c), 6).alias("d2"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cell_cents)
+            ]
+        )
+    )
+    qd_cols = []
+    for s in range(m):
+        lo = s * sub
+        for j, c in enumerate(pq_cents):
+            qd_cols.append(
+                F.round(
+                    _sq_dist(F.slice("qe", lo + 1, sub), c[lo : lo + sub]), 6
+                ).alias(f"qd_{s}_{j}")
+            )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qe")
+    )
+    probes = q.select(
+        "query_id",
+        *qd_cols,
+        F.explode(F.slice(qcell_cands, 1, nprobe)).alias("p"),
+    ).select(
+        "query_id",
+        *[F.col(f"qd_{s}_{j}") for s in range(m) for j in range(k)],
+        F.col("p.cell").alias("cell"),
+    )
+
+    # --- probed-cell ADC scan ------------------------------------------
+    terms = []
+    for s in range(m):
+        expr = F.when(F.col(f"code_{s}") == 0, F.col(f"qd_{s}_0"))
+        for j in range(1, k):
+            expr = expr.when(F.col(f"code_{s}") == j, F.col(f"qd_{s}_{j}"))
+        terms.append(expr)
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    from pyspark.sql import Window
+
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -576,6 +576,111 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF and PQ composed: the FAISS IVF-PQ index shape. CTE names are
+# prefixed (i/p) because the standalone _IVF_CTE and _PQ_CTE both
+# define `cents`/`dists`.
+@register(
+    "ann_topk_ivfpq",
+    f"""
+    WITH {_VECS_CTE},
+    icents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {IVF_CELLS})
+    ),
+    idists AS (
+        SELECT v.vec_id, c.cell,
+               round(list_sum(list_transform(generate_series(1, len(v.e)),
+                     i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i]))), 6) AS d2
+        FROM v CROSS JOIN icents c
+    ),
+    assigned AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cell) AS rk FROM idists)
+        WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id, cell
+        FROM (SELECT vec_id, cell, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cell) AS rk
+              FROM idists WHERE vec_id < 10)
+        WHERE rk <= {IVF_NPROBE}
+    ),
+    pcents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 4)
+    ),
+    gs AS (SELECT unnest(range(4)) AS s),
+    pdists AS (
+        SELECT v.vec_id, gs.s AS subspace, c.code,
+               round(list_sum(list_transform(generate_series(1, 16),
+                     i -> (v.e[gs.s*16+i] - c.e[gs.s*16+i])
+                        * (v.e[gs.s*16+i] - c.e[gs.s*16+i]))), 6) AS d2
+        FROM v CROSS JOIN pcents c CROSS JOIN gs
+    ),
+    pranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, subspace ORDER BY d2, code) AS rk
+        FROM pdists
+    ),
+    codes AS (SELECT vec_id, subspace, code FROM pranked WHERE rk = 1),
+    wide AS (
+        SELECT vec_id,
+               max(CASE WHEN subspace = 0 THEN code END) AS c0,
+               max(CASE WHEN subspace = 1 THEN code END) AS c1,
+               max(CASE WHEN subspace = 2 THEN code END) AS c2,
+               max(CASE WHEN subspace = 3 THEN code END) AS c3
+        FROM codes GROUP BY 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, subspace, code, d2 AS qd2
+        FROM pdists WHERE vec_id < 10
+    ),
+    adc AS (
+        SELECT p.vec_id AS query_id, w.vec_id AS neighbor_id,
+               q0.qd2 + q1.qd2 + q2.qd2 + q3.qd2 AS adc_d2
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        JOIN wide w ON w.vec_id = a.vec_id
+        JOIN qd q0 ON q0.subspace = 0 AND q0.code = w.c0
+                   AND q0.query_id = p.vec_id
+        JOIN qd q1 ON q1.subspace = 1 AND q1.code = w.c1
+                   AND q1.query_id = p.vec_id
+        JOIN qd q2 ON q2.subspace = 2 AND q2.code = w.c2
+                   AND q2.query_id = p.vec_id
+        JOIN qd q3 ON q3.subspace = 3 AND q3.code = w.c3
+                   AND q3.query_id = p.vec_id
+    ),
+    rankedq AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2,
+           CAST(rk AS BIGINT) AS rank
+    FROM rankedq WHERE rk <= 5
+    """,
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 — the composed 100 TB ANN index shape (r8 verdict
+    item 3): IVF cells (k=8, nprobe=2) prune the scan to ~1/4 of the
+    corpus, and within probed cells candidates are ranked by PQ
+    asymmetric distance over 4 codes — the scan never touches a float
+    vector. Index build (cell + codes) is ONE map-side projection over
+    ONE scan; the probe fan-out broadcasts the query-side M·K lookup
+    table into an equi-join on cell id. See ``operators/pq.ivfpq_topk``
+    and the recall-dominance tests in tests/test_similarity.py."""
+    from ..operators.pq import ivfpq_topk
+
+    vectors = read_table(spark, sf_dir, "embeddings")
+    queries = vectors.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        vectors, queries, 5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+        cell_cents=_codebook(spark, sf_dir, IVF_CELLS),
+        pq_cents=_codebook(spark, sf_dir, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss random projection
 # ---------------------------------------------------------------------------

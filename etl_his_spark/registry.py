@@ -81,6 +81,128 @@ from .plans import queries_graph  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    # --- Round 9 window (50 slots) — executes the queue the r8 window
+    # wrote down (registry history positions 51-74) exactly as the r8
+    # verdict ordered (item 1), with the round's code-changed/new
+    # queries leading per the standing new-machinery-first rule.
+    # Layout:
+    #   1-3   queries whose code changed or was added THIS round:
+    #         fuzzy_name_match (length-band blocking replaced by
+    #         lossless q-gram-count banding — the one measured
+    #         super-linear query in SCALE_AUDIT, r8 verdict item 2),
+    #         ann_topk_ivfpq (NEW — IVF nprobe cell ranking composed
+    #         with in-cell PQ-ADC scoring, r8 verdict item 3), and
+    #         text_collocations_pmi (top-50 ordering moved from the
+    #         rounded double to an exact cross-multiplied BIGINT
+    #         surrogate, r8 ADVICE low item — it also sits in the
+    #         queued ten, so it rides up front).
+    #   4-12  the remaining nine r8 additions (queued positions 51-60
+    #         last round; never driver-checked; all tri-scale green on
+    #         registration day and 5 re-verified by the r8 judge).
+    #   13-26 the fourteen r4-last TPC-H queries (queued positions
+    #         61-74 last round) — after this round no hash-oracle
+    #         query's driver row is older than round 5.
+    #   27-40 fourteen of the thirty-nine r5-last queries, chosen
+    #         machinery-first: the two real-decoder multimodal lanes,
+    #         the corpus composition pipeline, the atomic-publish
+    #         round trip, the two LSH scale guards, the two ANN
+    #         baselines, the two winnowing lanes, sequence packing,
+    #         the HIS bridge, exact median, grouping sets. The
+    #         twenty-five remaining r5-last queries are queued at
+    #         positions 51+ as written r10 leaders.
+    #   41-50 the ten permanent family sentinels (pinned).
+    # Positions 1-3: r9 code-changed/new.
+    "fuzzy_name_match",
+    "ann_topk_ivfpq",
+    "text_collocations_pmi",
+    # Positions 4-12: the remaining nine r8 additions.
+    "retrieval_hybrid_rrf",
+    "quality_bigram_likelihood",
+    "events_rate_anomaly",
+    "corpus_line_dedup",
+    "events_gapfill_locf",
+    "events_interval_coverage",
+    "retrieval_phrase_match",
+    "training_skipgram_pairs",
+    "training_negative_sampling",
+    # Positions 13-26: the fourteen r4-last TPC-H queries.
+    "tpch_q2_min_cost",
+    "tpch_q4_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q11_important",
+    "tpch_q12_shipmode",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_partsupp",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant",
+    # Positions 27-40: fourteen machinery-distinct r5-last queries.
+    "multimodal_wav_decode",
+    "multimodal_y4m_frames",
+    "corpus_pipeline",
+    "publish_roundtrip",
+    "dedup_lsh_capped",
+    "dedup_lsh_incremental",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "doc_winnow_fingerprints",
+    "overlap_pairs_winnow",
+    "training_pack_sequences",
+    "his_bridge_derivation",
+    "median_disc",
+    "grouping_sets_explicit",
+    # Positions 41-50: the ten permanent family sentinels (pinned —
+    # do not rotate out).
+    "his_extraction_shape",
+    "his_unpivot_slots",
+    "tpch_q1_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "text_simhash",
+    "merge_upsert_orders",
+    "json_extract_stats",
+    # Positions 51-75: the written r10 leader queue — the twenty-five
+    # remaining r5-last queries, in family groups. Any NEW r9 queries
+    # registered after this window froze also belong ahead of these
+    # in r10 (new-machinery-first), same as the r8 additions did.
+    "agg_pricing_summary",
+    "ann_label_purity",
+    "corpus_dedup_collapse",
+    "cube_agg",
+    "dedup_distinct_name",
+    "dedup_first_per_key",
+    "join_anti_new_keys",
+    "join_full_outer",
+    "join_inner_broadcast",
+    "join_left_fanout",
+    "join_self_roles",
+    "join_semi_existing",
+    "proj_alias_concat",
+    "rollup_agg",
+    "set_operations",
+    "sort_global_desc",
+    "string_clean",
+    "text_langid_eval",
+    "text_quality",
+    "topk_customers",
+    "unpivot_measures",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_sum",
+    # Positions 76+: everything else keeps registration order; all
+    # were driver-green in r6/r7/r8 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R8_WINDOW_HISTORY = [
     # --- Round 8 window (50 slots) — closes the driver-verification
     # ledger per the r7 verdict (item 1): after this round no
     # hash-oracle query's last driver CORRECTNESS row is older than
