@@ -173,7 +173,18 @@ def jsonl_ingest_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 37 == 0,
         F.substring(line, 1, (F.length(line) / 2).cast("int")),
     ).otherwise(line)
-    docs.select(corrupted.alias("value")).write.mode("overwrite").text(root)
+    # The planted-total scalar rides the WRITE action as an Observation
+    # (r8 verdict item 6): the writer's own scan counts its corrupt
+    # plants for free — no separate planned.agg().collect() action.
+    from ..observability import observed
+
+    to_write, w_obs = observed(
+        docs.select(corrupted.alias("value"), "doc_id"),
+        "jsonl_write",
+        planted=F.sum((F.col("doc_id") % 37 == 0).cast("long")),
+    )
+    to_write.select("value").write.mode("overwrite").text(root)
+    planned_total = int(w_obs.get["planted"] or 0)
 
     schema = T.StructType(
         [
@@ -210,8 +221,8 @@ def jsonl_ingest_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_corrupt")
     )
     # integrity cross-check: the reader must see exactly as many
-    # corrupt lines as the writer planted (driver-side scalar compare)
-    planned_total = planned.agg(F.sum("n_corrupt")).collect()[0][0] or 0
+    # corrupt lines as the writer planted (the Observation scalar
+    # gathered during the write above — zero extra actions)
     back = back.cache()
     try:
         n_total = back.count()

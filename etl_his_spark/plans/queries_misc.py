@@ -86,43 +86,144 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic record-linkage primitive (both engines implement the
     same Levenshtein definition).
 
-    Lossless length banding instead of a cartesian: edit distance ≤ 3
-    implies |len(a) − len(b)| ≤ 3, so one side is exploded to the 7
-    candidate partner lengths (len ± 0..3) and the join is a plain
-    hash equi-join on length with the Levenshtein residual — the pair
-    set is provably identical to all-pairs (each unordered pair meets
-    exactly once: the non-exploded side carries the smaller key).
-    At 100 TB the length key alone is coarse (tens of distinct
-    lengths → big buckets); the escalation path is to extend the join
-    key with a q-gram-count band (pairs within edit distance k share
-    ≥ maxlen + 1 − q·(k+1) positional q-grams) — same residual, finer
-    blocks. The oracle stays the naive all-pairs formulation."""
-    p = (
-        read_table(spark, sf_dir, "part")
-        .select("p_partkey", "p_name")
-        .withColumn("name_len", F.length("p_name"))
-    )
-    a = p.alias("a")
-    # Explode b to every partner length it can match (±3): the equi-join
-    # key is the *partner's* length, so (a, b) meets on a.name_len ==
-    # b.cand_len exactly when |len(a) - len(b)| <= 3, and exactly once.
-    b = p.select(
-        F.col("p_partkey").alias("b_partkey"),
-        F.col("p_name").alias("b_name"),
-        F.explode(
-            F.sequence(F.col("name_len") - F.lit(3), F.col("name_len") + F.lit(3))
-        ).alias("cand_len"),
-    )
+    Blocking is segment-pigeonhole (the PassJoin scheme — Li, Deng,
+    Feng 2011, "PASS-JOIN: A Partition-based Method for Similarity
+    Joins", public paper), replacing the r8 length-band join whose
+    in-band pair work was measured quadratic (SCALE_AUDIT α=1.96:
+    TPC-H names concentrate in a few dozen lengths, so each band was
+    O(n/30) and the band join |band|²). Pigeonhole: partition every
+    string into k+1 = 4 contiguous segments; ≤ 3 edits spread over 4
+    segments leave SOME segment untouched, so it appears VERBATIM in
+    the partner at a start shifted by at most the preceding indels
+    (≤ k). Candidates therefore meet on an exact equi-join of
+    (partner_len, segment_idx, segment_text): the index side emits
+    its 4 segments, the probe side emits the ≤ 7·4·7 substrings a
+    partner of each admissible length would need — LINEAR fan-out per
+    row, and the join key carries ~8 chars of TEXT, so blocks are
+    near-singleton instead of |band|-sized. Lossless by the pigeonhole
+    argument; the Levenshtein residual (with early-exit threshold)
+    runs once per DISTINCT candidate pair.
+
+    Strings shorter than 8 chars (segments could degenerate) ride a
+    short-string lane — the old ±3 length-band join restricted to
+    len ≤ 10, so every pair lands in ≥ 1 lane: min-len ≤ 7 forces
+    both ≤ 10 (short lane); min-len ≥ 8 puts both in the pass lane.
+    Both lanes are emitted from ONE projection per join side (2 scans
+    of part total — audit_scans-clean) via a unioned key struct, and
+    names are carried through the join so no join-back rescans exist.
+    The oracle stays the naive all-pairs formulation."""
+    K = 3          # edit-distance threshold
+    S = K + 1      # pigeonhole segments
+    LONG_MIN = 8   # pass-lane floor: every segment ≥ 2 chars
+    SHORT_MAX = LONG_MIN + K - 1  # 10: short-lane ceiling
+
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ln = F.length("p_name")
+
+    def bounds(l2, i: int):
+        # Even partition of a length-l2 string: first (S - r) segments
+        # get m chars, the last r get m+1 (m = l2 div S, r = l2 mod S).
+        m = F.floor(l2 / S).cast("int")
+        r = (l2 % S).cast("int")
+        start = (F.lit(i) * m + F.greatest(F.lit(0), F.lit(i) - (F.lit(S) - r))).cast("int")
+        seg = (m + F.when(F.lit(i) >= F.lit(S) - r, 1).otherwise(0)).cast("int")
+        return start, seg
+
+    def key(kind: str, kl, ki: int, ktxt):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            kl.cast("int").alias("kl"),
+            F.lit(ki).cast("int").alias("ki"),
+            ktxt.alias("ktxt"),
+        )
+
+    # Index side: own 4 segments (pass lane) + own length (short lane).
+    idx_structs = []
+    for i in range(S):
+        start, seg = bounds(ln, i)
+        idx_structs.append(
+            F.when(
+                ln >= LONG_MIN,
+                key("G", ln, i, F.col("p_name").substr(start + 1, seg)),
+            )
+        )
+    idx_structs.append(F.when(ln <= SHORT_MAX, key("S", ln, 0, F.lit(""))))
+
+    # Probe side: for each admissible partner length l2 = len − 3..0
+    # (ONE direction — the longer string probes the shorter partner's
+    # partition; pigeonhole on the shorter side suffices, and skipping
+    # l2 > len halves the fan-out and kills cross-direction duplicate
+    # candidates), the substrings a length-l2 partner's segment i
+    # could align to (start shift ≤ K), plus the short lane's exploded
+    # partner lengths.
+    probe_structs = []
+    for dl in range(-K, 1):
+        l2 = ln + dl
+        for i in range(S):
+            start, seg = bounds(l2, i)
+            for sh in range(-K, K + 1):
+                pstart = start + sh
+                probe_structs.append(
+                    F.when(
+                        (ln >= LONG_MIN)
+                        & (l2 >= LONG_MIN)
+                        & (pstart >= 0)
+                        & (pstart + seg <= ln),
+                        key("G", l2, i, F.col("p_name").substr(pstart + 1, seg)),
+                    )
+                )
+        probe_structs.append(
+            F.when(
+                (ln <= SHORT_MAX) & (l2 >= 0) & (l2 <= SHORT_MAX),
+                key("S", l2, 0, F.lit("")),
+            )
+        )
+
+    # Emission parallelism: part arrives as one small file → one scan
+    # partition; spread the ~100× struct fan-out over the cluster
+    # before exploding.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    base = p.repartition(n_parts, "p_partkey")
+
+    def emit(structs, id_alias: str, name_alias: str) -> DataFrame:
+        arr = F.array_distinct(
+            F.filter(F.array(*structs), lambda s: s.isNotNull())
+        )
+        return base.select(
+            F.col("p_partkey").alias(id_alias),
+            F.col("p_name").alias(name_alias),
+            F.explode(arr).alias("k"),
+        ).select(
+            id_alias, name_alias,
+            F.col("k.kind").alias("kind"), F.col("k.kl").alias("kl"),
+            F.col("k.ki").alias("ki"), F.col("k.ktxt").alias("ktxt"),
+        )
+
+    # Explicit key-partitioned exchanges: the probe map output is tiny
+    # when compressed, so AQE would coalesce the join to ~1 partition
+    # and then single-task the ~N·dup candidate explosion; pinning the
+    # partition count keeps the join wide.
+    keys = ["kind", "kl", "ki", "ktxt"]
+    probe = emit(probe_structs, "l_key", "l_name").repartition(n_parts, *keys)
+    idx = emit(idx_structs, "r_key", "r_name").repartition(n_parts, *keys)
+    # Levenshtein BEFORE distinct: the residual (early-exit threshold
+    # form, -1 if > K) runs per candidate INSTANCE, so the distinct
+    # then shuffles only surviving (int, int, int) triples — at 100 TB
+    # the pair-dedup exchange carries the result set, not wide
+    # name-pair strings. dist is functionally dependent on the pair,
+    # so distinct over the triple equals distinct over the pair.
+    dist = F.levenshtein("l_name", "r_name", K)
     return (
-        a.join(b, F.col("a.name_len") == F.col("cand_len"))
-        .filter(F.col("a.p_partkey") < F.col("b_partkey"))
-        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b_name")))
-        .filter(F.col("dist") <= 3)
+        probe.join(idx, keys)
+        .filter(F.col("l_key") != F.col("r_key"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
         .select(
-            F.col("a.p_partkey").alias("a_key"),
-            F.col("b_partkey").alias("b_key"),
+            F.least("l_key", "r_key").alias("a_key"),
+            F.greatest("l_key", "r_key").alias("b_key"),
             F.col("dist").cast("int").alias("dist"),
         )
+        .distinct()
     )
 
 

@@ -304,14 +304,18 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
                round(CAST(b.c_ab AS DOUBLE)
                      * u.n_uni / ua.c * u.n_uni / ub.c / t.n_bg,
-                     6) AS pmi_ratio
+                     6) AS pmi_ratio,
+               -- exact micro-unit ordering surrogate: HUGEINT floor
+               -- division, no float anywhere (see the Spark twin)
+               (CAST(b.c_ab AS HUGEINT) * u.n_uni * u.n_uni * 1000000)
+                   // (CAST(ua.c AS HUGEINT) * ub.c * t.n_bg) AS pmi_micro
         FROM bcnt b
         JOIN ucnt ua ON b.w1 = ua.tok
         JOIN ucnt ub ON b.w2 = ub.tok, utot u, btot t
         WHERE b.c_ab >= 5
     )
     SELECT w1, w2, c_ab, c_a, c_b, pmi_ratio
-    FROM scored ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
+    FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
     """,
 )
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,10 +324,16 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     over adjacent-token bigrams with min support 5 — the classic
     phrase-mining pass of a corpus pipeline.
 
-    Exactness: the ratio (not its log — libm-free) is one fixed
-    left-associative chain of IEEE double ops over exact integers,
-    bit-equal across engines; ordering uses the ROUNDED value with a
-    (w1, w2) tiebreak so the top-50 cutoff can't flip on a ulp. Scale:
+    Exactness: the DISPLAYED ratio (not its log — libm-free) is one
+    fixed left-associative chain of IEEE double ops over exact
+    integers; ORDERING never touches a float at all — the sort key is
+    the exact micro-unit surrogate floor(c_ab·N_uni²·10⁶ /
+    (c_a·c_b·N_bg)) computed with integer floor division on both
+    engines (Spark `div` over DECIMAL(38), DuckDB `//` over HUGEINT),
+    with a (w1, w2) tiebreak — the r8 ADVICE's cross-engine
+    round-at-the-boundary hazard (Spark BigDecimal HALF_UP vs DuckDB
+    double scaling in round(x, 6)) cannot flip top-50 membership when
+    the cutoff is decided by integers. Scale:
     bigrams are built map-side (zip_with of two slices — no positional
     self-join); both count dimensions are Heaps-law vocab-sized joins
     AQE can broadcast; the two totals are 1-row broadcasts; the top-50
@@ -375,15 +385,23 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_bg"),
         6,
     )
+    pmi_micro = F.expr(
+        "(CAST(c_ab AS DECIMAL(38,0)) * n_uni * n_uni * 1000000)"
+        " div (CAST(c_a AS DECIMAL(38,0)) * c_b * n_bg)"
+    )
     return (
         bcnt.filter(F.col("c_ab") >= 5)
         .join(ua, "w1")
         .join(ub, "w2")
         .crossJoin(F.broadcast(utot))
         .crossJoin(F.broadcast(btot))
-        .select("w1", "w2", "c_ab", "c_a", "c_b", pmi.alias("pmi_ratio"))
-        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .select(
+            "w1", "w2", "c_ab", "c_a", "c_b",
+            pmi.alias("pmi_ratio"), pmi_micro.alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(50)
+        .drop("pmi_micro")
     )
 
 
