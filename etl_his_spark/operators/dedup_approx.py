@@ -268,26 +268,51 @@ def jaccard_pairs_prefix(
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(wsize).alias("size"),
     )
-    # Prefix rows CARRY the doc's shingle-set size (the window already
-    # computed it), so candidates come out of the prefix join holding
-    # both Jaccard denominator terms — no separate sizes aggregate and
-    # no size join-backs (the carry-the-payload trick of
-    # minhash_lsh_candidates / simhash_pairs_blocked). Carrying the
-    # full shingle ARRAY instead (verify via array_intersect, no verify
-    # joins at all) was measured SLOWER: the array must ride every
-    # pre-filter window row, a per-doc quadratic payload.
+    # Prefix rows CARRY the doc's shingle-set size AND the shingle's
+    # rank position (the window already computed both), so candidates
+    # come out of the prefix join holding the Jaccard denominator
+    # terms plus the inputs to the PPJoin positional prune — no
+    # separate sizes aggregate and no size join-backs (the
+    # carry-the-payload trick of minhash_lsh_candidates /
+    # simhash_pairs_blocked).
     prefix = pos.filter(
         F.col("pos")
         <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
-    ).select(id_col, "shingle", "size")
+    ).select(id_col, "shingle", "pos", "size")
 
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin positional prune (Xiao, Wang, Lin, Yu 2008), lossless:
+    # both docs list shingles in the same global (df, shingle) order,
+    # so a shared prefix shingle at 1-based ranks (pa, pb) bounds the
+    # overlap by min(pa−1, pb−1) matches before it + itself +
+    # min(na−pa, nb−pb) after it. The bound also never exceeds
+    # min(na, nb), so it subsumes the classic length-ratio filter.
+    # Applying J(ub) ≥ t — the SAME double arithmetic as the final
+    # verify, monotone in overlap — per join row and THEN distinct-ing
+    # keeps a pair iff some shared prefix shingle admits it, so no
+    # true pair is dropped. On adversarially uniform shingle
+    # distributions (every df high, prefix selectivity gone) this is
+    # what keeps the candidate set from going quadratic.
+    ub = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        - 1
+        + F.least(
+            F.col("a.size") - F.col("a.pos"),
+            F.col("b.size") - F.col("b.pos"),
+        )
+        + 1
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            ub.cast("double")
+            / (F.col("a.size") + F.col("b.size") - ub)
+            >= threshold
         )
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
@@ -298,19 +323,31 @@ def jaccard_pairs_prefix(
         .distinct()
     )
 
-    sha = sh.select(F.col(id_col).alias("a_id"), F.col("shingle").alias("shingle_a"))
-    shb = sh.select(F.col(id_col).alias("bb_id"), F.col("shingle").alias("shingle_b"))
+    # Verify via sorted-array intersection joined onto SURVIVING
+    # candidates only — one groupBy of sh plus two candidate-keyed
+    # joins of ~8·|shingles| bytes/doc. The r8 verify joined back on
+    # (doc, shingle), exploding every candidate into |shingles_a|
+    # rows before the match filter: measured at the 4× tranche
+    # (uniform-df worst case, 2.7 M candidates) that intermediate hit
+    # ~800 M rows / 16.4 s; the array verify plus the positional
+    # prune took the same stage to sub-second. (The r7 note about
+    # array-carry being slower applied to riding arrays through the
+    # pre-filter WINDOW rows — candidates-only joins avoid that.)
+    arr = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingles")
+    )
+    arr_a = arr.select(
+        F.col(id_col).alias("a_id"), F.col("shingles").alias("sh_a")
+    )
+    arr_b = arr.select(
+        F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b")
+    )
     return (
-        cand.join(sha, "a_id")
-        # equi-join on BOTH (doc, shingle) so this stays a hash join,
-        # not a per-pair cartesian of shingle sets
-        .join(
-            shb,
-            (F.col("b_id") == F.col("bb_id"))
-            & (F.col("shingle_a") == F.col("shingle_b")),
+        cand.join(arr_a, "a_id")
+        .join(arr_b, "b_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b"))
         )
-        .groupBy("a_id", "b_id", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -649,25 +686,63 @@ def minhash_lsh_giant_bucket_edges(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lane_packed: bool = True,
 ) -> DataFrame:
     """60-bit SimHash per doc: term-frequency-weighted bit votes.
 
     Single-shuffle formulation: tokens → 60-bit hash per occurrence →
-    ONE groupBy(doc) computing all 60 bit-votes as wide conditional
-    sums (map-side partial agg) → pack in a codegen'd select.
+    ONE groupBy(doc) whose aggregates count how many occurrences set
+    each bit → vote sign in a codegen'd select. Each occurrence votes
+    ±1 on each bit, which equals the ±tf vote of the distinct-token
+    formulation (Σ_occurrences ±1 = Σ_distinct ±tf); with cnt_j = the
+    number of occurrences with bit j set and n = total occurrences,
+    the ±1 vote sum is 2·cnt_j − n, so ``2·cnt_j > n`` is the exact
+    same sign test the wide ±1 formulation computed.
 
-    Each occurrence votes ±1 on each bit, which equals the ±tf vote of
-    the distinct-token formulation (Σ_occurrences ±1 = Σ_distinct ±tf),
-    so results are identical to the previous (doc,token)-grouped,
-    60×-exploded version — this one just skips the 60× row blowup and
-    two of the three shuffles. 60 aggregate expressions stay inside
-    whole-stage codegen; at 100 TB the only shuffle is keyed on doc_id.
+    Default path (``lane_packed``): SWAR accumulation — 16 masked
+    long sums, each packing four 16-bit lane counters
+    (``sum(shiftrightunsigned(h,k) & 0x0001000100010001)`` counts
+    bits k, k+16, k+32, k+48 at once), instead of 60 conditional
+    sums. ~4× fewer aggregate expressions → smaller codegen stage
+    (measured sf0.1: 1.47 → 1.14 s warm, 3.4 → 1.3 s cold), same
+    single doc_id-keyed shuffle. BOUND: a 16-bit lane saturates at
+    65,535 token occurrences per document; LM corpora pre-chunk far
+    below that, but callers with unbounded documents pass
+    ``lane_packed=False`` for the overflow-free 60-sum path (kept,
+    tested output-identical).
     """
     c = F.col(text_col)
     words = spread_small_input(docs).select(
         F.col(id_col), F.explode(F.split(F.trim(c), " ")).alias("token")
     ).withColumn("h", seeded_hash60(F.col("token")))
+    if lane_packed:
+        lane_mask = 0x0001000100010001
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.expr(f"shiftrightunsigned(h, {k}) & {lane_mask}")
+            ).alias(f"s{k}")
+            for k in range(16)
+        ]
+
+        def cnt(j: int) -> Column:
+            return F.expr(f"(s{j % 16} >> {16 * (j // 16)}) & 65535")
+
+        packed = reduce(
+            lambda a, b: a + b,
+            (
+                F.when(2 * cnt(j) > F.col("n"), F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for j in range(SIMHASH_BITS)
+            ),
+        )
+        return (
+            words.groupBy(id_col)
+            .agg(*aggs)
+            .select(F.col(id_col), packed.alias("simhash"))
+        )
     votes = [
         F.sum(
             F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))

@@ -185,11 +185,23 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degree-ordered orientation (Schank-Wagner): every edge points
     from its (degree, id)-smaller endpoint, making the graph a DAG in
     which each triangle matches the wedge-plus-closure pattern
-    exactly once, and bounding wedge generation by O(m^1.5) instead
-    of Σdeg² — the property that keeps the wedge join alive on
-    power-law near-dup graphs at corpus scale. Plan: the blocked
-    simhash pair join (no cartesian), one degree agg, a self-join on
-    the oriented list, one closure probe join, one roll-up."""
+    exactly once, and bounding per-node wedge work by the oriented
+    out-degree (O(m^1.5) total instead of Σdeg²) — the property that
+    keeps triangle counting alive on power-law near-dup graphs at
+    corpus scale.
+
+    The closure is evaluated as adjacency-array intersection, not a
+    wedge self-join: build each node's sorted out-neighbor array (one
+    groupBy), attach both endpoints' arrays to every oriented edge
+    (two keyed joins of m rows + arrays), and explode
+    ``array_intersect(N⁺(src), N⁺(dst))`` — every common out-neighbor
+    w closes triangle (src, dst, w) exactly once. The O(m·d̄) wedge
+    set (3.6 M rows at sf0.1, all shuffled by the old
+    wedge⋈closure) is never materialized; only true triangles leave
+    the intersect (r9 A/B: tail 1.25 → 0.71 s, hash-identical).
+    Arrays are oriented out-neighborhoods, so their size is bounded
+    by the Schank-Wagner degree bound (≤ O(√m)), not raw degree —
+    safe to carry through the joins even on power-law graphs."""
     from ..operators.dedup_approx import simhash_pairs_blocked
 
     e = (
@@ -215,12 +227,23 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).localCheckpoint(eager=False)
-    w1 = o.select(F.col("src"), F.col("dst").alias("b"))
-    w2 = o.select(F.col("src"), F.col("dst").alias("c"))
-    wedges = w1.join(w2, "src").filter(F.col("b") != F.col("c"))
-    closure = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closure, ["b", "c"]).select(
-        F.col("src").alias("a"), "b", "c"
+    adj = o.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    a_src = adj.select("src", F.col("nbrs").alias("src_nbrs"))
+    a_dst = adj.select(
+        F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")
+    )
+    tri = (
+        o.join(a_src, "src")
+        .join(a_dst, "dst")
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(
+                F.array_intersect("src_nbrs", "dst_nbrs")
+            ).alias("c"),
+        )
     )
     nodes = (
         tri.select(F.col("a").alias("node"))

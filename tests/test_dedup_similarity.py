@@ -65,6 +65,21 @@ def test_simhash_identical_docs_same_sig(spark):
     assert sig[1] != sig[3]
 
 
+def test_simhash_lane_packed_equals_wide_votes(spark, sf_dir):
+    """The SWAR 16-lane formulation is bit-identical to the 60-sum
+    ±1-vote fallback (2·cnt_j − n sign identity) on real corpus text."""
+    from etl_his_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    lanes = sorted(
+        map(tuple, simhash_signatures(docs, lane_packed=True).collect())
+    )
+    wide = sorted(
+        map(tuple, simhash_signatures(docs, lane_packed=False).collect())
+    )
+    assert lanes == wide
+
+
 def _vectors(spark):
     rows = [
         (1, [1.0, 0.01, 0.01, 0.01]),
