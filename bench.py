@@ -132,6 +132,16 @@ HEADLINE = [
     "retrieval_phrase_match",
     "training_skipgram_pairs",
     "training_negative_sampling",
+    # round-9 additions: lexical-diversity scoring, prefix-cache
+    # reuse, blocklist filter, mixture upsampling, span-corruption
+    # spec, translated-dup detection, PRF query expansion.
+    "text_lexical_diversity",
+    "inference_prefix_cache_hits",
+    "curation_blocklist_filter",
+    "training_upsample_repeat",
+    "training_span_mask_spec",
+    "dedup_translated_semantic",
+    "retrieval_prf_expansion",
 ]
 
 

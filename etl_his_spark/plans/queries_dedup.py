@@ -1245,3 +1245,68 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_lines_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: cross-language (translated) semantic duplicates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_translated_semantic",
+    f"""
+    WITH {_VECS_CTE},
+    bands AS (
+        {_NEARDUP_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.pat = b.pat
+                     AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT c.a_id, c.b_id,
+               round(list_cosine_similarity(va.e, vb.e), 6) AS sim
+        FROM cand c
+        JOIN v va ON va.vec_id = c.a_id
+        JOIN v vb ON vb.vec_id = c.b_id
+        WHERE list_cosine_similarity(va.e, vb.e) >= 0.4
+    )
+    SELECT s.a_id, s.b_id, da.lang AS lang_a, db.lang AS lang_b, s.sim
+    FROM sims s
+    JOIN documents da ON da.doc_id = s.a_id
+    JOIN documents db ON db.doc_id = s.b_id
+    WHERE da.lang <> db.lang
+    """,
+)
+def dedup_translated_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translated-duplicate detection: embedding near-dup pairs
+    (cosine ≥ 0.4 via the banded sign-LSH path) whose documents carry
+    DIFFERENT language tags — the pairs lexical dedup (shingles,
+    SimHash, MinHash) is structurally blind to, because a translation
+    shares no surface n-grams with its source. Multilingual corpus
+    curation dedups these through the embedding space only; the lang
+    filter on top of the banded pair join is the whole operator.
+
+    Plan: the ``embedding_neardup`` banded machinery unchanged (keyed
+    equi-joins, no cartesian), then two broadcast-size joins to the
+    documents table for the language tags and a lang_a <> lang_b
+    filter. At 100 TB the doc-metadata join keys on the pair ids —
+    linear in pair count, not corpus size."""
+    pairs = banded_neardup_pairs(
+        read_table(spark, sf_dir, "embeddings"), 0.4, n_bands=4, band_bits=4
+    )
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("b_id"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("a_id", "b_id", "lang_a", "lang_b", "sim")
+    )

@@ -877,3 +877,98 @@ def quality_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: term-blocklist safety filtering.
+# ---------------------------------------------------------------------------
+
+# Toy blocklist over the synthetic vocabulary (the machinery, not the
+# list, is the point — a production list is a config input): term →
+# policy category. Inlined as literals on both engines.
+_BLOCKLIST = [("slow", "quality"), ("dup", "dupe"), ("big", "size")]
+_BLOCK_RATIO_MICRO = 60_000  # drop when blocked tokens > 6% of doc
+
+
+@register(
+    "curation_blocklist_filter",
+    f"""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(trim(text), ' '),
+                                   x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(w, x -> x IN
+                   ({", ".join(f"'{t}'" for t, _ in _BLOCKLIST)})))
+                   AS BIGINT) AS n_hits,
+               {" + ".join(
+                   f"CAST(len(list_filter(w, x -> x = '{t}')) > 0 AS BIGINT)"
+                   for t, _ in _BLOCKLIST)} AS n_terms_hit
+        FROM words
+    )
+    SELECT doc_id, n_tokens, n_hits,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           CAST(CASE WHEN n_tokens > 0 THEN
+                CAST(n_hits * 1000000 // n_tokens AS BIGINT)
+                ELSE 0 END AS BIGINT) AS hit_ratio_micro,
+           CASE WHEN n_tokens > 0
+                 AND CAST(n_hits * 1000000 // n_tokens AS BIGINT)
+                     > {_BLOCK_RATIO_MICRO}
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM scored
+    """,
+)
+def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist safety filter: per document, occurrences of
+    blocklisted terms, how many distinct listed terms hit, the hit
+    ratio in integer micro-units, and a keep/drop verdict at a ratio
+    threshold — the wordlist-filter stage every crawl-curation
+    pipeline runs (C4's badwords pass is the public archetype) ahead
+    of model-based scoring.
+
+    Plan posture: the entire filter is a map-only projection over the
+    scan — the blocklist lives in the expression (a real-size list
+    would broadcast-join), there is NO shuffle and NO explode; the
+    per-token membership test runs inside whole-stage codegen via
+    higher-order array functions. Integer micro-unit ratio on both
+    engines (no double division)."""
+    terms = F.array(*[F.lit(t) for t, _ in _BLOCKLIST])
+    words = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+            ).alias("w"),
+        )
+    )
+    scored = words.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter("w", lambda x: F.array_contains(terms, x))
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.size(F.array_intersect(F.array_distinct("w"), terms))
+        .cast("long")
+        .alias("n_terms_hit"),
+    )
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("CAST(n_hits * 1000000 div n_tokens AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        "n_terms_hit",
+        ratio.alias("hit_ratio_micro"),
+        F.when(ratio > _BLOCK_RATIO_MICRO, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

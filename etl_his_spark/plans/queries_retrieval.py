@@ -14,7 +14,7 @@ coalesce chain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1044,4 +1044,103 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lex_rank", "sem_rank",
             F.round(F.col("rrf"), 9).alias("rrf_score"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: pseudo-relevance-feedback query expansion.
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 10
+_PRF_EXPANSION_K = 15
+
+
+@register(
+    "retrieval_prf_expansion",
+    f"""
+    WITH {_TOKS_CTE},
+    qtf AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS score
+        FROM toks WHERE token IN ({_terms_sql()}) GROUP BY 1
+    ),
+    fb AS (
+        SELECT doc_id FROM qtf
+        ORDER BY score DESC, doc_id LIMIT {_PRF_FB_DOCS}
+    ),
+    exp AS (
+        SELECT t.token,
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df_fb,
+               CAST(count(*) AS BIGINT) AS tf_fb
+        FROM toks t JOIN fb USING (doc_id)
+        WHERE t.token NOT IN ({_terms_sql()})
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT token, df_fb, tf_fb,
+               CAST(row_number() OVER (
+                   ORDER BY df_fb DESC, tf_fb DESC, token) AS BIGINT)
+                   AS rank
+        FROM exp
+    )
+    SELECT token, df_fb, tf_fb, rank
+    FROM ranked WHERE rank <= {_PRF_EXPANSION_K}
+    """,
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM/Rocchio
+    device, integerized): retrieve the top-{_PRF_FB_DOCS} documents
+    for the fixed keyword query by query-term frequency, then rank
+    every non-query term of that feedback set by (feedback document
+    frequency, feedback term frequency) and emit the top
+    {_PRF_EXPANSION_K} as expansion terms — the classic two-pass
+    retrieval trick for vocabulary-mismatch recovery, and the sparse
+    complement of ``retrieval_hybrid_rrf``'s fusion.
+
+    Exactness: scoring is pure term COUNTS (no idf doubles), ties
+    broken by doc_id / token — fully deterministic on both engines.
+    Plan: the tf agg is term-list-filtered before its shuffle, the
+    feedback set is a {_PRF_FB_DOCS}-row TakeOrdered result that
+    BROADCASTS into the expansion join (no full-corpus second pass:
+    the join prunes to feedback docs before the expansion agg), one
+    final {_PRF_EXPANSION_K}-row top-k."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("token"),
+        )
+    )
+    # toks feeds both the scoring and expansion subtrees — one
+    # materialization (lazy; the TakeOrdered feedback job is the
+    # first consumer)
+    toks = toks.localCheckpoint(eager=False)
+    qtf = (
+        toks.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
+    )
+    fb = (
+        qtf.orderBy(F.desc("score"), "doc_id")
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("token").isin(BM25_TERMS))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df_fb"),
+            F.count(F.lit(1)).cast("long").alias("tf_fb"),
+        )
+    )
+    w = Window.orderBy(F.desc("df_fb"), F.desc("tf_fb"), "token")
+    return (
+        exp.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PRF_EXPANSION_K)
+        .select("token", "df_fb", "tf_fb", "rank")
     )

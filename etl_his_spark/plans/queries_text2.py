@@ -581,3 +581,175 @@ def stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: lexical-diversity scoring and prefix-cache reuse.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lexical_diversity",
+    """
+    WITH toks AS (
+        SELECT doc_id, tok AS token
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> ''
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(CAST(count(*) AS BIGINT) * 1000000
+                // CAST(sum(tf) AS BIGINT) AS BIGINT) AS ttr_micro,
+           CASE WHEN sum(tf) >= 2 THEN
+               CAST(CAST(sum(tf * (tf - 1)) AS BIGINT) * 1000000
+                    // (CAST(sum(tf) AS BIGINT) * (sum(tf) - 1)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS simpson_micro
+    FROM tf GROUP BY 1
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity scores — type/token ratio, hapax
+    legomena count, and Simpson's repeat concentration Σtf(tf−1) /
+    (n(n−1)) — the vocabulary-collapse signals an LM curation pass
+    uses to drop degenerate/templated text that length or stopword
+    ratios miss (a doc repeating 3 tokens forever has perfect length
+    stats and TTR ≈ 0).
+
+    Exactness: every score is a pure-integer ``div`` at micro-unit
+    resolution on both engines (no double division anywhere — a
+    floor(double) at an exactly-divisible boundary could flip).
+    Plan: explode → (doc, token) counting agg → doc agg; both
+    shuffles are map-side-combining hash aggs keyed on doc, linear at
+    corpus scale."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("token"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST(count(*) * 1000000 div sum(tf) AS BIGINT)").alias(
+            "ttr_micro"
+        ),
+        F.expr(
+            "CASE WHEN sum(tf) >= 2 THEN"
+            " CAST(sum(tf * (tf - 1)) * 1000000"
+            "      div (sum(tf) * (sum(tf) - 1)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("simpson_micro"),
+    )
+
+
+@register(
+    "inference_prefix_cache_hits",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    prefixed AS (
+        SELECT k, array_to_string(w[1:k], ' ') AS prefix
+        FROM words, (SELECT unnest([1, 2, 3]) AS k)
+        WHERE len(w) >= k
+    ),
+    grouped AS (
+        SELECT k, prefix, CAST(count(*) AS BIGINT) AS n_docs
+        FROM prefixed GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM words
+    )
+    SELECT k,
+           CAST(count(*) FILTER (n_docs >= 2) AS BIGINT) AS n_shared_prefixes,
+           CAST(coalesce(sum(n_docs) FILTER (n_docs >= 2), 0) AS BIGINT)
+               AS n_docs_sharing,
+           CAST(coalesce(sum((n_docs - 1) * k) FILTER (n_docs >= 2), 0)
+               AS BIGINT) AS reusable_tokens,
+           CAST(CAST(coalesce(sum((n_docs - 1) * k) FILTER (n_docs >= 2), 0)
+                AS BIGINT) * 1000000 // (SELECT n_tokens FROM tot)
+                AS BIGINT) AS reuse_ratio_micro
+    FROM grouped GROUP BY k
+    """,
+)
+def inference_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-prefix-cache reuse estimate: for prefix lengths k ∈ {1,2,3},
+    how many documents share an exact k-token prefix, and what
+    fraction of total corpus tokens an inference server with a shared
+    prefix cache would skip recomputing ((n−1)·k cached tokens per
+    group of n docs). The batching-side twin of
+    ``inference_length_batches`` — prefix sharing decides whether
+    radix-tree prefix caching (vLLM/SGLang-style automatic prefix
+    reuse, public designs) pays for a given corpus.
+
+    Plan: one scan builds the token array; a 3-way prefix explode
+    (k-bounded, so ≤3 rows/doc) feeds ONE hash agg keyed on (k,
+    prefix); the 1-row token total joins as a broadcast. Integer
+    micro-units throughout — no doubles."""
+    words = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+            ).alias("w"),
+        )
+    )
+    prefixed = words.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"), "w"
+    ).filter(F.size("w") >= F.col("k")).select(
+        "k",
+        F.array_join(F.slice("w", 1, F.col("k")), " ").alias("prefix"),
+    )
+    grouped = prefixed.groupBy("k", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = words.agg(
+        F.sum(F.size("w")).cast("long").alias("n_tokens")
+    )
+    shared = F.col("n_docs") >= 2
+    per_k = grouped.groupBy("k").agg(
+        F.sum(F.when(shared, 1).otherwise(0)).cast("long").alias(
+            "n_shared_prefixes"
+        ),
+        F.coalesce(F.sum(F.when(shared, F.col("n_docs"))), F.lit(0))
+        .cast("long")
+        .alias("n_docs_sharing"),
+        F.coalesce(
+            F.sum(F.when(shared, (F.col("n_docs") - 1) * F.col("k"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("reusable_tokens"),
+    )
+    return per_k.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_shared_prefixes",
+        "n_docs_sharing",
+        "reusable_tokens",
+        F.expr(
+            "CAST(reusable_tokens * 1000000 div n_tokens AS BIGINT)"
+        ).alias("reuse_ratio_micro"),
+    )

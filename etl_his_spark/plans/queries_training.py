@@ -542,3 +542,233 @@ def training_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_micro").cast("double") / F.col("t")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: mixture upsampling-by-repetition and T5-style span
+# corruption specs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_upsample_repeat",
+    """
+    WITH weighted AS (
+        SELECT doc_id, source,
+               600000 + 400000 * (CAST(substr(source, 4) AS BIGINT) % 5)
+                   AS w_micro,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000 AS u
+        FROM documents
+    ),
+    reps AS (
+        SELECT doc_id, source, w_micro,
+               CAST(w_micro // 1000000
+                    + CASE WHEN u < w_micro % 1000000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_repeats
+        FROM weighted
+    )
+    -- DuckDB 1.0 can't lateral-join generate_series on a column;
+    -- weights cap at 2.2 so repeats <= 3 and a static unnest works
+    SELECT doc_id, source, n_repeats, CAST(r.rep AS BIGINT) AS rep_idx
+    FROM reps JOIN (SELECT unnest([1, 2, 3]) AS rep) r
+      ON r.rep <= n_repeats
+    WHERE n_repeats >= 1
+    """,
+)
+def training_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted epoch materialization by repetition: each
+    source carries a mixture weight w (here 0.6–2.2 derived from the
+    source index; production passes a weight table), and every doc is
+    emitted floor(w) times plus one more with probability frac(w),
+    decided by a deterministic per-doc hash — the standard
+    integerization of fractional mixture weights (the repeat-and-
+    bernoulli device of LM data recipes: upsample high-quality
+    sources ~2×, downsample the rest, reproducible across runs).
+
+    Plan: map-only weight derivation, then ``explode(sequence())`` —
+    output size Σ repeats with no shuffle at all; the decision hash
+    is the corpus-wide md5 discipline, so both engines agree
+    bit-for-bit on who gets the extra epoch."""
+    from ..operators.dedup_approx import seeded_hash60
+
+    w_micro = (
+        F.lit(600000)
+        + F.lit(400000)
+        * (F.expr("CAST(substring(source, 4) AS BIGINT)") % 5)
+    ).cast("long")
+    u = seeded_hash60(F.col("doc_id").cast("string")) % 1000000
+    reps = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            w_micro.alias("w_micro"),
+            u.alias("u"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr("CAST(w_micro div 1000000 AS BIGINT)")
+                + F.when(
+                    F.col("u") < F.col("w_micro") % 1000000, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repeats"),
+        )
+        .filter(F.col("n_repeats") >= 1)
+    )
+    return reps.select(
+        "doc_id",
+        "source",
+        "n_repeats",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))
+        ).alias("rep_idx"),
+    )
+
+
+@register(
+    "training_span_mask_spec",
+    """
+    WITH toks AS (
+        SELECT doc_id, u.pos, u.token
+        FROM documents d,
+        LATERAL (SELECT unnest(list_filter(string_split(trim(d.text), ' '),
+                                           x -> x <> '')) AS token,
+                        generate_subscripts(
+                            list_filter(string_split(trim(d.text), ' '),
+                                        x -> x <> ''), 1) AS pos) u
+        WHERE d.text IS NOT NULL
+    ),
+    sized AS (
+        SELECT doc_id, CAST(max(pos) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    hashed AS (
+        SELECT t.doc_id, t.pos,
+               CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':'
+                    || CAST(t.pos AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+               s.n_tokens
+        FROM toks t JOIN sized s USING (doc_id)
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, pos AS span_start,
+               least(pos + 1 + (h // 20) % 5 - 1, n_tokens) AS span_end
+        FROM hashed WHERE h % 20 = 0
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR span_start > max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    islands AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY span_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, max(n_tokens) AS n_tokens, island,
+               min(span_start) AS m_start, max(span_end) AS m_end
+        FROM islands GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(m_end - m_start + 1) AS BIGINT) AS n_masked,
+           CAST(CAST(sum(m_end - m_start + 1) AS BIGINT) * 1000000
+                // max(n_tokens) AS BIGINT) AS mask_ratio_micro
+    FROM merged GROUP BY doc_id
+    """,
+)
+def training_span_mask_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption SPEC: ~5% of token
+    positions trigger a mask span of hash-chosen length 1–5 (clipped
+    at doc end), overlapping spans merge via the islands device, and
+    the per-doc summary reports span count, masked-token count, and
+    the realized mask ratio — the reproducible plan a denoising
+    pretraining job hands its tokenizer workers (spans must be
+    decided identically on every re-run and every engine, hence the
+    md5 position hash, not an RNG).
+
+    Plan: token positions from one posexplode, the trigger/length
+    hash is map-side, span merging is the islands-and-gaps pattern
+    (``events_interval_coverage``) in ONE doc-keyed window sort, then
+    two doc-keyed aggs. Integer micro-units; no doubles."""
+    from ..operators.dedup_approx import seeded_hash60
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("pos0", "token"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    sized = toks.withColumn(
+        "n_tokens", F.max("pos").over(wdoc).cast("long")
+    )
+    h = seeded_hash60(
+        F.col("pos").cast("string"), seed=F.col("doc_id")
+    )
+    spans = (
+        sized.withColumn("h", h)
+        .filter(F.col("h") % 20 == 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("pos").alias("span_start"),
+            F.least(
+                F.col("pos") + F.expr("CAST((h div 20) % 5 AS BIGINT)"),
+                F.col("n_tokens"),
+            ).alias("span_end"),
+        )
+    )
+    worder = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_max = F.max("span_end").over(
+        worder.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "is_new",
+        F.when(
+            prev_max.isNull() | (F.col("span_start") > prev_max), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = flagged.groupBy("doc_id", "island").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.min("span_start").alias("m_start"),
+        F.max("span_end").alias("m_end"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("m_end") - F.col("m_start") + 1)
+        .cast("long")
+        .alias("n_masked"),
+        F.expr(
+            "CAST(sum(m_end - m_start + 1) * 1000000"
+            "     div max(n_tokens) AS BIGINT)"
+        ).alias("mask_ratio_micro"),
+    )

@@ -167,10 +167,19 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51-75: the written r10 leader queue — the twenty-five
-    # remaining r5-last queries, in family groups. Any NEW r9 queries
-    # registered after this window froze also belong ahead of these
-    # in r10 (new-machinery-first), same as the r8 additions did.
+    # Positions 51-57: the seven r9 additions (registered after this
+    # round's window froze; tri-scale green on registration day) —
+    # the r10 window's leaders under the standing new-machinery-first
+    # rule, exactly as the r8 additions led this round's window.
+    "text_lexical_diversity",
+    "inference_prefix_cache_hits",
+    "curation_blocklist_filter",
+    "training_upsample_repeat",
+    "training_span_mask_spec",
+    "dedup_translated_semantic",
+    "retrieval_prf_expansion",
+    # Positions 58-82: the remainder of the written r10 queue — the
+    # twenty-five r5-last queries, in family groups.
     "agg_pricing_summary",
     "ann_label_purity",
     "corpus_dedup_collapse",

@@ -77,6 +77,9 @@ SINGLE_PARTITION_ALLOW = {
     # vocab-bounded weight table (≤ |V| rows at any corpus size — the
     # stats_ks_drift bounded-global-window argument) (r8)
     "training_negative_sampling",
+    # 1-row corpus-token-total aggregate then broadcast; the per-k
+    # final agg is 3 rows by construction (r9)
+    "inference_prefix_cache_hits",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -124,6 +127,9 @@ CROSS_JOIN_ALLOW = {
     "text_collocations_pmi",
     # broadcast of the 1-row weight-total aggregate (r8)
     "training_negative_sampling",
+    # broadcast of the 1-row corpus-token-total onto the 3-row per-k
+    # aggregate (r9)
+    "inference_prefix_cache_hits",
 }
 
 
