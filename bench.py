@@ -142,6 +142,10 @@ HEADLINE = [
     "training_span_mask_spec",
     "dedup_translated_semantic",
     "retrieval_prf_expansion",
+    # round-9 additions (second batch): count-min-sketch heavy
+    # hitters, content-defined chunk-level dedup.
+    "sketch_cms_heavy_hitters",
+    "corpus_chunk_dedup",
 ]
 
 

@@ -55,6 +55,31 @@ def count_min_build(
     )
 
 
+def count_min_build_weighted(
+    keyed: DataFrame,
+    key_col: str,
+    weight_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Cell-identical to ``count_min_build`` over the expanded stream,
+    built from a pre-aggregated (key, weight) table: ``sum(weight)``
+    per cell instead of ``count(*)`` — ``depth`` md5s per DISTINCT
+    key rather than per occurrence. When a frequency table already
+    exists (or arrives as a mergeable partial), this is the build to
+    use: hashing work scales with vocabulary, not corpus."""
+    return (
+        keyed.select(
+            F.col(weight_col).alias("__w"),
+            F.explode(_seed_buckets(F.col(key_col), depth, width)).alias("sb"),
+        )
+        .groupBy(
+            F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket")
+        )
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
 def merge_cms(*sketches: DataFrame) -> DataFrame:
     """Cell-wise sum — CMS is a monoid, so per-partition/per-day
     sketches combine losslessly."""

@@ -26,6 +26,7 @@ from ..operators.dedup_approx import (
     minhash_lsh_giant_buckets,
     minhash_lsh_guarded_edges,
     minhash_lsh_incremental,
+    seeded_hash60,
     simhash_pairs_blocked,
     simhash_signatures,
 )
@@ -1309,4 +1310,133 @@ def dedup_translated_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lb, "b_id")
         .filter(F.col("lang_a") != F.col("lang_b"))
         .select("a_id", "b_id", "lang_a", "lang_b", "sim")
+    )
+
+
+@register(
+    "corpus_chunk_dedup",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(w) AS word,
+               unnest(generate_series(1, len(w))) AS p
+        FROM words
+    ),
+    flagged AS (
+        SELECT doc_id, word, p,
+               CASE WHEN CAST('0x' || substr(md5(word), 1, 15) AS BIGINT)
+                         % 16 = 0 THEN 1 ELSE 0 END AS boundary
+        FROM pos WHERE word <> ''
+    ),
+    chunked AS (
+        SELECT doc_id, word, p,
+               COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_idx
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               CAST('0x' || substr(md5(
+                   string_agg(word, ' ' ORDER BY p)), 1, 15) AS BIGINT)
+                   AS fp
+        FROM chunked GROUP BY 1, 2
+    ),
+    fpc AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_occ FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(CAST(sum(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000000
+                // CAST(count(*) AS BIGINT) AS BIGINT) AS dup_micro
+    FROM chunks c JOIN fpc f ON f.fp = c.fp
+    GROUP BY 1
+    """,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level duplication scoring —
+    the sub-document dedup granularity (rsync/LBFS-style): a word is
+    a chunk boundary iff its content hash ≡ 0 (mod 16), so boundaries
+    depend only on LOCAL content and an insertion re-chunks only its
+    neighborhood (expected chunk ≈ 16 words), unlike fixed-width
+    windows where one shifted word invalidates every downstream
+    chunk. Chunks shared across (or repeated within) documents mark
+    boilerplate/quotation regions that document-level dedup
+    (MinHash/SimHash) averages away; the per-doc duplicated-chunk
+    ratio is the curation signal for partial-overlap removal.
+
+    Exactness: boundary flag, chunk fingerprint, and the micro-unit
+    ratio are all 60-bit-md5 / integer-``div`` arithmetic — bit-equal
+    in DuckDB; the chunk text is the pos-ordered space-join on both
+    engines.
+
+    Plan: one documents scan → posexplode → one doc_id shuffle for
+    the boundary cumsum window; the chunk agg reuses that
+    partitioning (doc_id ⊆ grouping key, no second shuffle). The
+    linear chunk table is lazily checkpointed once and feeds both the
+    fingerprint-count agg and the count join (scan amplification 2,
+    under the audit gate); the final per-doc agg shuffles on doc_id.
+    Everything is keyed and linear — no pair joins, no all-pairs."""
+    words = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), " ")).alias("p", "word"),
+        )
+        .filter(F.col("word") != "")
+        .withColumn(
+            "boundary",
+            F.when(seeded_hash60(F.col("word")) % 16 == 0, 1).otherwise(0),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = words.withColumn(
+        "chunk_idx", F.coalesce(F.sum("boundary").over(w), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            seeded_hash60(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "word"))
+                        ),
+                        lambda s: s.word,
+                    ),
+                    " ",
+                )
+            ).alias("fp")
+        )
+        .localCheckpoint(eager=False)
+    )
+    fpc = chunks.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    return (
+        chunks.join(fpc, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("dup_micro"),
+        )
     )

@@ -753,3 +753,100 @@ def inference_prefix_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(reusable_tokens * 1000000 div n_tokens AS BIGINT)"
         ).alias("reuse_ratio_micro"),
     )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT tok AS token
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE tok <> ''
+    ),
+    tf AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1
+    ),
+    hashed AS (
+        SELECT token, tf, j,
+               CAST('0x' || substr(md5(j || ':' || token), 1, 15)
+                    AS BIGINT) % 512 AS bucket
+        FROM tf, (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    counters AS (
+        SELECT j, bucket, CAST(sum(tf) AS BIGINT) AS c
+        FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT h.token,
+               CAST(max(h.tf) AS BIGINT) AS true_count,
+               CAST(min(c.c) AS BIGINT) AS cms_estimate
+        FROM hashed h
+        JOIN counters c ON c.j = h.j AND c.bucket = h.bucket
+        GROUP BY 1
+    )
+    SELECT token, true_count, cms_estimate,
+           CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+    FROM est ORDER BY cms_estimate DESC, token LIMIT 20
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min-sketch heavy hitters over corpus tokens — the
+    mergeable fixed-memory sketch that replaces exact top-k frequency
+    at 100 TB (d=3 hash rows × w=512 counters = 1,536 cells per
+    partition, merged by addition; the estimate ``min_j C[j][h_j(x)]``
+    never undercounts, so the top-k by estimate is a superset-biased
+    but bounded-error heavy-hitter set). Emitting ``overestimate``
+    makes the collision error itself part of the hashed contract.
+
+    Exactness: the sketch hash is the repo's 60-bit md5 family
+    (``seeded_hash60`` with the hash-row index as seed, exactly
+    ``operators/sketches.py``'s ``_seed_buckets``), so bucket
+    assignment — and therefore every counter value and every estimate
+    — is bit-identical in DuckDB; no engine-private hash, no floats.
+
+    Plan: one documents scan → explode → (token) hash agg (map-side
+    combining, vocab-bounded output, lazily checkpointed as the
+    shared dimension) → the WEIGHTED cell build
+    (``count_min_build_weighted``: 3 md5s per distinct token, not per
+    occurrence) → 1,536-row counter table broadcast back onto the
+    per-token probes (``count_min_probe``) → global top-20
+    (TakeOrdered, no full sort). At corpus scale every stage after
+    the first agg is vocab-sized, not corpus-sized."""
+    from ..operators.sketches import (
+        count_min_build_weighted,
+        count_min_probe,
+    )
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+                )
+            ).alias("token")
+        )
+    )
+    tf = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # tf feeds both the cell build and the probe side:
+        # vocab-bounded, so one lazy materialization (repo idiom for
+        # shared count dimensions, SCALE.md) beats recomputing the
+        # corpus explode twice.
+        .localCheckpoint(eager=False)
+    )
+    counters = count_min_build_weighted(tf, "token", "tf", depth=3, width=512)
+    est = count_min_probe(tf, counters, "token", depth=3, width=512)
+    return (
+        est.select(
+            "token",
+            F.col("tf").alias("true_count"),
+            F.col("est_n").cast("long").alias("cms_estimate"),
+            (F.col("est_n") - F.col("tf")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("cms_estimate"), F.asc("token"))
+        .limit(20)
+    )

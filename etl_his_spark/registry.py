@@ -167,7 +167,7 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51-57: the seven r9 additions (registered after this
+    # Positions 51-59: the nine r9 additions (registered after this
     # round's window froze; tri-scale green on registration day) —
     # the r10 window's leaders under the standing new-machinery-first
     # rule, exactly as the r8 additions led this round's window.
@@ -178,7 +178,9 @@ _CHECK_FIRST = [
     "training_span_mask_spec",
     "dedup_translated_semantic",
     "retrieval_prf_expansion",
-    # Positions 58-82: the remainder of the written r10 queue — the
+    "sketch_cms_heavy_hitters",
+    "corpus_chunk_dedup",
+    # Positions 60-84: the remainder of the written r10 queue — the
     # twenty-five r5-last queries, in family groups.
     "agg_pricing_summary",
     "ann_label_purity",

@@ -193,3 +193,68 @@ def test_pca_project_variance_ordering_and_shape(spark, sf_dir):
     assert {r["vec_id"]: (r["pc1"], r["pc2"]) for r in rows} == {
         r["vec_id"]: (r["pc1"], r["pc2"]) for r in again
     }
+
+
+def test_count_min_weighted_build_cell_identical(spark):
+    """count_min_build_weighted over a (key, count) table produces
+    EXACTLY the cells of count_min_build over the expanded stream —
+    the weighted build is the same sketch, minus the per-occurrence
+    hashing."""
+    from etl_his_spark.operators.sketches import count_min_build_weighted
+
+    rows = [("a", 3), ("b", 1), ("c", 5), ("dd", 2)]
+    stream = spark.createDataFrame(
+        [(k,) for k, n in rows for _ in range(n)], "k string"
+    )
+    tf = spark.createDataFrame(rows, "k string, n long")
+    plain = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in count_min_build(stream, "k", depth=3, width=64).collect()
+    }
+    weighted = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in count_min_build_weighted(
+            tf, "k", "n", depth=3, width=64
+        ).collect()
+    }
+    assert plain == weighted
+    # probe through the weighted cells: estimate >= true count always
+    est = {
+        r["k"]: r["est_n"]
+        for r in count_min_probe(
+            tf, count_min_build_weighted(tf, "k", "n", depth=3, width=64),
+            "k", depth=3, width=64,
+        ).collect()
+    }
+    assert all(est[k] >= n for k, n in rows)
+
+
+def test_content_defined_chunking_locality(spark, monkeypatch, tmp_path):
+    """The CDC property the gate query's boundary rule exists for: an
+    edit changes only its neighborhood's chunks. Duplicate-chunk
+    accounting: two docs sharing their entire text mark every chunk
+    duplicated; a unique doc marks none (given no cross-doc chunk
+    collisions in this tiny fixture)."""
+    from etl_his_spark.registry import ordered_queries
+
+    corpus_chunk_dedup = ordered_queries()["corpus_chunk_dedup"]
+
+    base = " ".join(f"w{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base, "en"),          # full duplicate of 1
+            (3, " ".join(f"u{i}" for i in range(100)), "en"),  # unique
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = tmp_path / "cdc"
+    docs.write.parquet(str(out / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in corpus_chunk_dedup(spark, str(out)).collect()
+    }
+    assert got[1]["n_chunks"] == got[2]["n_chunks"] > 1
+    assert got[1]["n_dup_chunks"] == got[1]["n_chunks"]
+    assert got[2]["dup_micro"] == 1000000
+    assert got[3]["n_dup_chunks"] == 0 and got[3]["dup_micro"] == 0
