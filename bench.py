@@ -146,6 +146,7 @@ HEADLINE = [
     # hitters, content-defined chunk-level dedup.
     "sketch_cms_heavy_hitters",
     "corpus_chunk_dedup",
+    "dedup_exact_substring_spans",
 ]
 
 

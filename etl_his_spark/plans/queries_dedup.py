@@ -1440,3 +1440,189 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_micro"),
         )
     )
+
+
+@register(
+    "dedup_exact_substring_spans",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               unnest(w) AS token, generate_subscripts(w, 1) AS pos
+        FROM words WHERE len(w) >= 8
+    ),
+    sh AS (
+        SELECT doc_id, n_tokens, pos,
+               CAST('0x' || substr(md5(string_agg(token, ' ') OVER w8),
+                                   1, 15) AS BIGINT) AS fp,
+               count(*) OVER w8 AS wn
+        FROM toks
+        WINDOW w8 AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    ),
+    full8 AS (SELECT doc_id, n_tokens, pos, fp FROM sh WHERE wn = 8),
+    fpc AS (
+        SELECT fp, count(*) AS n_occ FROM full8
+        GROUP BY 1 HAVING count(*) >= 2
+    ),
+    spans AS (
+        SELECT f.doc_id, f.pos AS span_start, f.pos + 7 AS span_end
+        FROM full8 f JOIN fpc USING (fp)
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR span_start > max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    islands AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY span_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, island, min(span_start) AS m_start,
+               max(span_end) AS m_end
+        FROM islands GROUP BY 1, 2
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(m_end - m_start + 1) AS BIGINT) AS n_dup_tokens
+        FROM merged GROUP BY 1
+    ),
+    sized AS (
+        SELECT doc_id, max(n_tokens) AS n_tokens FROM full8 GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) * 1000000
+                // s.n_tokens AS BIGINT) AS dup_cov_micro
+    FROM sized s LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup — the ExactSubstr granularity (Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better"): every 8-token shingle that occurs MORE THAN ONCE in the
+    corpus (across documents or repeated within one) marks its span
+    [pos, pos+7] as verbatim-duplicated text; overlapping spans merge
+    into maximal islands, and each doc reports its duplicated-span
+    count, covered-token count, and coverage ratio. This is the
+    granularity between ``corpus_line_dedup`` (structural lines) and
+    ``corpus_chunk_dedup`` (content-defined chunks): ANY repeated
+    >=8-gram is caught regardless of line or chunk boundaries — the
+    signal an ExactSubstr-style cut pass consumes.
+
+    Exactness: shingle fingerprints are the repo's 60-bit md5 of the
+    space-joined token window, islands-merge is pure integer window
+    arithmetic, coverage ratio is micro-unit integer ``div`` — all
+    bit-equal in DuckDB.
+
+    Plan: shingling is MAP-SIDE (per-row ``transform`` over the
+    token array + posexplode — no window, no shuffle, unlike the
+    oracle's window formulation); the linear (doc_id, pos, fp) table
+    is lazily checkpointed once and feeds the fp-count agg, the
+    duplicate probe join, and the per-doc size agg (scan
+    amplification stays at 1 parquet scan). One fp shuffle for the
+    count + probe, one doc_id window sort for islands, two doc-keyed
+    aggs. Never materializes pair lists — corpus-linear end to end,
+    the property that distinguishes ExactSubstr-via-shingles from
+    suffix-array sorts at 100 TB."""
+    K = 8
+    sh = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+            ).alias("w"),
+        )
+        .withColumn("n_tokens", F.size("w").cast("long"))
+        .filter(F.col("n_tokens") >= K)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (K - 1)),
+                    lambda i: seeded_hash60(
+                        F.concat_ws(" ", F.slice("w", i, K))
+                    ),
+                )
+            ).alias("pos0", "fp"),
+        )
+        .select(
+            "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "fp"
+        )
+        .localCheckpoint(eager=False)
+    )
+    dup_fps = (
+        sh.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("fp")
+    )
+    spans = sh.join(dup_fps, "fp").select(
+        "doc_id",
+        F.col("pos").alias("span_start"),
+        (F.col("pos") + (K - 1)).alias("span_end"),
+    )
+    worder = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_max = F.max("span_end").over(
+        worder.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    perdoc = (
+        spans.withColumn(
+            "is_new",
+            F.when(
+                prev_max.isNull() | (F.col("span_start") > prev_max), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_new").over(
+                worder.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("m_start"),
+            F.max("span_end").alias("m_end"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum(F.col("m_end") - F.col("m_start") + 1)
+            .cast("long")
+            .alias("n_dup_tokens"),
+        )
+    )
+    sized = sh.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens")
+    )
+    return sized.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_dup_tokens"),
+        F.expr(
+            "CAST(CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) * 1000000"
+            "     div n_tokens AS BIGINT)"
+        ).alias("dup_cov_micro"),
+    )

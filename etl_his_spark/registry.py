@@ -167,7 +167,7 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51-59: the nine r9 additions (registered after this
+    # Positions 51-60: the ten r9 additions (registered after this
     # round's window froze; tri-scale green on registration day) —
     # the r10 window's leaders under the standing new-machinery-first
     # rule, exactly as the r8 additions led this round's window.
@@ -180,7 +180,8 @@ _CHECK_FIRST = [
     "retrieval_prf_expansion",
     "sketch_cms_heavy_hitters",
     "corpus_chunk_dedup",
-    # Positions 60-84: the remainder of the written r10 queue — the
+    "dedup_exact_substring_spans",
+    # Positions 61-85: the remainder of the written r10 queue — the
     # twenty-five r5-last queries, in family groups.
     "agg_pricing_summary",
     "ann_label_purity",

@@ -258,3 +258,44 @@ def test_content_defined_chunking_locality(spark, monkeypatch, tmp_path):
     assert got[1]["n_dup_chunks"] == got[1]["n_chunks"]
     assert got[2]["dup_micro"] == 1000000
     assert got[3]["n_dup_chunks"] == 0 and got[3]["dup_micro"] == 0
+
+
+def test_exact_substring_spans_planted_overlap(spark, tmp_path):
+    """ExactSubstr semantics: a 12-token phrase shared verbatim by two
+    docs marks exactly those 12 tokens in each (5 overlapping 8-gram
+    spans merge into one island); a phrase repeated WITHIN one doc is
+    caught the same way; a fully unique doc reports zeros."""
+    from etl_his_spark.registry import ordered_queries
+
+    q = ordered_queries()["dedup_exact_substring_spans"]
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(20)) + " " + shared, "en"),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(20)), "en"),
+            (3, " ".join(f"u{i}" for i in range(30)), "en"),
+            (
+                4,
+                rep
+                + " "
+                + " ".join(f"m{i}" for i in range(10))
+                + " "
+                + rep,
+                "en",
+            ),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = tmp_path / "exsub"
+    docs.write.parquet(str(out / "documents.parquet"))
+    got = {r["doc_id"]: r for r in q(spark, str(out)).collect()}
+
+    assert got[1]["n_dup_spans"] == 1 and got[1]["n_dup_tokens"] == 12
+    assert got[2]["n_dup_spans"] == 1 and got[2]["n_dup_tokens"] == 12
+    assert got[3]["n_dup_spans"] == 0 and got[3]["dup_cov_micro"] == 0
+    # within-doc repeat: two disjoint 8-token islands
+    assert got[4]["n_dup_spans"] == 2 and got[4]["n_dup_tokens"] == 16
+    # coverage ratio is exact integer micro-units
+    assert got[1]["dup_cov_micro"] == 12 * 1000000 // got[1]["n_tokens"]
