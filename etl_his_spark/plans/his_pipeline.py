@@ -153,15 +153,24 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Full E/T/(L): returns the 4 outputs; optionally publishes them
     atomically (stage-then-publish) under ``output_root``."""
-    wide_ids = _with_row_ids(extract_wide(tables))
-    # One pass feeds all four outputs; materialize the extraction rather
-    # than recompute the 22-table join per derivation. Lazy
-    # localCheckpoint, not persist(): blocks die with the frame instead
-    # of leaking a CacheManager entry per call (packing.running_total
-    # has the full rationale, including the fault tradeoff). Lazy, not
-    # eager: the first consuming action (the dense_ids counts collect
-    # inside the bridge build, or the first output write) populates
-    # the same blocks eager would have — without a dedicated pass.
+    # Pin the 22-table extraction BEFORE minting ids: dense_ids'
+    # repartitionByRange computes its range bounds with a sampling job
+    # over its child, so an un-pinned extraction executes TWICE before
+    # the first output write (once for the sampler, once for the
+    # counts collect). With the lazy checkpoint here, the sampling job
+    # is the pass that materializes the blocks and every later job —
+    # counts, outputs — reads them. Measured at sf0.1: full publish
+    # ~23-25s -> ~19-21s (r9 A/B, SCALE.md "his_pipeline_publish").
+    wide = extract_wide(tables).localCheckpoint(eager=False)
+    wide_ids = _with_row_ids(wide)
+    # One pass feeds all four outputs; materialize the id-assigned
+    # extraction rather than recompute the offset map per derivation.
+    # Lazy localCheckpoint, not persist(): blocks die with the frame
+    # instead of leaking a CacheManager entry per call
+    # (packing.running_total has the full rationale, including the
+    # fault tradeoff). Lazy, not eager: the first consuming action
+    # populates the same blocks eager would have — without a
+    # dedicated pass.
     wide_ids = wide_ids.localCheckpoint(eager=False)
     slot_rows = unpivot_wide_slots(wide_ids)
     paciente = build_paciente(wide_ids)
