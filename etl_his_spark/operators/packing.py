@@ -66,6 +66,12 @@ def running_total(
     # here: correctness REQUIRES pinned partition ids (a silent
     # recompute that repartitioned differently would corrupt offsets),
     # so fail-and-rerun is safer than recompute. See SCALE.md.
+    # Pin the INPUT too — repartitionByRange's bounds come from a
+    # sampling job over the child, so an un-pinned input executes
+    # twice (sampler + shuffle map); the lazy checkpoint makes the
+    # sampling job the materializing pass. See surrogate.dense_ids
+    # for the r9 flagship measurement that found this.
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(buckets, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

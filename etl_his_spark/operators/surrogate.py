@@ -61,6 +61,17 @@ def dense_ids(
     # would leak a cached copy of the input per call in long-lived
     # sessions (see packing.running_total for the full rationale,
     # including the stated non-replicated-blocks fault tradeoff).
+    # Pin the INPUT too: repartitionByRange computes its range bounds
+    # with a sampling job over the child at first-RDD-access time, so
+    # an un-pinned input executes TWICE before the counts collect —
+    # once for the sampler, once for the shuffle map. With the lazy
+    # checkpoint the sampling job is the pass that materializes the
+    # input blocks and the shuffle reads them. Found on the r9
+    # flagship profile: the 22-table extraction under this operator
+    # ran twice, +~5s of a 23s pipeline (SCALE.md
+    # "his_pipeline_publish"). Same lazy-not-persist rationale as
+    # ``ranged`` below.
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(buckets, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

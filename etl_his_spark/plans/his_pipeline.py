@@ -153,16 +153,12 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Full E/T/(L): returns the 4 outputs; optionally publishes them
     atomically (stage-then-publish) under ``output_root``."""
-    # Pin the 22-table extraction BEFORE minting ids: dense_ids'
-    # repartitionByRange computes its range bounds with a sampling job
-    # over its child, so an un-pinned extraction executes TWICE before
-    # the first output write (once for the sampler, once for the
-    # counts collect). With the lazy checkpoint here, the sampling job
-    # is the pass that materializes the blocks and every later job —
-    # counts, outputs — reads them. Measured at sf0.1: full publish
-    # ~23-25s -> ~19-21s (r9 A/B, SCALE.md "his_pipeline_publish").
-    wide = extract_wide(tables).localCheckpoint(eager=False)
-    wide_ids = _with_row_ids(wide)
+    # The 22-table extraction is pinned INSIDE dense_ids (the operator
+    # lazily checkpoints its input before repartitionByRange, whose
+    # range-bounds sampling job would otherwise execute the extraction
+    # twice — found on this pipeline's r9 profile, measured ~23-25s ->
+    # ~19-21s at sf0.1; SCALE.md "his_pipeline_publish").
+    wide_ids = _with_row_ids(extract_wide(tables))
     # One pass feeds all four outputs; materialize the id-assigned
     # extraction rather than recompute the offset map per derivation.
     # Lazy localCheckpoint, not persist(): blocks die with the frame
