@@ -179,3 +179,90 @@ def bloom_prefilter(
         )
         cond = probe if cond is None else cond & probe
     return big.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (from scratch, cross-engine-exact registers)
+#
+# approx_count_distinct exposes Spark's built-in HLL++ but its register
+# state is engine-private; this implementation keeps the SKETCH itself
+# in the repo's cross-engine integer algebra (60-bit md5: top p bits =
+# bucket, the remaining 51 bits' leading-zero rank = rho via
+# length(bin(w)) — both functions exist verbatim in DuckDB), so
+# register tables hash-match an oracle exactly and sketches built by
+# different engines merge losslessly. Flajolet et al. 2007; the
+# HLL++ bias table (Heule et al. 2013) is deliberately omitted — the
+# small-range regime uses classic linear counting instead, keeping
+# every constant a literal.
+
+HLL_P = 9                      # 2^9 = 512 registers
+HLL_W = 2_251_799_813_685_248  # 2^51: weight-suffix modulus for p=9
+
+
+def hll_registers(
+    keyed: DataFrame, key_col: str, p: int = HLL_P
+) -> DataFrame:
+    """(bucket, register) rows — the HLL sketch of ``key_col``.
+
+    bucket = h div 2^(60-p); rho = leading-zero rank of the remaining
+    (60-p)-bit suffix (52 - bit_length for p=9, the all-zero suffix
+    mapping to the max rank); register = max rho per bucket. One
+    map-side-combined groupBy on ≤ 2^p groups — corpus-linear hashing,
+    sketch-sized (≤ 2^p rows) output, absent buckets implicitly 0.
+    """
+    wmod = 1 << (60 - p)
+    maxrho = 60 - p + 1
+    h = seeded_hash60(F.col(key_col))
+    w = h % F.lit(wmod)
+    rho = (
+        F.when(w == 0, F.lit(maxrho))
+        .otherwise(F.lit(maxrho) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        keyed.select(
+            F.expr(
+                f"CAST(conv(substring(md5({key_col}),1,15),16,10)"
+                f" AS BIGINT) div {wmod}"
+            ).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Register-wise max — HLL is a monoid under max, so per-shard
+    sketches combine losslessly (the property that makes the sketch
+    the 100 TB distinct-count shape: 512 ints per shard, merged at
+    read time)."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> float:
+    """Cardinality estimate from a register table.
+
+    Driver-side on ≤ 2^p collected rows (bounded regardless of input
+    size — the sketch IS the bounded summary). Classic HLL with the
+    two standard regime corrections: linear counting below 2.5m when
+    empty buckets exist, and the 2^60-range correction above (never
+    reached at 60 hash bits in practice).
+    """
+    import math
+
+    m = 1 << p
+    regs = dict.fromkeys(range(m), 0)
+    for row in registers.collect():
+        regs[row["bucket"]] = row["register"]
+    s = sum(2.0 ** -r for r in regs.values())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / s
+    zeros = sum(1 for r in regs.values() if r == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est

@@ -299,3 +299,72 @@ def test_exact_substring_spans_planted_overlap(spark, tmp_path):
     assert got[4]["n_dup_spans"] == 2 and got[4]["n_dup_tokens"] == 16
     # coverage ratio is exact integer micro-units
     assert got[1]["dup_cov_micro"] == 12 * 1000000 // got[1]["n_tokens"]
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Register table equals a brute-force Python HLL over the same
+    md5 algebra — bucket split, leading-zero rank, per-bucket max."""
+    import hashlib
+
+    from etl_his_spark.operators.sketches import hll_registers
+
+    keys = [f"key{i}" for i in range(500)]
+    ref: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        bucket, w = divmod(h, 1 << 51)
+        rho = 52 if w == 0 else 52 - w.bit_length()
+        ref[bucket] = max(ref.get(bucket, 0), rho)
+    got = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(
+            spark.createDataFrame([(k,) for k in keys], "k string"), "k"
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from etl_his_spark.operators.sketches import hll_merge, hll_registers
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(200, 400)] + [(f"b{i}",) for i in range(100)],
+        "k string",
+    )
+    merged = {
+        (r["bucket"], r["register"])
+        for r in hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect()
+    }
+    union = {
+        (r["bucket"], r["register"])
+        for r in hll_registers(a.unionByName(b), "k").collect()
+    }
+    assert merged == union
+
+
+def test_hll_estimate_accuracy(spark):
+    """1.04/sqrt(512) ~ 4.6% standard error; assert within 3 sigma
+    (14%) at three cardinalities spanning the linear-counting and
+    harmonic regimes, and exact-ish duplicates-invariance."""
+    from etl_his_spark.operators.sketches import hll_estimate, hll_registers
+
+    for n in (100, 1000, 20000):
+        df = spark.createDataFrame(
+            [(f"u{i}",) for i in range(n)], "k string"
+        )
+        est = hll_estimate(hll_registers(df, "k"))
+        assert abs(est - n) / n < 0.14, (n, est)
+    # duplicates do not move the sketch
+    dup = spark.createDataFrame(
+        [(f"u{i % 50}",) for i in range(5000)], "k string"
+    )
+    uniq = spark.createDataFrame([(f"u{i}",) for i in range(50)], "k string")
+    from etl_his_spark.operators.sketches import hll_registers as hr
+
+    assert (
+        {(r["bucket"], r["register"]) for r in hr(dup, "k").collect()}
+        == {(r["bucket"], r["register"]) for r in hr(uniq, "k").collect()}
+    )
