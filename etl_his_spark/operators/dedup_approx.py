@@ -890,3 +890,153 @@ def hamming_pairs_blocked(
         .select("a_id", "b_id", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted Jaccard (exact) + weighted MinHash (estimator)
+#
+# Plain Jaccard treats a ubiquitous boilerplate shingle and a rare
+# content shingle as equal evidence; weighted Jaccard
+# J_w(A,B) = sum_shared w(s) / sum_union w(s) downweights boilerplate
+# so near-dup decisions track CONTENT overlap. Weights here are a
+# global integer function of the shingle (IDF buckets), which makes
+# the weighted-minhash replication scheme exact: each shingle expands
+# to w(s) distinct variants, and plain Jaccard over variant sets
+# EQUALS weighted Jaccard over the originals (per-doc weights are
+# w(s)·[s in doc], so min/max collapse to membership).
+
+IDF_WEIGHT_BUCKETS = (
+    (1, 4),   # df == 1: unique content, full weight
+    (3, 3),   # df <= 3: rare
+    (10, 2),  # df <= 10: uncommon
+)                 # else: weight 1 (boilerplate)
+
+
+def shingle_idf_weights(sh: DataFrame) -> DataFrame:
+    """(shingle, w) — integer IDF-bucket weight per distinct shingle.
+
+    Input: the distinct (doc, shingle) table from ``shingle_rows``.
+    One vocab-bounded groupBy; the CASE thresholds are literals so the
+    weight function is bit-identical in any engine.
+    """
+    df_col = F.count(F.lit(1)).alias("df")
+    w = F.when(F.col("df") <= IDF_WEIGHT_BUCKETS[0][0], IDF_WEIGHT_BUCKETS[0][1])
+    for lim, wt in IDF_WEIGHT_BUCKETS[1:]:
+        w = w.when(F.col("df") <= lim, wt)
+    w = w.otherwise(1)
+    return (
+        sh.groupBy("shingle")
+        .agg(df_col)
+        .select("shingle", w.cast("int").alias("w"))
+    )
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    threshold_micro: int = 300_000,
+    df_cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact IDF-weighted Jaccard pairs >= threshold (micro-units).
+
+    Same inverted-index shape as the exact-Jaccard baseline: pairs
+    meet on shared shingles (df-capped — shingles on more than
+    ``df_cap`` docs are boilerplate by definition here, carry minimal
+    weight, and their posting-list squares would own the stage), the
+    shared-weight sum comes from the pair groupBy, and per-doc total
+    weights join on from a doc-keyed agg.
+    J_w = sum_shared / (W_a + W_b - sum_shared), emitted as exact
+    integer micro-units. Weighted sums are BIGINTs of small-int
+    weights — no floats anywhere.
+    """
+    sh = shingle_rows(docs, id_col, text_col).localCheckpoint(eager=False)
+    weights = shingle_idf_weights(sh).localCheckpoint(eager=False)
+    shw = sh.join(weights, "shingle")
+    totals = shw.groupBy(id_col).agg(
+        F.sum("w").cast("long").alias("w_total")
+    )
+    # posting lists: keep shingles under the df cap (the weight-1
+    # boilerplate tail above the cap cannot push a true pair below
+    # threshold by much, and this operator's contract EXCLUDES it —
+    # documented, tested, and mirrored in the oracle)
+    posting = shw.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle"),
+        "shingle",
+    )
+    a = posting.select(
+        F.col(id_col).alias("a_id"), "shingle", F.col("w").alias("w_s")
+    )
+    b = posting.select(F.col(id_col).alias("b_id"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum("w_s").cast("long").alias("shared_w"))
+    )
+    ta = totals.select(
+        F.col(id_col).alias("a_id"), F.col("w_total").alias("wa")
+    )
+    tb = totals.select(
+        F.col(id_col).alias("b_id"), F.col("w_total").alias("wb")
+    )
+    return (
+        shared.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn(
+            "wjacc_micro",
+            F.expr(
+                "CAST(shared_w * 1000000"
+                " div (wa + wb - shared_w) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("wjacc_micro") >= threshold_micro)
+        .select("a_id", "b_id", "shared_w", "wjacc_micro")
+    )
+
+
+def weighted_minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Weighted MinHash via integer-weight replication.
+
+    Each (doc, shingle) expands to w(s) variants hashed as
+    md5(shingle:rep); the usual 16 affine min-aggregates over variant
+    hashes estimate WEIGHTED Jaccard (exact expectation, because the
+    weight is a global shingle function — see section comment).
+    Expansion factor is bounded by max bucket weight (4), so the
+    shuffle stays corpus-linear. Same wide mh0..mh15 layout as
+    ``minhash_signatures`` — the banded-LSH machinery applies
+    unchanged downstream.
+    """
+    sh = shingle_rows(docs, id_col, text_col)
+    weights = shingle_idf_weights(sh)
+    variants = (
+        sh.join(weights, "shingle")
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("w") - 1),
+                    lambda r: seeded_hash60(
+                        F.concat_ws(
+                            ":", F.col("shingle").cast("string"),
+                            r.cast("string"),
+                        )
+                    )
+                    % MINHASH_FOLD,
+                )
+            ).alias("h30"),
+        )
+    )
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h30") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return variants.groupBy(id_col).agg(*aggs)
