@@ -200,15 +200,25 @@ HLL_W = 2_251_799_813_685_248  # 2^51: weight-suffix modulus for p=9
 
 
 def hll_registers(
-    keyed: DataFrame, key_col: str, p: int = HLL_P
+    keyed: DataFrame,
+    key_col: str,
+    p: int = HLL_P,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(bucket, register) rows — the HLL sketch of ``key_col``.
+    """(*group_cols, bucket, register) rows — the HLL sketch of
+    ``key_col``, optionally one sketch per group.
 
     bucket = h div 2^(60-p); rho = leading-zero rank of the remaining
     (60-p)-bit suffix (52 - bit_length for p=9, the all-zero suffix
     mapping to the max rank); register = max rho per bucket. One
-    map-side-combined groupBy on ≤ 2^p groups — corpus-linear hashing,
-    sketch-sized (≤ 2^p rows) output, absent buckets implicitly 0.
+    map-side-combined groupBy on ≤ groups × 2^p rows — corpus-linear
+    hashing, sketch-sized output, absent buckets implicitly 0.
+
+    The aggregate is a pure MAX, so the same expression runs as a
+    Structured Streaming aggregation with BOUNDED state and no
+    watermark: registers are monotone, late or reordered data can
+    only fold in idempotently — the property that makes HLL the
+    streaming distinct-count shape.
     """
     wmod = 1 << (60 - p)
     maxrho = 60 - p + 1
@@ -219,15 +229,17 @@ def hll_registers(
         .otherwise(F.lit(maxrho) - F.length(F.bin(w)))
         .cast("int")
     )
+    gcols = list(group_cols or [])
     return (
         keyed.select(
+            *gcols,
             F.expr(
                 f"CAST(conv(substring(md5({key_col}),1,15),16,10)"
                 f" AS BIGINT) div {wmod}"
             ).alias("bucket"),
             rho.alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("register"))
     )
 
