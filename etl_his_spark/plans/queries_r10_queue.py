@@ -1,0 +1,215 @@
+"""Round-10 gate queue — fully written, deliberately UNREGISTERED.
+
+Round 9 hit the ten-additions-per-round cap, so these gates wait for
+r10 registration day. Everything a registration needs is already
+here and already verified: the Spark plan, the DuckDB oracle string,
+and a pytest (tests/test_r10_queue.py) that runs the SAME
+canonicalized comparison as tools/check_correctness.py over the
+queue. Registering in r10 is moving each (name, ORACLE, fn) into a
+``@register`` decorator — no new code.
+
+The queue (machinery built and test-pinned in r9):
+- ``corpus_exactsubstr_cut``   — operators/exact_substring.py
+- ``sketch_hll_user_registers`` — operators/sketches.hll_registers
+- ``dedup_weighted_jaccard``   — operators/dedup_approx.weighted_*
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup_approx import weighted_jaccard_pairs
+from ..operators.exact_substring import exact_substring_cut
+from ..operators.sketches import hll_registers
+from ..sources.readers import read_table
+
+CUT_ORACLE = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               unnest(w) AS token, generate_subscripts(w, 1) AS pos
+        FROM words WHERE len(w) >= 8
+    ),
+    shw AS (
+        SELECT doc_id, n_tokens, pos,
+               CAST('0x' || substr(md5(string_agg(token, ' ') OVER w8),
+                                   1, 15) AS BIGINT) AS fp,
+               count(*) OVER w8 AS wn
+        FROM toks
+        WINDOW w8 AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    ),
+    full8 AS (SELECT doc_id, n_tokens, pos, fp FROM shw WHERE wn = 8),
+    fpc AS (
+        SELECT fp FROM full8 GROUP BY 1 HAVING count(*) >= 2
+    ),
+    spans AS (
+        SELECT f.doc_id, f.pos AS span_start, f.pos + 7 AS span_end
+        FROM full8 f JOIN fpc USING (fp)
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR span_start > max(span_end) OVER (
+                        PARTITION BY doc_id ORDER BY span_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    islands AS (
+        SELECT *, sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY span_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, island, min(span_start) AS m_start,
+               max(span_end) AS m_end
+        FROM islands GROUP BY 1, 2
+    ),
+    covered AS (
+        SELECT doc_id, unnest(generate_series(m_start, m_end)) AS pos
+        FROM merged
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.token
+        FROM toks t ANTI JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+    ),
+    cleaned AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(token, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1
+    ),
+    sized AS (
+        SELECT doc_id, max(n_tokens) AS n_tokens FROM full8 GROUP BY 1
+    ),
+    long_docs AS (
+        SELECT s.doc_id, s.n_tokens,
+               CAST(s.n_tokens - COALESCE(c.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(c.clean_text, '') AS clean_text
+        FROM sized s LEFT JOIN cleaned c USING (doc_id)
+    ),
+    short_docs AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(0 AS BIGINT) AS n_removed,
+               array_to_string(w, ' ') AS clean_text
+        FROM words WHERE len(w) < 8
+    )
+    SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs
+"""
+
+
+def corpus_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr CUT over the documents table — the removal half of
+    the registered ``dedup_exact_substring_spans`` detection gate
+    (operators/exact_substring.py has the full plan argument)."""
+    return exact_substring_cut(
+        read_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+HLL_ORACLE = """
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM events
+    )
+    SELECT event_type,
+           CAST(h60 // 2251799813685248 AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN h60 % 2251799813685248 = 0 THEN 52
+                    ELSE 52 - length(bin(h60 % 2251799813685248))
+                    END) AS INT) AS register
+    FROM h GROUP BY 1, 2
+"""
+
+
+def sketch_hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL registers of distinct users — the
+    cross-engine-exact sketch (operators/sketches.hll_registers);
+    the streaming twin is bit-identical (tests/test_streaming_hll.py)."""
+    return hll_registers(
+        read_table(spark, sf_dir, "events").withColumn(
+            "uid", F.col("user_id").cast("string")
+        ),
+        "uid",
+        group_cols=["event_type"],
+    ).select("event_type", "bucket", "register")
+
+
+WEIGHTED_JACCARD_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    shs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+        FROM words WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT)
+                   AS shingle
+        FROM shs
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    wts AS (
+        SELECT shingle, df,
+               CASE WHEN df <= 1 THEN 4 WHEN df <= 3 THEN 3
+                    WHEN df <= 10 THEN 2 ELSE 1 END AS w
+        FROM dfreq
+    ),
+    totals AS (
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS wt
+        FROM sh JOIN wts USING (shingle) GROUP BY 1
+    ),
+    posting AS (
+        SELECT doc_id, sh.shingle, w
+        FROM sh JOIN wts USING (shingle) WHERE df <= 64
+    ),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(sum(a.w) AS BIGINT) AS shared_w
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, shared_w,
+           CAST(shared_w * 1000000
+                // (ta.wt + tb.wt - shared_w) AS BIGINT) AS wjacc_micro
+    FROM shared
+    JOIN totals ta ON a_id = ta.doc_id
+    JOIN totals tb ON b_id = tb.doc_id
+    WHERE CAST(shared_w * 1000000
+               // (ta.wt + tb.wt - shared_w) AS BIGINT) >= 300000
+"""
+
+
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact IDF-weighted Jaccard pairs ≥ 0.3 (micro-units) — the
+    boilerplate-downweighting near-dup scorer
+    (operators/dedup_approx.weighted_jaccard_pairs)."""
+    return weighted_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold_micro=300_000
+    )
+
+
+# name -> (query fn, oracle SQL): r10 registration day moves each
+# entry into a @register decorator verbatim.
+R10_QUEUE = {
+    "corpus_exactsubstr_cut": (corpus_exactsubstr_cut, CUT_ORACLE),
+    "sketch_hll_user_registers": (sketch_hll_user_registers, HLL_ORACLE),
+    "dedup_weighted_jaccard": (dedup_weighted_jaccard, WEIGHTED_JACCARD_ORACLE),
+}
