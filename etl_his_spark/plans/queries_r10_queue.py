@@ -8,10 +8,13 @@ canonicalized comparison as tools/check_correctness.py over the
 queue. Registering in r10 is moving each (name, ORACLE, fn) into a
 ``@register`` decorator — no new code.
 
-The queue (machinery built and test-pinned in r9):
-- ``corpus_exactsubstr_cut``   — operators/exact_substring.py
-- ``sketch_hll_user_registers`` — operators/sketches.hll_registers
-- ``dedup_weighted_jaccard``   — operators/dedup_approx.weighted_*
+The queue (machinery built and test-pinned in r9; every entry
+verified tri-scale at sf0.001/0.01/0.1 on the day it was written):
+- ``corpus_exactsubstr_cut``      — operators/exact_substring.py
+- ``sketch_hll_user_registers``   — operators/sketches.hll_registers
+- ``dedup_weighted_jaccard``      — operators/dedup_approx.weighted_*
+- ``dedup_weighted_minhash_sig``  — the estimator twin (same oracle algebra)
+- ``streaming_hll_users_agree``   — 8th live streaming lane, exact SQL oracle
 """
 
 from __future__ import annotations
@@ -213,3 +216,109 @@ R10_QUEUE = {
     "sketch_hll_user_registers": (sketch_hll_user_registers, HLL_ORACLE),
     "dedup_weighted_jaccard": (dedup_weighted_jaccard, WEIGHTED_JACCARD_ORACLE),
 }
+
+
+from ..operators.dedup_approx import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_FOLD,
+    MINHASH_P,
+    N_MINHASH,
+    weighted_minhash_signatures,
+)
+
+_WMH_MIN_COLS = ",\n               ".join(
+    f"min(({MINHASH_A[i]} * h30 + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+    for i in range(N_MINHASH)
+)
+
+WEIGHTED_MINHASH_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    shs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+        FROM words WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT)
+                   AS shingle
+        FROM shs
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    wts AS (
+        SELECT shingle,
+               CASE WHEN df <= 1 THEN 4 WHEN df <= 3 THEN 3
+                    WHEN df <= 10 THEN 2 ELSE 1 END AS w
+        FROM dfreq
+    ),
+    variants AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(shingle AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+                   % {MINHASH_FOLD} AS h30
+        FROM sh JOIN wts USING (shingle),
+             (SELECT unnest([0, 1, 2, 3]) AS r)
+        WHERE r < w
+    )
+    SELECT doc_id,
+               {_WMH_MIN_COLS}
+    FROM variants GROUP BY doc_id
+"""
+
+
+def dedup_weighted_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted MinHash signatures over documents — the estimator
+    twin of ``dedup_weighted_jaccard``
+    (operators/dedup_approx.weighted_minhash_signatures; exactly
+    unbiased because weights are a global shingle function)."""
+    return weighted_minhash_signatures(
+        read_table(spark, sf_dir, "documents")
+    )
+
+
+def streaming_hll_users_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type HLL registers from a REAL Structured Streaming
+    aggregation (complete-mode availableNow replay): the register max
+    is monotone, so state is bounded and no watermark is needed, and
+    the streamed registers are BIT-IDENTICAL to batch — which is why
+    this streaming lane can carry the same exact DuckDB oracle as the
+    batch gate (``HLL_ORACLE``). Would be the eighth live streaming
+    lane under the gate."""
+    from .queries_streaming import (
+        _events_replay_dir,
+        _fresh_sink,
+        _stream_run_conf,
+    )
+    from ..streaming.events import stream_events
+
+    replay = _events_replay_dir(spark, sf_dir)
+    name = _fresh_sink(spark, "stream_hll_gate")
+    with _stream_run_conf(spark):
+        q = (
+            hll_registers(
+                stream_events(spark, replay).withColumn(
+                    "uid", F.col("user_id").cast("string")
+                ),
+                "uid",
+                group_cols=["event_type"],
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("event_type", "bucket", "register")
+
+
+R10_QUEUE["dedup_weighted_minhash_sig"] = (
+    dedup_weighted_minhash_sig, WEIGHTED_MINHASH_ORACLE
+)
+R10_QUEUE["streaming_hll_users_agree"] = (
+    streaming_hll_users_agree, HLL_ORACLE
+)
