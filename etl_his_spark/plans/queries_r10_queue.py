@@ -322,3 +322,190 @@ R10_QUEUE["dedup_weighted_minhash_sig"] = (
 R10_QUEUE["streaming_hll_users_agree"] = (
     streaming_hll_users_agree, HLL_ORACLE
 )
+
+
+HLL_ROLLUP_ORACLE = """
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM events
+    )
+    SELECT CAST(h60 // 2251799813685248 AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN h60 % 2251799813685248 = 0 THEN 52
+                    ELSE 52 - length(bin(h60 % 2251799813685248))
+                    END) AS INT) AS register
+    FROM h GROUP BY 1
+"""
+
+
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup — the continuous-aggregate pattern at 100 TB:
+    build one HLL PER DAY (the partial a daily job would persist
+    beside its partition), then merge the daily sketches by register
+    max at read time. The gate emits the MERGED registers and the
+    oracle computes the whole-range sketch directly — hash equality
+    proves merge-at-read-time ≡ recompute-over-everything, which is
+    the contract that lets a 100 TB deployment answer "distinct users
+    this quarter" from 90 × 512 ints instead of a quarter of raw
+    events. (HLL is a max-monoid; same idiom as ``merge_cms``.)"""
+    from ..operators.sketches import hll_merge
+
+    daily = hll_registers(
+        read_table(spark, sf_dir, "events")
+        .withColumn("uid", F.col("user_id").cast("string"))
+        .withColumn("day", F.to_date("ts")),
+        "uid",
+        group_cols=["day"],
+    )
+    return hll_merge(daily.select("bucket", "register")).select(
+        "bucket", "register"
+    )
+
+
+# band-union SQL generated locally (importing queries_dedup's private
+# fragment here flips the registry's canonical plan-module load order
+# and trips its queries_retrieval <- queries_dedup import)
+_WMH_BAND_UNION = "\n        UNION ALL\n        ".join(
+    "SELECT doc_id, {b} AS band, md5({concat}) AS band_sig FROM wsig".format(
+        b=b,
+        concat=" || ',' || ".join(
+            f"mh{b * 4 + j}::VARCHAR" for j in range(4)
+        ),
+    )
+    for b in range(N_MINHASH // 4)
+)
+
+WEIGHTED_LSH_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    shs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle_s
+        FROM words WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(shingle_s), 1, 15) AS BIGINT)
+                   AS shingle
+        FROM shs
+    ),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    wts AS (
+        SELECT shingle,
+               CASE WHEN df <= 1 THEN 4 WHEN df <= 3 THEN 3
+                    WHEN df <= 10 THEN 2 ELSE 1 END AS w
+        FROM dfreq
+    ),
+    variants AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(shingle AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+                   % {MINHASH_FOLD} AS h30
+        FROM sh JOIN wts USING (shingle),
+             (SELECT unnest([0, 1, 2, 3]) AS r)
+        WHERE r < w
+    ),
+    wsig AS (
+        SELECT doc_id,
+               {_WMH_MIN_COLS}
+        FROM variants GROUP BY doc_id
+    ),
+    bands AS (
+        {_WMH_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(({" + ".join(
+               f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+               for i in range(N_MINHASH)
+           )}) * 1000000 // {N_MINHASH} AS BIGINT) AS est_micro
+    FROM cand c
+    JOIN wsig sa ON sa.doc_id = c.a_id
+    JOIN wsig sb ON sb.doc_id = c.b_id
+"""
+
+
+def dedup_weighted_lsh_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded LSH over the WEIGHTED signatures: same-bucket candidate
+    pairs + integer-micro estimated weighted Jaccard (matching
+    components / 16). The weighted twin of ``dedup_minhash_lsh`` —
+    bucketed, never all-pairs; completes the boilerplate-robust dedup
+    lane's scale path."""
+    sigs = weighted_minhash_signatures(
+        read_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    sig_arr = sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
+    )
+    bands = sig_arr.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * 4 + j + 1).cast(
+                                    "string"
+                                )
+                                for j in range(4)
+                            ],
+                        )
+                    ).alias("band_sig"),
+                )
+                for b in range(N_MINHASH // 4)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "sig", F.col("bs.band").alias("band"),
+             F.col("bs.band_sig").alias("band_sig"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"),
+        "band", "band_sig",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"),
+        "band", "band_sig",
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("n_match"),
+        )
+        .distinct()
+        .select(
+            "a_id", "b_id",
+            F.expr(
+                f"CAST(n_match * 1000000 div {N_MINHASH} AS BIGINT)"
+            ).alias("est_micro"),
+        )
+    )
+
+
+R10_QUEUE["events_hll_daily_rollup"] = (
+    events_hll_daily_rollup, HLL_ROLLUP_ORACLE
+)
+R10_QUEUE["dedup_weighted_lsh_candidates"] = (
+    dedup_weighted_lsh_candidates, WEIGHTED_LSH_ORACLE
+)
