@@ -368,3 +368,86 @@ def test_hll_estimate_accuracy(spark):
         {(r["bucket"], r["register"]) for r in hr(dup, "k").collect()}
         == {(r["bucket"], r["register"]) for r in hr(uniq, "k").collect()}
     )
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis) for the r9 text operators
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PSETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=999),
+        min_size=40, max_size=120, unique=True,
+    ),
+    ins_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@_PSETTINGS
+def test_cdc_insertion_locality_property(spark, tmp_path_factory, ids, ins_frac):
+    """The CDC property, driven through the REAL gate query: inserting
+    ONE word re-chunks only its neighborhood, so a doc and its edited
+    twin share all but <= 3 chunks (the chunk containing the edit may
+    split; its neighbors are boundary-local and survive). Distinct
+    words keep within-doc chunk repeats out of the accounting."""
+    from etl_his_spark.registry import ordered_queries
+
+    corpus_chunk_dedup = ordered_queries()["corpus_chunk_dedup"]
+
+    words = [f"w{i}" for i in ids]
+    p = int(ins_frac * len(words))
+    edited = words[:p] + ["zINSERTED"] + words[p:]
+    out = tmp_path_factory.mktemp("cdcprop")
+    spark.createDataFrame(
+        [(1, " ".join(words), "en"), (2, " ".join(edited), "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in corpus_chunk_dedup(spark, str(out)).collect()
+    }
+    # all but <=3 of the original doc's chunks also appear in the twin
+    assert got[1]["n_chunks"] - got[1]["n_dup_chunks"] <= 3
+    assert got[2]["n_chunks"] - got[2]["n_dup_chunks"] <= 3
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=30),
+                 min_size=8, max_size=60),
+        min_size=2, max_size=5,
+    ),
+)
+@_PSETTINGS
+def test_exactsubstr_cut_conservation_property(spark, docs):
+    """Token conservation under ANY duplication pattern (the tiny
+    shared vocabulary forces heavy 8-gram collisions): for every doc,
+    n_tokens - n_removed == len(clean_text tokens), clean_text tokens
+    are a subsequence of the original, and a doc never gains text."""
+    from etl_his_spark.operators.exact_substring import exact_substring_cut
+
+    rows = [(i, " ".join(f"v{t}" for t in toks)) for i, toks in enumerate(docs)]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_cut(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=8
+        ).collect()
+    }
+    assert set(out) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        orig = [f"v{t}" for t in toks]
+        r = out[i]
+        kept = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert r["n_tokens"] == len(orig)
+        assert r["n_tokens"] - r["n_removed"] == len(kept)
+        # kept tokens are a subsequence of the original
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept)
