@@ -15,6 +15,9 @@ verified tri-scale at sf0.001/0.01/0.1 on the day it was written):
 - ``dedup_weighted_jaccard``      — operators/dedup_approx.weighted_*
 - ``dedup_weighted_minhash_sig``  — the estimator twin (same oracle algebra)
 - ``streaming_hll_users_agree``   — 8th live streaming lane, exact SQL oracle
+- ``events_hll_daily_rollup``     — merge-at-read-time ≡ recompute (monoid)
+- ``dedup_weighted_lsh_candidates`` — banded weighted-LSH scale path
+- ``quality_trigram_backoff``     — held-out stupid-backoff LM scoring
 """
 
 from __future__ import annotations
@@ -508,4 +511,228 @@ R10_QUEUE["events_hll_daily_rollup"] = (
 )
 R10_QUEUE["dedup_weighted_lsh_candidates"] = (
     dedup_weighted_lsh_candidates, WEIGHTED_LSH_ORACLE
+)
+
+
+TRIGRAM_BACKOFF_ORACLE = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    train AS (SELECT * FROM words WHERE doc_id % 2 = 0),
+    score_docs AS (SELECT * FROM words WHERE doc_id % 2 = 1 AND len(w) >= 3),
+    tr_toks AS (
+        SELECT unnest(w) AS token FROM train
+    ),
+    c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tr_toks GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr_toks),
+    c2 AS (
+        SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h2,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(range(2, len(w) + 1),
+                  i -> w[i-1] || ' ' || w[i])) AS g FROM train)
+        GROUP BY 1
+    ),
+    c3 AS (
+        SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h3,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(range(3, len(w) + 1),
+                  i -> w[i-2] || ' ' || w[i-1] || ' ' || w[i])) AS g
+              FROM train)
+        GROUP BY 1
+    ),
+    inst AS (
+        SELECT doc_id,
+               u.g.w2 AS w2, u.g.w3 AS w3,
+               CAST('0x' || substr(md5(u.g.t3), 1, 15) AS BIGINT) AS h3,
+               CAST('0x' || substr(md5(u.g.p2), 1, 15) AS BIGINT) AS h2p,
+               CAST('0x' || substr(md5(u.g.s2), 1, 15) AS BIGINT) AS h2s
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(3, len(w) + 1), i -> {
+                     'w2': w[i-1], 'w3': w[i],
+                     't3': w[i-2] || ' ' || w[i-1] || ' ' || w[i],
+                     'p2': w[i-2] || ' ' || w[i-1],
+                     's2': w[i-1] || ' ' || w[i]
+                 })) AS g
+          FROM score_docs
+        ) u
+    ),
+    scored AS (
+        SELECT i.doc_id,
+               CASE
+                 WHEN t3.c IS NOT NULL
+                   THEN t3.c * 1000000 // p2.c
+                 WHEN s2.c IS NOT NULL
+                   THEN 2 * s2.c * 1000000 // (5 * u2.c)
+                 WHEN u3.c IS NOT NULL
+                   THEN 4 * u3.c * 1000000 // (25 * nn.n)
+                 ELSE 0
+               END AS s_micro
+        FROM inst i
+        LEFT JOIN c3 t3 ON t3.h3 = i.h3
+        LEFT JOIN c2 p2 ON p2.h2 = i.h2p
+        LEFT JOIN c2 s2 ON s2.h2 = i.h2s
+        LEFT JOIN c1 u2 ON u2.token = i.w2
+        LEFT JOIN c1 u3 ON u3.token = i.w3
+        CROSS JOIN nn
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(s_micro) AS BIGINT) AS score_micro,
+           CAST(CAST(sum(s_micro) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_micro
+    FROM scored GROUP BY 1
+"""
+
+
+def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM quality score (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — THE distributed
+    LM smoothing: no normalization, no discount estimation, each
+    level a count ratio with a fixed 0.4 backoff factor, which is
+    what makes it computable as pure count joins at any corpus size).
+
+    HELD-OUT contract, not self-scoring: counts come from even
+    doc_ids, scores apply to odd doc_ids — on the training half every
+    trigram trivially exists (c3 >= 1 for its own occurrence), so the
+    backoff chain only means something against held-out text. Score
+    per trigram position, in exact integer micro-units (0.4 = 2/5 and
+    0.16 = 4/25 as integer multiply-then-div, identical floors both
+    engines):
+
+      S(w3|w1w2) = c3/c2(w1w2)            if the trigram was seen
+                 = 0.4 * c2(w2w3)/c1(w2)  else if the suffix bigram was
+                 = 0.16 * c1(w3)/N        else if w3 was seen
+                 = 0                      else (OOV)
+
+    Plan: training counts are three map-side gram emissions (array
+    ``transform`` — no windows) into hash-keyed aggs (8-byte md5
+    join keys, the repo discipline); scoring is four LEFT hash joins
+    + one 1-row broadcast (N) over the held-out trigram instances —
+    all keyed, corpus-linear, no window functions anywhere."""
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.trim("text"), " "), lambda x: x != F.lit("")
+            ).alias("w"),
+        )
+        .withColumn("n", F.size("w"))
+    )
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    held = base.filter((F.col("doc_id") % 2 == 1) & (F.col("n") >= 3))
+
+    from ..operators.dedup_approx import seeded_hash60
+
+    tr_toks = train.select(F.explode("w").alias("token"))
+    c1 = tr_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nn = tr_toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+
+    def gram_counts(k: int, out: str):
+        g = train.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(k), F.col("n")),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at("w", (i - (k - 1 - j)).cast("int"))
+                            for j in range(k)
+                        ],
+                    ),
+                )
+            ).alias("g")
+        )
+        return g.select(seeded_hash60(F.col("g")).alias(out)).groupBy(
+            out
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    c2 = gram_counts(2, "h2")
+    c3 = gram_counts(3, "h3")
+
+    inst = held.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(3), F.col("n")),
+                lambda i: F.struct(
+                    F.element_at("w", (i - 1).cast("int")).alias("w2"),
+                    F.element_at("w", i.cast("int")).alias("w3"),
+                    seeded_hash60(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", (i - 2).cast("int")),
+                            F.element_at("w", (i - 1).cast("int")),
+                            F.element_at("w", i.cast("int")),
+                        )
+                    ).alias("h3"),
+                    seeded_hash60(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", (i - 2).cast("int")),
+                            F.element_at("w", (i - 1).cast("int")),
+                        )
+                    ).alias("h2p"),
+                    seeded_hash60(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", (i - 1).cast("int")),
+                            F.element_at("w", i.cast("int")),
+                        )
+                    ).alias("h2s"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w2", "g.w3", "g.h3", "g.h2p", "g.h2s")
+
+    scored = (
+        inst.join(c3.withColumnRenamed("c", "c_t3"), inst.h3 == c3.h3, "left")
+        .drop(c3.h3)
+        .join(
+            c2.select(F.col("h2").alias("h2p_k"), F.col("c").alias("c_p2")),
+            F.col("h2p") == F.col("h2p_k"), "left",
+        )
+        .join(
+            c2.select(F.col("h2").alias("h2s_k"), F.col("c").alias("c_s2")),
+            F.col("h2s") == F.col("h2s_k"), "left",
+        )
+        .join(
+            c1.select(F.col("token").alias("w2_k"), F.col("c").alias("c_u2")),
+            F.col("w2") == F.col("w2_k"), "left",
+        )
+        .join(
+            c1.select(F.col("token").alias("w3_k"), F.col("c").alias("c_u3")),
+            F.col("w3") == F.col("w3_k"), "left",
+        )
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "s_micro",
+            F.expr(
+                "CASE WHEN c_t3 IS NOT NULL"
+                "       THEN c_t3 * 1000000 div c_p2"
+                "     WHEN c_s2 IS NOT NULL"
+                "       THEN 2 * c_s2 * 1000000 div (5 * c_u2)"
+                "     WHEN c_u3 IS NOT NULL"
+                "       THEN 4 * c_u3 * 1000000 div (25 * n_total)"
+                "     ELSE 0 END"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("s_micro").cast("long").alias("score_micro"),
+        F.expr(
+            "CAST(CAST(sum(s_micro) AS BIGINT) div count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+
+
+R10_QUEUE["quality_trigram_backoff"] = (
+    quality_trigram_backoff, TRIGRAM_BACKOFF_ORACLE
 )
