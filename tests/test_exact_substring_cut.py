@@ -10,7 +10,6 @@ between the cut and the detection islands.
 
 from __future__ import annotations
 
-import pytest
 
 from etl_his_spark.operators.exact_substring import (
     duplicated_islands,
