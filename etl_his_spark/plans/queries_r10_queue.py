@@ -6,7 +6,14 @@ here and already verified: the Spark plan, the DuckDB oracle string,
 and a pytest (tests/test_r10_queue.py) that runs the SAME
 canonicalized comparison as tools/check_correctness.py over the
 queue. Registering in r10 is moving each (name, ORACLE, fn) into a
-``@register`` decorator — no new code.
+``@register`` decorator — no new code. Registration-day checklist
+(beyond the decorator): add each name to bench.py HEADLINE and the
+registry's _CHECK_FIRST queue, and add ``quality_trigram_backoff``
+to tools/audit_plans.py CROSS_JOIN_ALLOW — its 1-row N-scalar
+broadcast plans as a BroadcastNestedLoopJoin, the same documented
+pattern as quality_bigram_likelihood (the other seven queue plans
+were audited CLEAN; exponents in R10_QUEUE_SCALE.json, all
+sub-linear).
 
 The queue (machinery built and test-pinned in r9; every entry
 verified tri-scale at sf0.001/0.01/0.1 on the day it was written):
