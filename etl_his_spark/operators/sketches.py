@@ -44,13 +44,23 @@ def count_min_build(
     key_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(seed, bucket, cnt) counter cells over the stream of keys."""
+    """(*group_cols, seed, bucket, cnt) counter cells over the stream
+    of keys — one sketch per group when ``group_cols`` is given (the
+    per-partition partial a rollup persists; ``merge_cms`` sums them
+    back into any coarser range)."""
+    gcols = list(group_cols or [])
     return (
         stream.select(
-            F.explode(_seed_buckets(F.col(key_col), depth, width)).alias("sb")
+            *gcols,
+            F.explode(_seed_buckets(F.col(key_col), depth, width)).alias("sb"),
         )
-        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+        .groupBy(
+            *gcols,
+            F.col("sb.seed").alias("seed"),
+            F.col("sb.bucket").alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -25,6 +25,7 @@ verified tri-scale at sf0.001/0.01/0.1 on the day it was written):
 - ``events_hll_daily_rollup``     — merge-at-read-time ≡ recompute (monoid)
 - ``dedup_weighted_lsh_candidates`` — banded weighted-LSH scale path
 - ``quality_trigram_backoff``     — held-out stupid-backoff LM scoring
+- ``events_cms_daily_rollup``     — additive-monoid rollup twin (merge_cms)
 """
 
 from __future__ import annotations
@@ -742,4 +743,49 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R10_QUEUE["quality_trigram_backoff"] = (
     quality_trigram_backoff, TRIGRAM_BACKOFF_ORACLE
+)
+
+
+CMS_ROLLUP_ORACLE = """
+    WITH h AS (
+        SELECT j,
+               CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 512 AS bucket
+        FROM events, (SELECT unnest([0, 1, 2]) AS j)
+    )
+    SELECT CAST(j AS INT) AS seed, bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM h GROUP BY 1, 2
+"""
+
+
+def events_cms_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The additive twin of ``events_hll_daily_rollup``: one count–min
+    sketch of per-user event counts PER DAY (the partial a daily job
+    persists), merged by cell-wise SUM at read time. The gate emits
+    the merged cells and the oracle computes the whole-range sketch
+    directly — hash equality proves the sum-monoid rollup contract
+    (``merge_cms``), i.e. "how often did user X appear this quarter,
+    within CMS error" is answerable from 90 × 1,536 ints."""
+    from ..operators.sketches import count_min_build, merge_cms
+
+    daily = count_min_build(
+        read_table(spark, sf_dir, "events")
+        .withColumn("uid", F.col("user_id").cast("string"))
+        .withColumn("day", F.to_date("ts")),
+        "uid",
+        depth=3,
+        width=512,
+        group_cols=["day"],
+    )
+    return merge_cms(daily.select("seed", "bucket", "cnt")).select(
+        F.col("seed").cast("int").alias("seed"),
+        "bucket",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+R10_QUEUE["events_cms_daily_rollup"] = (
+    events_cms_daily_rollup, CMS_ROLLUP_ORACLE
 )
