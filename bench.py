@@ -147,6 +147,23 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "corpus_chunk_dedup",
     "dedup_exact_substring_spans",
+    # round-10 registrations (written and tri-scale-proven in r9):
+    # ExactSubstr cut pass, HLL registers + daily-rollup + streaming
+    # lanes, weighted Jaccard/MinHash/LSH, trigram stupid-backoff,
+    # CMS rollup twin, cross-source hard negatives.
+    "corpus_exactsubstr_cut",
+    "sketch_hll_user_registers",
+    "dedup_weighted_jaccard",
+    "dedup_weighted_minhash_sig",
+    "streaming_hll_users_agree",
+    "events_hll_daily_rollup",
+    "dedup_weighted_lsh_candidates",
+    "quality_trigram_backoff",
+    "events_cms_daily_rollup",
+    "retrieval_hard_negatives",
+    # round-10: the slowest query in the registry (65.8s at sf0.1 in
+    # SCALE_AUDIT r9) was invisible to the bench — r9 verdict item 4.
+    "fuzzy_name_match",
 ]
 
 

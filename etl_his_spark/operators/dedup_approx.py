@@ -712,7 +712,11 @@ def simhash_signatures(
     65,535 token occurrences per document; LM corpora pre-chunk far
     below that, but callers with unbounded documents pass
     ``lane_packed=False`` for the overflow-free 60-sum path (kept,
-    tested output-identical).
+    tested output-identical). The bound is ENFORCED at runtime (r10):
+    any document with n > 65,535 occurrences raises (either the
+    explicit guard below or Spark's ANSI sum overflow, whichever the
+    bit distribution hits first) instead of silently corrupting the
+    adjacent lane.
     """
     c = F.col(text_col)
     words = spread_small_input(docs).select(
@@ -738,6 +742,22 @@ def simhash_signatures(
                 for j in range(SIMHASH_BITS)
             ),
         )
+        # Runtime overflow guard: a 16-bit SWAR lane saturates at
+        # 65,535 occurrences — beyond that, carries silently corrupt
+        # the adjacent lane. n is already in the aggregate, so the
+        # check is a free per-row expression (no extra pass); callers
+        # with unbounded documents get a hard error naming the
+        # overflow-free path instead of silent signature corruption.
+        packed = F.when(
+            F.col("n") > 65535,
+            F.raise_error(
+                F.lit(
+                    "simhash_signatures lane_packed overflow: a document"
+                    " has > 65535 token occurrences; pass"
+                    " lane_packed=False (overflow-free 60-sum path)"
+                )
+            ).cast("long"),
+        ).otherwise(packed)
         return (
             words.groupBy(id_col)
             .agg(*aggs)

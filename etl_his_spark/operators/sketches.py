@@ -254,16 +254,37 @@ def hll_registers(
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Register-wise max — HLL is a monoid under max, so per-shard
     sketches combine losslessly (the property that makes the sketch
     the 100 TB distinct-count shape: 512 ints per shard, merged at
-    read time)."""
+    read time).
+
+    Pass ``group_cols`` to merge grouped sketches built with
+    ``hll_registers(group_cols=[...])`` — grouping happens on
+    (*group_cols, bucket). Without it, inputs must be exactly
+    (bucket, register): silently max-ing away a forgotten grouping
+    column would collapse per-group sketches into one global sketch,
+    so any extra column is a hard error instead."""
+    gcols = list(group_cols or [])
     it = iter(sketches)
     out = next(it)
     for s in it:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+    expected = set(gcols) | {"bucket", "register"}
+    extra = set(out.columns) - expected
+    if extra:
+        raise ValueError(
+            f"hll_merge: unexpected columns {sorted(extra)} — pass them "
+            "as group_cols=[...] or project them away first (merging "
+            "across a dropped grouping column silently collapses "
+            "per-group sketches)"
+        )
+    return out.groupBy(*gcols, "bucket").agg(
+        F.max("register").alias("register")
+    )
 
 
 def hll_estimate(registers: DataFrame, p: int = HLL_P) -> float:

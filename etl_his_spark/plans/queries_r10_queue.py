@@ -1,19 +1,20 @@
-"""Round-10 gate queue — fully written, deliberately UNREGISTERED.
+"""Round-10 gate queue — REGISTERED on r10 registration day.
 
-Round 9 hit the ten-additions-per-round cap, so these gates wait for
-r10 registration day. Everything a registration needs is already
-here and already verified: the Spark plan, the DuckDB oracle string,
-and a pytest (tests/test_r10_queue.py) that runs the SAME
-canonicalized comparison as tools/check_correctness.py over the
-queue. Registering in r10 is moving each (name, ORACLE, fn) into a
-``@register`` decorator — no new code. Registration-day checklist
-(beyond the decorator): add each name to bench.py HEADLINE and the
-registry's _CHECK_FIRST queue, and add ``quality_trigram_backoff``
-to tools/audit_plans.py CROSS_JOIN_ALLOW — its 1-row N-scalar
-broadcast plans as a BroadcastNestedLoopJoin, the same documented
-pattern as quality_bigram_likelihood (the other seven queue plans
-were audited CLEAN; exponents in R10_QUEUE_SCALE.json, all
-sub-linear).
+Written and tri-scale-verified in round 9 (r9 hit the
+ten-additions-per-round cap, so these gates waited for r10). The
+``R10_QUEUE`` dict remains the (fn, oracle) source of truth — the
+``register`` loop at the bottom publishes every entry into the
+driver-facing registry verbatim, so the queue pytest
+(tests/test_r10_queue.py, same canonicalized comparison as
+tools/check_correctness.py) and the registry surface can never
+drift apart. Registration-day checklist (done in r10): register
+loop below, each name in bench.py HEADLINE and the registry's
+_CHECK_FIRST window (positions 11-20), and
+``quality_trigram_backoff`` in tools/audit_plans.py
+CROSS_JOIN_ALLOW — its 1-row N-scalar broadcast plans as a
+BroadcastNestedLoopJoin, the same documented pattern as
+quality_bigram_likelihood (the other queue plans audited CLEAN;
+exponents in R10_QUEUE_SCALE.json, all sub-linear).
 
 The queue (machinery built and test-pinned in r9; every entry
 verified tri-scale at sf0.001/0.01/0.1 on the day it was written):
@@ -644,7 +645,11 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = tr_toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
 
     def gram_counts(k: int, out: str):
-        g = train.select(
+        # n >= k guard: F.sequence(k, n) is DESCENDING when n < k (Spark
+        # emits k..n), which would make element_at probe index 0 and
+        # throw — while the oracle's range(k, len+1) is simply empty.
+        # Mirrors the held-out side's n >= 3 filter.
+        g = train.filter(F.col("n") >= k).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(k), F.col("n")),
@@ -905,3 +910,15 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 R10_QUEUE["retrieval_hard_negatives"] = (
     retrieval_hard_negatives, HARD_NEGATIVES_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# r10 registration: publish every queue entry into the driver-facing
+# registry. Looping over R10_QUEUE (instead of ten decorators) keeps
+# the queue dict — which tests/test_r10_queue.py verifies against the
+# DuckDB oracles — and the registry surface mechanically identical.
+# ---------------------------------------------------------------------------
+from ..registry import register  # noqa: E402
+
+for _name, (_fn, _oracle) in R10_QUEUE.items():
+    register(_name, _oracle)(_fn)

@@ -666,7 +666,8 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inference_prefix_cache_hits",
     """
     WITH words AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS w
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
         FROM documents WHERE text IS NOT NULL
     ),
     prefixed AS (

@@ -64,6 +64,7 @@ from .plans import queries_streaming  # noqa: E402,F401
 from .plans import queries_lm  # noqa: E402,F401
 from .plans import queries_retrieval  # noqa: E402,F401
 from .plans import queries_graph  # noqa: E402,F401
+from .plans import queries_r10_queue  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -81,10 +82,110 @@ from .plans import queries_graph  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- Round 9 window (50 slots) — executes the queue the r8 window
-    # wrote down (registry history positions 51-74) exactly as the r8
-    # verdict ordered (item 1), with the round's code-changed/new
-    # queries leading per the standing new-machinery-first rule.
+    # --- Round 10 window (50 slots) — executes the queue the r9 window
+    # wrote down, exactly as the r9 verdict ordered (item 1).
+    # Layout:
+    #   1-10  the ten r9 additions (registered after the r9 window
+    #         froze; tri-scale green on registration day; re-verified
+    #         by the r9 judge at sf0.01) — never driver-checked.
+    #         inference_prefix_cache_hits additionally carries an r10
+    #         oracle alignment (empty-token filter, ADVICE r9 low).
+    #   11-20 the ten r10-queue gates registered THIS round (written
+    #         and tri-scale-proven in r9, tests/test_r10_queue.py runs
+    #         the driver-style comparison over all ten every pytest
+    #         run). quality_trigram_backoff's short-doc guard is the
+    #         one r10 code change in the set (ADVICE r9 medium).
+    #   21-40 twenty of the twenty-five r5-last queries queued at r9
+    #         positions 61-85, machinery-first. The five left queued
+    #         as r11 leaders are each subsumed in-window by a pinned
+    #         sentinel exercising the same machinery:
+    #         proj_alias_concat + string_clean (his_extraction_shape's
+    #         aliased projection + limpiarNombres lane),
+    #         join_inner_broadcast (his_extraction_shape's broadcast
+    #         catalogs), unpivot_measures (his_unpivot_slots),
+    #         dedup_distinct_name (dedup_exact's hash-groupBy lane).
+    #   41-50 the ten permanent family sentinels (pinned). text_simhash
+    #         doubles as the hard check on this round's lane-overflow
+    #         guard in simhash_signatures (ADVICE r9 low).
+    # Positions 1-10: the ten r9 additions.
+    "text_lexical_diversity",
+    "inference_prefix_cache_hits",
+    "curation_blocklist_filter",
+    "training_upsample_repeat",
+    "training_span_mask_spec",
+    "dedup_translated_semantic",
+    "retrieval_prf_expansion",
+    "sketch_cms_heavy_hitters",
+    "corpus_chunk_dedup",
+    "dedup_exact_substring_spans",
+    # Positions 11-20: the ten r10-queue gates registered this round.
+    "corpus_exactsubstr_cut",
+    "sketch_hll_user_registers",
+    "dedup_weighted_jaccard",
+    "dedup_weighted_minhash_sig",
+    "streaming_hll_users_agree",
+    "events_hll_daily_rollup",
+    "dedup_weighted_lsh_candidates",
+    "quality_trigram_backoff",
+    "events_cms_daily_rollup",
+    "retrieval_hard_negatives",
+    # Positions 21-40: twenty r5-last queries, machinery-first.
+    "agg_pricing_summary",
+    "ann_label_purity",
+    "corpus_dedup_collapse",
+    "cube_agg",
+    "dedup_first_per_key",
+    "join_anti_new_keys",
+    "join_full_outer",
+    "join_left_fanout",
+    "join_self_roles",
+    "join_semi_existing",
+    "rollup_agg",
+    "set_operations",
+    "sort_global_desc",
+    "text_langid_eval",
+    "text_quality",
+    "topk_customers",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_sum",
+    # Positions 41-50: the ten permanent family sentinels (pinned —
+    # do not rotate out).
+    "his_extraction_shape",
+    "his_unpivot_slots",
+    "tpch_q1_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "text_simhash",
+    "merge_upsert_orders",
+    "json_extract_stats",
+    # Positions 51-55: the five sentinel-subsumed r5-last queries —
+    # written r11 leaders (direct driver rows next round, same
+    # retire-the-subsumption-argument discipline as r8 positions
+    # 10-14).
+    "proj_alias_concat",
+    "string_clean",
+    "join_inner_broadcast",
+    "unpivot_measures",
+    "dedup_distinct_name",
+    # Positions 56+: queries ADDED in r10 after this window froze are
+    # appended here on their registration day (new-machinery-first r11
+    # leaders, after the five above which have waited longer).
+    # Positions 56+: everything else keeps registration order; all
+    # were driver-green in r6-r9 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R9_WINDOW_HISTORY = [
+    # --- Round 9 window (50 slots), kept for the audit trail —
+    # executes the queue the r8 window wrote down (registry history
+    # positions 51-74) exactly as the r8 verdict ordered (item 1),
+    # with the round's code-changed/new queries leading per the
+    # standing new-machinery-first rule.
     # Layout:
     #   1-3   queries whose code changed or was added THIS round:
     #         fuzzy_name_match (length-band blocking replaced by

@@ -451,3 +451,68 @@ def test_exactsubstr_cut_conservation_property(spark, docs):
         # kept tokens are a subsequence of the original
         it = iter(orig)
         assert all(any(k == o for o in it) for k in kept)
+
+
+def test_hll_merge_grouped_keeps_groups(spark):
+    """r9 ADVICE (low): merging sketches built with group_cols used to
+    silently collapse every group into one global sketch. With
+    group_cols the merge must group on (*group_cols, bucket); without
+    it, an unexpected extra column must be a hard error."""
+    import pytest as _pytest
+
+    from etl_his_spark.operators.sketches import hll_merge, hll_registers
+
+    df = spark.createDataFrame(
+        [(f"k{i}", "g" + str(i % 2)) for i in range(400)],
+        "k string, grp string",
+    )
+    grouped = hll_registers(df, "k", group_cols=["grp"])
+
+    merged = {
+        (r["grp"], r["bucket"], r["register"])
+        for r in hll_merge(grouped, group_cols=["grp"]).collect()
+    }
+    direct = {
+        (r["grp"], r["bucket"], r["register"])
+        for r in grouped.collect()
+    }
+    assert merged == direct  # idempotent per group, groups preserved
+    assert len({g for g, _, _ in merged}) == 2
+
+    with _pytest.raises(ValueError, match="group_cols"):
+        hll_merge(grouped)  # grp column present but undeclared
+
+
+def test_simhash_lane_packed_overflow_guard(spark):
+    """r9 ADVICE (low): the 16-bit SWAR lanes silently carried into
+    the adjacent lane past 65,535 occurrences. The packed path must
+    now raise on such documents; the overflow-free path must still
+    work and the two paths must agree below the bound."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_his_spark.operators.dedup_approx import simhash_signatures
+
+    # "t1031" hashes with all top-lane bits (48-59) zero, so the SWAR
+    # SUM itself stays within long range and the n > 65535 raise_error
+    # guard is what fires (a doc of random tokens instead hits Spark's
+    # ANSI ARITHMETIC_OVERFLOW inside the aggregate first — also loud,
+    # also not silent corruption).
+    big = spark.createDataFrame(
+        [(1, "t1031 " * 70000)], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="lane_packed overflow") as ei:
+        simhash_signatures(big).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "overflow" in str(ei.value)
+
+    unpacked = simhash_signatures(big, lane_packed=False).collect()
+    assert len(unpacked) == 1  # overflow-free path unaffected
+
+    small = spark.createDataFrame(
+        [(1, "a b c a b a"), (2, "x y z z y")], "doc_id long, text string"
+    )
+    packed = {r["doc_id"]: r["simhash"]
+              for r in simhash_signatures(small).collect()}
+    wide = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(small, lane_packed=False).collect()}
+    assert packed == wide

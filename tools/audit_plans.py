@@ -80,6 +80,9 @@ SINGLE_PARTITION_ALLOW = {
     # 1-row corpus-token-total aggregate then broadcast; the per-k
     # final agg is 3 rows by construction (r9)
     "inference_prefix_cache_hits",
+    # 1-row training-token-total N aggregate then broadcast — the
+    # quality_bigram_likelihood idiom (r10)
+    "quality_trigram_backoff",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -130,6 +133,9 @@ CROSS_JOIN_ALLOW = {
     # broadcast of the 1-row corpus-token-total onto the 3-row per-k
     # aggregate (r9)
     "inference_prefix_cache_hits",
+    # broadcast of the 1-row training-token-total N feeding the
+    # unigram backoff arm — the quality_bigram_likelihood idiom (r10)
+    "quality_trigram_backoff",
 }
 
 
