@@ -109,15 +109,51 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     len ≤ 10, so every pair lands in ≥ 1 lane: min-len ≤ 7 forces
     both ≤ 10 (short lane); min-len ≥ 8 puts both in the pass lane.
     Both lanes are emitted from ONE projection per join side (2 scans
-    of part total — audit_scans-clean) via a unioned key struct, and
-    names are carried through the join so no join-back rescans exist.
-    The oracle stays the naive all-pairs formulation."""
+    of part total — audit_scans-clean), and names are carried through
+    the join so no join-back rescans exist. The oracle stays the
+    naive all-pairs formulation.
+
+    r10 redesign (r9 verdict item 4 — the slowest registry query at
+    65.8 s/sf0.1). Profiling showed the join itself was ~10 s and
+    ~335M candidate instances × ~5 µs threshold-Levenshtein was the
+    rest — and that every instance re-verified one of only a few
+    thousand DISTINCT name pairs (name columns repeat; the sf0.1
+    fixture has 64 distinct names over 20k keys, and production name/
+    address/title columns repeat the same way). The verify work now
+    runs ONCE PER DISTINCT NAME PAIR:
+
+    1. **Distinct-name reduction** — one hash agg; blocking, shift
+       enumeration and Levenshtein all run on distinct names (≤ n
+       rows, equal to n only when the column is key-like).
+    2. **PassJoin over distinct names** with two r10 prune layers,
+       both lossless: position-aware shift bounds (a segment match at
+       shift d costs ≥ |d| prefix + ≥ |Δ−d| suffix edits, so
+       |d| + |Δ−d| ≤ τ) and the first-untouched-segment convention
+       (segment i needs ≥ i edits before it, so |Δ−d| ≤ τ−i; probe
+       fan-out 112 → 41 substrings/name combined), plus a 64-bit
+       bag-of-bigrams bitmap gate (≤ 4 bitmap bits flip per edit, so
+       true pairs satisfy bit_count(bm_a XOR bm_b) ≤ 4τ; saturation
+       only lowers the XOR count, so the gate never drops a true
+       pair) that short-circuits the ~5 µs Levenshtein with an
+       integer XOR+popcount.
+    3. **Fan-out back to keys** — matched (name_a, name_b, dist)
+       rows equi-join the key→name mapping twice (dist ≥ 1 lane),
+       and same-name key pairs (dist 0) come from a plain self
+       equi-join on p_name. No Levenshtein anywhere in the fan-out.
+
+    Measured at sf0.1 (fresh JVM, min-of-3): 80.9 s (r9 code) →
+    4.7 s. At 100 TB the distinct-name reduction is the same hash-agg
+    shape as dedup_exact and the worst case (all-unique names)
+    degenerates to exactly the r9 plan plus one cheap distinct."""
     K = 3          # edit-distance threshold
     S = K + 1      # pigeonhole segments
     LONG_MIN = 8   # pass-lane floor: every segment ≥ 2 chars
     SHORT_MAX = LONG_MIN + K - 1  # 10: short-lane ceiling
 
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # Verify-once-per-distinct-name: blocking + Levenshtein run on
+    # distinct names only; keys re-enter via equi-joins at the end.
+    names = p.select("p_name").distinct()
     ln = F.length("p_name")
 
     def bounds(l2, i: int):
@@ -129,7 +165,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg = (m + F.when(F.lit(i) >= F.lit(S) - r, 1).otherwise(0)).cast("int")
         return start, seg
 
-    def key(kind: str, kl, ki: int, ktxt):
+    def key(kind: int, kl, ki: int, ktxt):
         return F.struct(
             F.lit(kind).alias("kind"),
             kl.cast("int").alias("kl"),
@@ -144,24 +180,34 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_structs.append(
             F.when(
                 ln >= LONG_MIN,
-                key("G", ln, i, F.col("p_name").substr(start + 1, seg)),
+                key(0, ln, i, F.col("p_name").substr(start + 1, seg)),
             )
         )
-    idx_structs.append(F.when(ln <= SHORT_MAX, key("S", ln, 0, F.lit(""))))
+    idx_structs.append(F.when(ln <= SHORT_MAX, key(1, ln, 0, F.lit(""))))
 
     # Probe side: for each admissible partner length l2 = len − 3..0
     # (ONE direction — the longer string probes the shorter partner's
     # partition; pigeonhole on the shorter side suffices, and skipping
     # l2 > len halves the fan-out and kills cross-direction duplicate
     # candidates), the substrings a length-l2 partner's segment i
-    # could align to (start shift ≤ K), plus the short lane's exploded
-    # partner lengths.
+    # could align to, plus the short lane's exploded partner lengths.
+    # Shift range is the position-aware bound: a segment match at
+    # shift d implies ≥ |d| edits in the prefix and ≥ |Δ − d| in the
+    # suffix (pure length imbalance), so |d| + |Δ − d| ≤ K, i.e.
+    # d ∈ [⌈(Δ−K)/2⌉, ⌊(Δ+K)/2⌋] with Δ = len − l2 ≥ 0.
     probe_structs = []
     for dl in range(-K, 1):
         l2 = ln + dl
+        delta = -dl  # Δ = probe len − partner len ≥ 0
+        sh_lo = -((K - delta) // 2)  # ⌈(Δ−K)/2⌉ for Δ ≤ K
+        sh_hi = (delta + K) // 2
         for i in range(S):
             start, seg = bounds(l2, i)
-            for sh in range(-K, K + 1):
+            # First-untouched-segment tightening: ≥ i edits precede
+            # segment i, so suffix edits |Δ − d| ≤ K − i.
+            lo = max(sh_lo, delta - (K - i))
+            hi = min(sh_hi, delta + (K - i))
+            for sh in range(lo, hi + 1):
                 pstart = start + sh
                 probe_structs.append(
                     F.when(
@@ -169,32 +215,44 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (l2 >= LONG_MIN)
                         & (pstart >= 0)
                         & (pstart + seg <= ln),
-                        key("G", l2, i, F.col("p_name").substr(pstart + 1, seg)),
+                        key(0, l2, i, F.col("p_name").substr(pstart + 1, seg)),
                     )
                 )
         probe_structs.append(
             F.when(
                 (ln <= SHORT_MAX) & (l2 >= 0) & (l2 <= SHORT_MAX),
-                key("S", l2, 0, F.lit("")),
+                key(1, l2, 0, F.lit("")),
             )
         )
 
-    # Emission parallelism: part arrives as one small file → one scan
-    # partition; spread the ~100× struct fan-out over the cluster
-    # before exploding.
+    # Emission parallelism: the distinct-name agg output may coalesce
+    # to a few partitions; spread the ~41× struct fan-out over the
+    # cluster before exploding.
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    base = p.repartition(n_parts, "p_partkey")
+    base = names.repartition(n_parts, "p_name")
 
-    def emit(structs, id_alias: str, name_alias: str) -> DataFrame:
+    # 64-bit bag-of-bigrams bitmap, ONE per string (pre-explode): the
+    # XOR+popcount prefilter below gates the ~5 µs Levenshtein with a
+    # ~ns integer check (see docstring for the ≤ 4 bits/edit bound).
+    bigram_bitmap = F.expr(
+        "CASE WHEN length(p_name) >= 2 THEN"
+        " aggregate(transform(sequence(1, length(p_name) - 1),"
+        "   i -> shiftleft(1L,"
+        "          CAST(pmod(xxhash64(substring(p_name, i, 2)), 64) AS INT))),"
+        "   0L, (acc, v) -> acc | v)"
+        " ELSE 0L END"
+    )
+
+    def emit(structs, name_alias: str, bm_alias: str) -> DataFrame:
         arr = F.array_distinct(
             F.filter(F.array(*structs), lambda s: s.isNotNull())
         )
         return base.select(
-            F.col("p_partkey").alias(id_alias),
             F.col("p_name").alias(name_alias),
+            bigram_bitmap.alias(bm_alias),
             F.explode(arr).alias("k"),
         ).select(
-            id_alias, name_alias,
+            name_alias, bm_alias,
             F.col("k.kind").alias("kind"), F.col("k.kl").alias("kl"),
             F.col("k.ki").alias("ki"), F.col("k.ktxt").alias("ktxt"),
         )
@@ -204,27 +262,56 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and then single-task the ~N·dup candidate explosion; pinning the
     # partition count keeps the join wide.
     keys = ["kind", "kl", "ki", "ktxt"]
-    probe = emit(probe_structs, "l_key", "l_name").repartition(n_parts, *keys)
-    idx = emit(idx_structs, "r_key", "r_name").repartition(n_parts, *keys)
+    probe = emit(probe_structs, "l_name", "l_bm").repartition(n_parts, *keys)
+    idx = emit(idx_structs, "r_name", "r_bm").repartition(n_parts, *keys)
     # Levenshtein BEFORE distinct: the residual (early-exit threshold
-    # form, -1 if > K) runs per candidate INSTANCE, so the distinct
-    # then shuffles only surviving (int, int, int) triples — at 100 TB
-    # the pair-dedup exchange carries the result set, not wide
-    # name-pair strings. dist is functionally dependent on the pair,
-    # so distinct over the triple equals distinct over the pair.
+    # form, -1 if > K) runs per candidate INSTANCE over distinct
+    # names, so the pair-dedup exchange carries only surviving name
+    # pairs. dist is functionally dependent on the pair, so distinct
+    # over (pair, dist) equals distinct over the pair.
     dist = F.levenshtein("l_name", "r_name", K)
-    return (
+    name_pairs = (
         probe.join(idx, keys)
-        .filter(F.col("l_key") != F.col("r_key"))
+        .filter(F.col("l_name") != F.col("r_name"))
+        .filter(
+            F.bit_count(F.col("l_bm").bitwiseXOR(F.col("r_bm"))) <= 4 * K
+        )
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
         .select(
-            F.least("l_key", "r_key").alias("a_key"),
-            F.greatest("l_key", "r_key").alias("b_key"),
+            F.least("l_name", "r_name").alias("n_a"),
+            F.greatest("l_name", "r_name").alias("n_b"),
             F.col("dist").cast("int").alias("dist"),
         )
         .distinct()
     )
+    # Fan-out back to keys. dist-0 lane: keys sharing one name — a
+    # plain self equi-join on p_name (disjoint from the dist ≥ 1 lane,
+    # where names differ, so the union is duplicate-free).
+    same = (
+        p.select(F.col("p_partkey").alias("a_key"), "p_name")
+        .join(
+            p.select(F.col("p_partkey").alias("b_key"), "p_name"), "p_name"
+        )
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", F.lit(0).cast("int").alias("dist"))
+    )
+    diff = (
+        name_pairs.join(
+            p.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("n_a")),
+            "n_a",
+        )
+        .join(
+            p.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("n_b")),
+            "n_b",
+        )
+        .select(
+            F.least("ka", "kb").alias("a_key"),
+            F.greatest("ka", "kb").alias("b_key"),
+            "dist",
+        )
+    )
+    return same.unionByName(diff)
 
 
 @register(
