@@ -164,6 +164,9 @@ HEADLINE = [
     # round-10: the slowest query in the registry (65.8s at sf0.1 in
     # SCALE_AUDIT r9) was invisible to the bench — r9 verdict item 4.
     "fuzzy_name_match",
+    # round-10 addition: streaming CDC apply (foreachBatch MERGE into
+    # the manifest lakehouse — r9 verdict item 6).
+    "streaming_cdc_apply_agree",
 ]
 
 

@@ -651,3 +651,52 @@ def streaming_enrich_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", "event_type", "c_name", "c_nationkey"
     )
+
+
+@register(
+    "streaming_cdc_apply_agree",
+    """
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           event_type AS last_event_type,
+           CAST(round(value * 100) AS BIGINT) AS last_value_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_cdc_apply_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (r10; the ninth live streaming lane under
+    the hash gate): the event changelog replays through foreachBatch,
+    each micro-batch MERGE-upserted into the manifest lakehouse via
+    an atomic publish (streaming/cdc.py has the exactly-once-by-
+    idempotence and cross-batch determinism arguments; restart
+    recovery across a mid-stream crash is pinned by pytest). The
+    FINAL PUBLISHED TABLE — not a memory sink — is returned and
+    hash-checked against the batch arg_max per key, proving
+    stream-of-MERGEs ≡ one batch MERGE of the whole changelog.
+
+    No watermark and no state store: the published table is the
+    state. The per-batch MERGE is a keyed anti-join (update side is
+    one micro-batch's keys — broadcastable at any target size)."""
+    import tempfile
+
+    from ..streaming.cdc import STATE_TABLE, run_cdc_apply
+    from ..sources.writers import read_published
+
+    replay = _events_replay_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_apply_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    with _stream_run_conf(spark):
+        run_cdc_apply(
+            spark, replay, root, checkpoint=os.path.join(root, "_ckpt")
+        )
+    return read_published(spark, root, STATE_TABLE).select(
+        "user_id", "last_ts_us", "last_event_type", "last_value_cents"
+    )

@@ -171,10 +171,13 @@ _CHECK_FIRST = [
     "join_inner_broadcast",
     "unpivot_measures",
     "dedup_distinct_name",
-    # Positions 56+: queries ADDED in r10 after this window froze are
-    # appended here on their registration day (new-machinery-first r11
-    # leaders, after the five above which have waited longer).
-    # Positions 56+: everything else keeps registration order; all
+    # Position 56: added in r10 after this window froze (r9 verdict
+    # item 6 — the ninth live streaming lane: foreachBatch MERGE into
+    # the manifest lakehouse); tri-scale green on registration day,
+    # restart-recovery pinned by pytest. r11 leader after the five
+    # above, which have waited longer.
+    "streaming_cdc_apply_agree",
+    # Positions 57+: everything else keeps registration order; all
     # were driver-green in r6-r9 and remain covered by pytest + the
     # local DuckDB oracle gate (tools/check_correctness.py) every
     # round.

@@ -456,3 +456,47 @@ def test_gate_replay_dir_is_time_sorted(spark, sf_dir):
     assert all(b > a for a, b in zip(mtimes, mtimes[1:])), (
         "mtimes not strictly increasing"
     )
+
+
+def test_cdc_apply_restart_recovery(spark, sf_dir, tmp_path_factory):
+    """r10 CDC-apply lane: a crash AFTER a batch's publish but BEFORE
+    its checkpoint commit (the at-least-once window) must recover on
+    restart to exactly the batch MERGE of the whole changelog —
+    the replayed batch re-upserts identical rows (idempotent MERGE)."""
+    from etl_his_spark.plans.queries_streaming import _normalize_replay_order
+    from etl_his_spark.sources.writers import read_published
+    from etl_his_spark.streaming.cdc import (
+        STATE_TABLE,
+        latest_per_key,
+        run_cdc_apply,
+    )
+    from etl_his_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    base = tmp_path_factory.mktemp("cdc_restart")
+    replay = str(base / "replay")
+    read_events_raw(spark, sf_dir).repartitionByRange(
+        8, "ts", "event_id"
+    ).write.parquet(replay)
+    _normalize_replay_order(replay)
+    root, ckpt = str(base / "root"), str(base / "ckpt")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_cdc_apply(
+            spark, replay, root, ckpt, fail_after_publish_on_batch=1
+        )
+    # the crashed run left a live publish (batch 0 committed, batch 1
+    # published-but-uncommitted) ...
+    partial = read_published(spark, root, STATE_TABLE)
+    assert partial.count() > 0
+
+    # ... and the resumed run replays batch 1 and finishes the stream.
+    run_cdc_apply(spark, replay, root, ckpt)
+
+    final = {
+        tuple(r) for r in read_published(spark, root, STATE_TABLE).collect()
+    }
+    whole = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(replay).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    expected = {tuple(r) for r in latest_per_key(whole).collect()}
+    assert final == expected
