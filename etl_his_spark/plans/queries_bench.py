@@ -16,8 +16,15 @@ from ..registry import register
 from ..sources.readers import read_table
 
 
-@register("bench_embedding_neardup_numpy")  # rows-only: numpy pairwise
-# summation ≠ sequential-fold bits; pair-set equality asserted in tests
+@register("bench_embedding_neardup_numpy")  # rows-only BY DECISION
+# (r10, r9 verdict item 7): numpy/BLAS pairwise summation ≠ the
+# sequential fold's bits, and rounding the cosine to ANY fixed
+# precision can flip either engine at a bucket boundary — there is no
+# hashable encoding that is both exact and order-independent here.
+# The semantics are pinned harder than a rows-only driver row could:
+# the hash-exact twin embedding_neardup gates the same pair set, and
+# tests/test_dedup_similarity.py asserts pair-set equality between
+# the two lanes.
 def bench_embedding_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy (BLAS) near-dup kernel — the bulk-similarity fast
     lane, ~2.6× the expression version on local[32]."""

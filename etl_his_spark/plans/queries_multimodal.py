@@ -11,15 +11,62 @@ from ..registry import register
 from ..sources.readers import read_table
 
 
-@register("multimodal_features")  # no oracle: mapInPandas over binary
+# Analytic oracle (r10, upgrading the r3-era rows-only row — r9 verdict
+# item 7): the fake decoder is a normalized byte%16 histogram over the
+# UTF-8 payload, which SQL can state directly — bytes via hex(encode())
+# split into 2-char chunks, 16 conditional sums. The encoding is
+# integer micro-units via floor(x*1e6 + 0.5) computed in DOUBLE on
+# both sides: divide/multiply/add/floor are single IEEE ops, so the
+# bits match engine-to-engine. (%.6f formatting was tried and fails:
+# a doc of 128 bytes yields exact doubles like 25/128 = 0.1953125,
+# whose 6-decimal rounding is HALF_UP in Java but half-even in the
+# C++ formatter — 0.195313 vs 0.195312.)
+_FEATURE_COLS = ", ".join(
+    f"SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(16)
+)
+_FEATURE_ENC = " || ',' || ".join(
+    f"CAST(CAST(floor(CAST(c{i} AS DOUBLE) / n * 1000000.0 + 0.5)"
+    " AS BIGINT) AS VARCHAR)"
+    for i in range(16)
+)
+
+MULTIMODAL_FEATURES_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    bytes AS (
+        SELECT doc_id, n,
+               CAST(('0x' || unnest(regexp_extract_all(hx, '..'))) AS BIGINT)
+                   % 16 AS bin
+        FROM b
+    ),
+    hist AS (
+        SELECT doc_id, max(n) AS n, {_FEATURE_COLS}
+        FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           {_FEATURE_ENC} AS features_enc
+    FROM hist
+"""
+
+
+@register("multimodal_features", MULTIMODAL_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow-batched feature extraction
-    (deterministic stub decoder; real plumbing).
+    (deterministic stub decoder; real plumbing under a HASH oracle
+    since r10 — the byte-histogram fake lane is analytically stated in
+    SQL, so the mapInPandas plumbing, Arrow batching, and the %.6f
+    scalar encoding are all hash-verified, the netpbm-lane technique).
 
     The ``features array<double>`` column is projected to a stable
-    scalar encoding (comma-joined %.6f renderings) because the driver's
-    rows-only canonicalizer sorts/hashes cell values and cannot hash
-    Python lists. The operator itself still returns the real array; only
+    scalar encoding (comma-joined integer micro-units, floor(x·1e6 +
+    0.5) in double — IEEE-bit-identical cross-engine, unlike %.6f
+    formatting whose halfway rule differs) because the driver's
+    canonicalizer sorts/hashes cell values and cannot hash Python
+    lists. The operator itself still returns the real array; only
     this contract query flattens it.
     """
     media = attach_fake_media(read_table(spark, sf_dir, "documents"))
@@ -33,7 +80,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "n_bytes",
         F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
         ).alias("features_enc"),
     )
 

@@ -177,7 +177,18 @@ _CHECK_FIRST = [
     # restart-recovery pinned by pytest. r11 leader after the five
     # above, which have waited longer.
     "streaming_cdc_apply_agree",
-    # Positions 57+: everything else keeps registration order; all
+    # Position 57: oracle upgraded rows-only → hash-exact in r10 after
+    # the window froze (analytic byte-histogram oracle + integer-micro
+    # encoding — r9 verdict item 7); rides the next window like
+    # multimodal_frame_sample's r5→r6 upgrade did. The OTHER rows-only
+    # lane (bench_embedding_neardup_numpy) stays rows-only by
+    # documented decision: its BLAS pairwise summation differs from
+    # the sequential fold in final bits, any fixed-precision rounding
+    # can flip at a boundary, and its semantics are already pinned by
+    # the hash-exact twin embedding_neardup plus a pytest pair-set
+    # equality test.
+    "multimodal_features",
+    # Positions 58+: everything else keeps registration order; all
     # were driver-green in r6-r9 and remain covered by pytest + the
     # local DuckDB oracle gate (tools/check_correctness.py) every
     # round.
