@@ -63,14 +63,20 @@ def dense_ids(
     # including the stated non-replicated-blocks fault tradeoff).
     # Pin the INPUT too: repartitionByRange computes its range bounds
     # with a sampling job over the child at first-RDD-access time, so
-    # an un-pinned input executes TWICE before the counts collect —
-    # once for the sampler, once for the shuffle map. With the lazy
+    # an un-pinned input is TRAVERSED twice before the counts collect
+    # — once for the sampler, once for the shuffle map. With the lazy
     # checkpoint the sampling job is the pass that materializes the
-    # input blocks and the shuffle reads them. Found on the r9
-    # flagship profile: the 22-table extraction under this operator
-    # ran twice, +~5s of a 23s pipeline (SCALE.md
-    # "his_pipeline_publish"). Same lazy-not-persist rationale as
-    # ``ranged`` below.
+    # input blocks and the shuffle reads them. HOWEVER (r10
+    # reconciliation, SCALE.md "his_pipeline_publish, reconciled"):
+    # an interleaved pin/no-pin A/B on the flagship publish measured
+    # NO wall-clock difference — when the input subtree contains
+    # shuffles (the 22-table extraction does), the second traversal
+    # reuses the first's shuffle files and only recomputes the cheap
+    # post-shuffle stages, so Spark's own shuffle-stage reuse already
+    # dedupes the heavy work. The pin is kept as a zero-cost guard
+    # for shuffle-FREE inputs (pure scan+project subtrees genuinely
+    # recompute), not as a measured win; the r9 "+~5s" claim is
+    # retracted as ambient.
     df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(buckets, *order_cols)

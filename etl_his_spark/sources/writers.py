@@ -133,9 +133,22 @@ def write_table(
     value lands in exactly one task: one file per partition, written
     in parallel. A skewed giant partition would need an extra salt
     column to split — not needed for date-grain facts here.
+
+    The repartition width is 8× core count rather than the session's
+    shuffle default: a dynamic write's wall time is (partitions per
+    task) × (parquet writer open/close, ~70 ms on local disk), so
+    when |partition values| ≫ tasks the write serializes per task —
+    measured r10 on the sf0.1 turno fact (2,405 date dirs): 10.5 s at
+    32 tasks → 5.8 s at 256. More tasks than values costs only empty
+    tasks; each value still lands in exactly one task (one file per
+    partition either way).
     """
     if partition_by:
-        df = df.repartition(*[F.col(c) for c in partition_by])
+        n_tasks = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            df.sparkSession.sparkContext.defaultParallelism * 8,
+        )
+        df = df.repartition(n_tasks, *[F.col(c) for c in partition_by])
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
