@@ -56,6 +56,23 @@ The slate (why each earns a gate at 100 TB):
 Every estimate/score is integer or fixed-point micro-units; every
 hash is the repo's 60-bit md5 — both engines run bit-identical
 arithmetic, so the gates are hash-exact, not approximately equal.
+
+Registration-day checklist for r11 (the r10-queue pattern): move each
+entry into ``@register``, add the names to bench.py HEADLINE and the
+registry _CHECK_FIRST window, and add these audit allowlist entries —
+every one an instance of an already-documented idiom (verified against
+the executed plans at sf0.001; the other four queue plans audit clean):
+- ``tools/audit_plans.py`` CROSS_JOIN_ALLOW: ``ann_recall_eval`` and
+  ``retrieval_margin_bitext`` (fixed query-panel broadcast over the
+  corpus — the ann_topk_bruteforce shape), ``sketch_kmv_set_ops``
+  (event-type-dim × event-type-dim theta join, ≤|types|² rows),
+  ``dedup_lsh_eval`` and ``corpus_ngram_coverage_curve`` (1-row
+  scalar-aggregate broadcasts — the tpch_q11 idiom).
+- ``tools/audit_plans.py`` SINGLE_PARTITION_ALLOW:
+  ``sketch_bloom_membership`` and ``dedup_lsh_eval`` (single-row FINAL
+  aggregates after map-side partials), ``corpus_ngram_coverage_curve``
+  (cumulative window over the 10-row decile aggregate — report-sized
+  by construction).
 """
 
 from __future__ import annotations
@@ -461,7 +478,7 @@ LSH_EVAL_ORACLE = f"""
         FROM inter
         JOIN sizes sa ON a_id = sa.doc_id
         JOIN sizes sb ON b_id = sb.doc_id
-        WHERE 10 * i >= 7 * (sa.n + sb.n - i)
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
     ),
     based AS (
         SELECT doc_id, shingle % {MINHASH_FOLD} AS h30 FROM sh
@@ -486,10 +503,12 @@ LSH_EVAL_ORACLE = f"""
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
            CAST(n_tp AS BIGINT) AS n_tp,
-           n_tp * 1000000 // (SELECT count(*) FROM cand)
-               AS precision_micro,
-           n_tp * 1000000 // (SELECT count(*) FROM truth)
-               AS recall_micro
+           CASE WHEN (SELECT count(*) FROM cand) > 0
+                THEN n_tp * 1000000 // (SELECT count(*) FROM cand)
+                ELSE 0 END AS precision_micro,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN n_tp * 1000000 // (SELECT count(*) FROM truth)
+                ELSE 0 END AS recall_micro
     FROM tp
 """
 
@@ -500,53 +519,20 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     that justifies a band geometry before committing a full-corpus
     dedup pass.
 
-    Truth uses the integer cross-multiplied threshold
-    (10·|∩| ≥ 7·|∪|) so no float division enters the pair decision on
-    either engine. Truth comes from the prefix-filtered exact join
-    (PPJoin pruning — the corpus-linear path); candidates from the
-    registered 16-hash/4-band LSH. Both are linear-shuffle plans; the
-    eval join runs on pair keys only.
+    Truth comes from the prefix-filtered exact join at threshold 0.7
+    (PPJoin positional pruning + candidates-only sorted-array verify —
+    the corpus-linear path whose float-ratio compare is the same
+    int/int double arithmetic the registered 0.8 gate already proves
+    hash-exact cross-engine); candidates come from the registered
+    16-hash/4-band LSH. Both are linear-shuffle plans; the eval join
+    runs on pair keys only. (A first draft recomputed the intersection
+    by joining pairs back to shingle ROWS — the exploding verify shape
+    the dedup_approx comments document as an 800M-row blowup at the 4×
+    tranche; reusing the array verify keeps the eval at tranche scale.)
     """
     docs = read_table(spark, sf_dir, "documents")
-    # Exact truth at the integer threshold: recompute the verify from
-    # jaccard_pairs_prefix at a slightly LOWER float threshold, then
-    # apply the exact integer rule (the float prefilter at 0.69 is a
-    # superset of the integer-0.7 set: J >= 0.7 > 0.69 for every true
-    # pair, and prefix filtering is lossless at or below the target).
-    pre = jaccard_pairs_prefix(docs, 0.69)
-    sh = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-        )
-        .select("doc_id", seeded_hash60(F.col("s")).alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pair_keys = pre.select("a_id", "b_id")
-    inter = (
-        pair_keys.join(
-            sh.select(F.col("doc_id").alias("a_id"), "shingle"), "a_id"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("b_id"), "shingle"),
-            ["b_id", "shingle"],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    truth = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")),
-            "a_id",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb")),
-            "b_id",
-        )
-        .filter(
-            10 * F.col("i") >= 7 * (F.col("na") + F.col("nb") - F.col("i"))
-        )
-        .select("a_id", "b_id")
+    truth = jaccard_pairs_prefix(docs, LSH_EVAL_THRESHOLD).select(
+        "a_id", "b_id"
     )
     cand = minhash_lsh_candidates(docs).select("a_id", "b_id")
     tp = cand.join(truth, ["a_id", "b_id"]).agg(
@@ -561,17 +547,20 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "n_tp",
-            F.floor(
-                (F.col("n_tp") * 1000000).cast("decimal(38,0)")
-                / F.col("n_candidates")
+            # Empty candidate/truth sets are a legitimate eval outcome
+            # (a corpus with no near-dups at the threshold): report 0
+            # rather than dividing by zero.
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("n_tp * 1000000 div n_candidates"),
             )
-            .cast("long")
+            .otherwise(F.lit(0).cast("long"))
             .alias("precision_micro"),
-            F.floor(
-                (F.col("n_tp") * 1000000).cast("decimal(38,0)")
-                / F.col("n_truth")
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("n_tp * 1000000 div n_truth"),
             )
-            .cast("long")
+            .otherwise(F.lit(0).cast("long"))
             .alias("recall_micro"),
         )
     )
@@ -1122,28 +1111,33 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges feeds both rounds: pin it once so neither recomputes the
     # base join (the graph_pagerank_trade lazy-checkpoint rationale).
     edges = edges.localCheckpoint(eager=False)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(2):
-        votes = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"), "label")
-            .agg(F.sum("w").cast("long").alias("votes"))
-        )
+
+    def argmax_label(votes: DataFrame) -> DataFrame:
         wv = Window.partitionBy("node").orderBy(
             F.col("votes").desc(), F.col("label")
         )
-        labels = (
+        return (
             votes.withColumn("rk", F.row_number().over(wv))
             .filter(F.col("rk") == 1)
             .select("node", "label")
         )
+
+    # Round 1: label(dst) = dst identically, so the votes come straight
+    # off the edge list — no join against an identity label table.
+    labels = argmax_label(
+        edges.groupBy(
+            F.col("src").alias("node"), F.col("dst").alias("label")
+        ).agg(F.sum("w").cast("long").alias("votes"))
+    )
+    # Round 2: the real propagate-join.
+    labels = argmax_label(
+        edges.join(
+            labels.select(F.col("node").alias("dst"), F.col("label")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "label")
+        .agg(F.sum("w").cast("long").alias("votes"))
+    )
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
