@@ -529,6 +529,14 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     by joining pairs back to shingle ROWS — the exploding verify shape
     the dedup_approx comments document as an 800M-row blowup at the 4×
     tranche; reusing the array verify keeps the eval at tranche scale.)
+
+    Scale note: the truth half is definitionally the EXACT-Jaccard
+    lane, which enters the synthetic tranche's vocabulary-saturation
+    regime at the 16× ladder step (α=1.29; SCALE.md "vocabulary
+    saturation" — the r9-attributed, decision-recorded exact-lane
+    behavior). At 100 TB the recall measurement runs on a bounded
+    document SAMPLE by design: this is an eval of the α=0.40
+    banded-LSH production lane, not itself a production pass.
     """
     docs = read_table(spark, sf_dir, "documents")
     truth = jaccard_pairs_prefix(docs, LSH_EVAL_THRESHOLD).select(
