@@ -227,9 +227,13 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Emission parallelism: the distinct-name agg output may coalesce
     # to a few partitions; spread the ~41× struct fan-out over the
-    # cluster before exploding.
+    # cluster before exploding. Pin the distinct-name dim (lazy): both
+    # emit() consumers (probe + idx) otherwise re-run the full
+    # part-scan + distinct (measured by the fixed audit_scans — the
+    # bounded-dimension checkpoint policy applies: distinct names ≪
+    # keys by the operator's premise).
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    base = names.repartition(n_parts, "p_name")
+    base = names.repartition(n_parts, "p_name").localCheckpoint(eager=False)
 
     # 64-bit bag-of-bigrams bitmap, ONE per string (pre-explode): the
     # XOR+popcount prefilter below gates the ~5 µs Levenshtein with a

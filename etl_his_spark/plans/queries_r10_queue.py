@@ -639,10 +639,21 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_approx import seeded_hash60
 
     tr_toks = train.select(F.explode("w").alias("token"))
-    c1 = tr_toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # c1 feeds TWO score joins plus the corpus total; c2 feeds two.
+    # Un-pinned, each consumer re-ran the full documents explode (the
+    # fixed audit_scans regex measured 7 documents scans). The count
+    # dims are vocab-BOUNDED — exactly the frames the checkpoint
+    # policy says to pin (never the corpus-sized token stream) — and
+    # N_total is just sum(c1.c), so the separate total-count pass
+    # collapses into the pinned frame too: 7 scans → 4 (one per gram
+    # order + the held-out side), the irreducible floor for three
+    # independent gram emissions.
+    c1 = (
+        tr_toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    nn = tr_toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    nn = c1.agg(F.sum("c").cast("long").alias("n_total"))
 
     def gram_counts(k: int, out: str):
         # n >= k guard: F.sequence(k, n) is DESCENDING when n < k (Spark
@@ -667,7 +678,7 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             out
         ).agg(F.count(F.lit(1)).cast("long").alias("c"))
 
-    c2 = gram_counts(2, "h2")
+    c2 = gram_counts(2, "h2").localCheckpoint(eager=False)
     c3 = gram_counts(3, "h3")
 
     inst = held.select(

@@ -73,6 +73,15 @@ the executed plans at sf0.001; the other four queue plans audit clean):
   aggregates after map-side partials), ``corpus_ngram_coverage_curve``
   (cumulative window over the 10-row decile aggregate — report-sized
   by construction).
+- ``tools/audit_scans.py`` ALLOW (production scan counts measured
+  under the r10 final-plan + pin-build semantics; the other six gates
+  count ≤ 3): ``ann_recall_eval`` ("embeddings", 5 — brute-force truth
+  + IVF index lanes), ``curation_diversity_prune`` ("embeddings", 4 —
+  cells + pinned-centroid build + two pair sides, which share one
+  exchange at runtime), ``retrieval_margin_bitext`` ("embeddings", 4 —
+  the dots table's fwd/bwd/argmax traversals), ``dedup_lsh_eval``
+  ("documents", 5 — exact-truth lanes incl. the pinned shingle build
+  + the LSH candidate lane).
 """
 
 from __future__ import annotations
@@ -650,8 +659,12 @@ def retrieval_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000).cast("long"),
         ).alias("q"),
     )
-    qs = vi.filter(F.col("vec_id") < BITEXT_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    # The query panel is a FIXED |Q|-row dim consumed by every dots
+    # traversal (fwd/bwd ranks + the margin join): pin it.
+    qs = (
+        vi.filter(F.col("vec_id") < BITEXT_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"))
+        .localCheckpoint(eager=False)
     )
     cs = vi.filter(F.col("vec_id") >= BITEXT_QUERIES).select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("qb")
@@ -798,6 +811,9 @@ def curation_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cell = bit if cell is None else cell + bit
     cells = vi.select("vec_id", "q", cell.alias("cell"))
+    # The centroid dim is BOUNDED (≤1024 cells); pinning it keeps the
+    # scored-frame consumers (both pair sides) from re-deriving the
+    # centroid aggregation's full embeddings pass.
     csum = cells.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
         F.array(
@@ -806,7 +822,7 @@ def curation_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(64)
             ]
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     scored = (
         cells.join(csum, "cell")
         .withColumn(
@@ -1236,8 +1252,19 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.explode(
         F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
     ).alias("token")
-    atoks = docs.filter(side < 10).select(tok).distinct()
-    btoks = docs.filter(side >= 10).select(tok).distinct()
+    # Both vocab dims feed two consumers each (atoks: bit build + the
+    # truth join; btoks: probe + the count base). They are BOUNDED
+    # (distinct tokens — Heaps-law sublinear), so pin them lazily per
+    # the checkpoint policy: documents scans drop from 5 to 2 (one
+    # pass per corpus side).
+    atoks = (
+        docs.filter(side < 10).select(tok).distinct()
+        .localCheckpoint(eager=False)
+    )
+    btoks = (
+        docs.filter(side >= 10).select(tok).distinct()
+        .localCheckpoint(eager=False)
+    )
     hashes = F.array(
         *[
             seeded_hash60(F.col("token"), F.lit(i)) % BLOOM_BITS

@@ -43,8 +43,25 @@ ALLOW = {
     "merge_upsert_orders": ("orders", 5, "merge target re-reads"),
     # Post-sweep floor: source dim, token explode, bigram explode, and
     # the fused doc/char census each need one documents pass; the
-    # bounded count dimensions are already checkpointed (SCALE.md).
-    "curation_lm_report": ("documents", 5, "four independent sub-pipelines"),
+    # bounded count dimensions are checkpointed, and under the r10
+    # production-count semantics each pin's BUILD pass is now counted
+    # too (5 logical lanes + 2 pin builds).
+    "curation_lm_report": ("documents", 7, "sub-pipelines + pin builds"),
+    # Ordered-funnel design: one type-filtered, pushdown-narrowed
+    # events scan per step (view/click/purchase) + the user dim; the
+    # step aggregates are pinned so no scan repeats per consumer.
+    "events_funnel_ordered": ("events", 4, "per-step filtered scans"),
+    # Full dedup deliverable compositions: LSH pair stage, closure
+    # init (every doc is a label seed), and the keep/size //
+    # quality-keeper // report lanes each take one column-pruned
+    # documents pass.
+    "corpus_dedup_collapse": ("documents", 5, "LSH + closure + keep lanes"),
+    "corpus_dedup_keeper_quality": (
+        "documents", 6, "collapse lanes + quality scorer"),
+    "corpus_dedup_report": ("documents", 4, "pipeline stage census"),
+    # Hybrid retrieval: BM25 corpus-stats lanes + the phrase/semantic
+    # lane each read documents once.
+    "retrieval_hybrid_rrf": ("documents", 4, "BM25 + semantic lanes"),
     # Grouped median-of-medians needs value + two median-join branches;
     # events scans are single-column pruned.
     "stats_outliers_mad": ("events", 4, "MAD needs median re-joins"),
@@ -56,6 +73,20 @@ ALLOW = {
     "source_overlap_matrix": ("documents", 4, "pair sides of one index"),
     # Sign-LSH bands build + both pair sides read the embeddings.
     "embedding_neardup": ("embeddings", 4, "band build + two pair sides"),
+    # Same banded machinery as embedding_neardup (band build + two
+    # pair sides); the lang filter adds documents scans, not these.
+    "dedup_translated_semantic": ("embeddings", 4, "banded pair sides"),
+    # Three independent gram-order emissions (c1/c2/c3) + the held-out
+    # instance explode each need one documents pass; the vocab-bounded
+    # count dims are pinned (lazy localCheckpoint), which already cut
+    # the pre-pin 7 scans to this floor.
+    "quality_trigram_backoff": ("documents", 4, "gram orders + held-out"),
+    # key↔name fan-back: the dist-0 self-join and the dist≥1 lane each
+    # read the 2-column pruned (p_partkey, p_name) scan twice; the
+    # blocking/Levenshtein machinery runs on the PINNED distinct-name
+    # dim (one scan). Scans are column-pruned key-mapping reads, not
+    # text reprocessing.
+    "fuzzy_name_match": ("part", 5, "pair-lane key fan-back"),
     # Exact top-k ground truth (documented brute-force baseline) plus
     # the clustered lane read the same vectors.
     "ann_label_purity": ("embeddings", 4, "exact baseline + eval lane"),
@@ -69,20 +100,66 @@ def main() -> int:
     from etl_his_spark.registry import QUERIES
     from etl_his_spark.session import get_spark
 
-    # Audit the PRE-checkpoint plans: Dataset.localCheckpoint replaces
-    # the upstream subtree with a LogicalRDD, so explain() on the
-    # shipped plan shows "Scan ExistingRDD" instead of the parquet
-    # scans feeding the checkpoint — any same-table amplification
-    # inside a checkpointed subtree would pass the gate silently
-    # (round-8 ADVICE). No-op'ing localCheckpoint during the audit
-    # makes every scan visible again; production behavior is untouched
-    # (the patch lives only in this process).
-    DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[method-assign]
+    # Count PRODUCTION scans: the final plan's parquet scans PLUS each
+    # localCheckpoint's build subtree counted ONCE. The r8 approach
+    # no-op'd localCheckpoint so checkpointed subtrees stayed visible —
+    # but that counts a pinned frame once per CONSUMER (dedup_components'
+    # pair build showed 89 "scans" that production runs exactly once),
+    # conflating logical fan-out with physical reads. Intercepting the
+    # call instead records the subtree plan at pin time (one read in
+    # production) and then lets the real checkpoint proceed, so the
+    # final plan shows LogicalRDD and nothing is double-counted.
+    #
+    # Spark 4 note: pyspark.sql.DataFrame is a facade; the classic
+    # implementation subclass OVERRIDES localCheckpoint, so the
+    # subclass must be patched too — patching only the facade silently
+    # re-hides every checkpointed subtree (caught in r10: a query
+    # whose whole lineage sits behind one pin showed ZERO scans).
+    checkpoint_plans: list[str] = []
+
+    def _capture_plan(df) -> None:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        checkpoint_plans.append(buf.getvalue())
+
+    def _patch(cls):
+        orig = cls.__dict__.get("localCheckpoint")
+        if orig is None:
+            return
+
+        def patched(self, eager=True):
+            _capture_plan(self)
+            return orig(self, eager)
+
+        cls.localCheckpoint = patched  # type: ignore[method-assign]
+
+    _patch(DataFrame)
+    try:
+        from pyspark.sql.classic.dataframe import (
+            DataFrame as ClassicDataFrame,
+        )
+
+        _patch(ClassicDataFrame)
+    except ImportError:  # older pyspark: single class, already patched
+        pass
+
+    # NOTE the space tolerance in the regex below: this Spark prints
+    # "Location: InMemoryFileIndex [file:/...]" (index class, then a
+    # SPACE, then the bracketed path list). The r8 regex required
+    # non-space between "Location:" and the path, matched NOTHING
+    # here, and silently made the whole audit vacuous — "clean" while
+    # counting zero scans (caught in r10 when the same regex returned
+    # {} for a query known to scan documents). `.*?` stays within the
+    # line (no DOTALL), so each Location line yields its first path's
+    # table name.
+    scan_re = r"Location: .*?/(\w+)\.parquet"
 
     spark = get_spark("audit_scans", cpus=8)
     violations = []
     checked = 0
     for name, fn in QUERIES.items():
+        checkpoint_plans.clear()
         try:
             df = fn(spark, sf_dir)
             buf = io.StringIO()
@@ -94,7 +171,9 @@ def main() -> int:
             )
             continue
         checked += 1
-        tables = re.findall(r"Location: \S*?/(\w+)\.parquet", buf.getvalue())
+        tables = re.findall(scan_re, buf.getvalue())
+        for plan in checkpoint_plans:
+            tables += re.findall(scan_re, plan)
         for table, n in Counter(tables).items():
             if n < THRESHOLD:
                 continue
