@@ -93,45 +93,59 @@ ALLOW = {
 }
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+# NOTE the space tolerance: this Spark prints
+# "Location: InMemoryFileIndex [file:/...]" (index class, then a
+# SPACE, then the bracketed path list). The r8 regex required
+# non-space between "Location:" and the path, matched NOTHING here,
+# and silently made the whole audit vacuous — "clean" while counting
+# zero scans (caught in r10 when the same regex returned {} for a
+# query known to scan documents). `.*?` stays within the line (no
+# DOTALL), so each Location line yields its first path's table name.
+SCAN_RE = r"Location: .*?/(\w+)\.parquet"
+
+# Plans captured at localCheckpoint call time by install_pin_capture().
+_checkpoint_plans: list[str] = []
+
+
+def _explain_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def install_pin_capture() -> None:
+    """Patch localCheckpoint to record each pinned subtree's plan.
+
+    Counting PRODUCTION scans means: the final plan's parquet scans
+    PLUS each localCheckpoint's build subtree counted ONCE. The r8
+    approach no-op'd localCheckpoint so checkpointed subtrees stayed
+    visible — but that counts a pinned frame once per CONSUMER
+    (dedup_components' pair build showed 89 "scans" that production
+    runs exactly once), conflating logical fan-out with physical
+    reads. Intercepting the call instead records the subtree plan at
+    pin time (one read in production) and then lets the real
+    checkpoint proceed, so the final plan shows LogicalRDD and
+    nothing is double-counted.
+
+    Spark 4 note: pyspark.sql.DataFrame is a facade; the classic
+    implementation subclass OVERRIDES localCheckpoint, so the
+    subclass must be patched too — patching only the facade silently
+    re-hides every checkpointed subtree (caught in r10: a query whose
+    whole lineage sits behind one pin showed ZERO scans).
+    """
     from pyspark.sql import DataFrame
-
-    from etl_his_spark.registry import QUERIES
-    from etl_his_spark.session import get_spark
-
-    # Count PRODUCTION scans: the final plan's parquet scans PLUS each
-    # localCheckpoint's build subtree counted ONCE. The r8 approach
-    # no-op'd localCheckpoint so checkpointed subtrees stayed visible —
-    # but that counts a pinned frame once per CONSUMER (dedup_components'
-    # pair build showed 89 "scans" that production runs exactly once),
-    # conflating logical fan-out with physical reads. Intercepting the
-    # call instead records the subtree plan at pin time (one read in
-    # production) and then lets the real checkpoint proceed, so the
-    # final plan shows LogicalRDD and nothing is double-counted.
-    #
-    # Spark 4 note: pyspark.sql.DataFrame is a facade; the classic
-    # implementation subclass OVERRIDES localCheckpoint, so the
-    # subclass must be patched too — patching only the facade silently
-    # re-hides every checkpointed subtree (caught in r10: a query
-    # whose whole lineage sits behind one pin showed ZERO scans).
-    checkpoint_plans: list[str] = []
-
-    def _capture_plan(df) -> None:
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        checkpoint_plans.append(buf.getvalue())
 
     def _patch(cls):
         orig = cls.__dict__.get("localCheckpoint")
-        if orig is None:
-            return
+        if orig is None or getattr(orig, "_scan_audit_patch", False):
+            return  # nothing to wrap, or already wrapped (idempotent)
 
         def patched(self, eager=True):
-            _capture_plan(self)
+            _checkpoint_plans.append(_explain_text(self))
             return orig(self, eager)
 
+        patched._scan_audit_patch = True  # type: ignore[attr-defined]
         cls.localCheckpoint = patched  # type: ignore[method-assign]
 
     _patch(DataFrame)
@@ -144,37 +158,38 @@ def main() -> int:
     except ImportError:  # older pyspark: single class, already patched
         pass
 
-    # NOTE the space tolerance in the regex below: this Spark prints
-    # "Location: InMemoryFileIndex [file:/...]" (index class, then a
-    # SPACE, then the bracketed path list). The r8 regex required
-    # non-space between "Location:" and the path, matched NOTHING
-    # here, and silently made the whole audit vacuous — "clean" while
-    # counting zero scans (caught in r10 when the same regex returned
-    # {} for a query known to scan documents). `.*?` stays within the
-    # line (no DOTALL), so each Location line yields its first path's
-    # table name.
-    scan_re = r"Location: .*?/(\w+)\.parquet"
 
+def production_scan_counts(fn, spark, sf_dir: str) -> Counter:
+    """Per-table production scan counts for one (spark, sf_dir) query
+    fn — final plan + each pin's build subtree once.
+    install_pin_capture() must have been called first."""
+    _checkpoint_plans.clear()
+    df = fn(spark, sf_dir)
+    tables = re.findall(SCAN_RE, _explain_text(df))
+    for plan in _checkpoint_plans:
+        tables += re.findall(SCAN_RE, plan)
+    return Counter(tables)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from etl_his_spark.registry import QUERIES
+    from etl_his_spark.session import get_spark
+
+    install_pin_capture()
     spark = get_spark("audit_scans", cpus=8)
     violations = []
     checked = 0
     for name, fn in QUERIES.items():
-        checkpoint_plans.clear()
         try:
-            df = fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
+            counts = production_scan_counts(fn, spark, sf_dir)
         except Exception as e:  # pragma: no cover - surfaced as violation
             violations.append(
                 f"{name}: explain failed ({type(e).__name__}: {str(e)[:200]})"
             )
             continue
         checked += 1
-        tables = re.findall(scan_re, buf.getvalue())
-        for plan in checkpoint_plans:
-            tables += re.findall(scan_re, plan)
-        for table, n in Counter(tables).items():
+        for table, n in counts.items():
             if n < THRESHOLD:
                 continue
             allow = ALLOW.get(name)
