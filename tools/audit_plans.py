@@ -47,6 +47,10 @@ SINGLE_PARTITION_ALLOW = {
     "stats_ks_drift",
     # 1-row corpus-totals aggregate (N, V) then broadcast
     "quality_unigram_likelihood",
+    # composes quality_unigram_likelihood behind a lazy pin: the pinned
+    # subtree carries that query's documented 1-row (N, V) totals
+    # aggregate (visible since the r10 pin-aware audit)
+    "training_curriculum_deciles",
     # 1-row vocab-size aggregate then broadcast (r8)
     "quality_bigram_likelihood",
     # 1-row (D, N) corpus-totals aggregate then broadcast
@@ -102,6 +106,9 @@ CROSS_JOIN_ALLOW = {
     "tpch_q22_dormant",
     "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
     "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
+    # composes quality_unigram_likelihood behind a lazy pin — inherits
+    # its documented 1-row totals broadcast (r10 pin-aware audit)
+    "training_curriculum_deciles",
     "quality_bigram_likelihood",   # broadcast of the 1-row vocab-size row
     "retrieval_bm25_topk",  # broadcast of the 1-row (D, N) totals
     "training_temperature_mixture",  # broadcast of the 1-row quota totals
@@ -139,15 +146,53 @@ CROSS_JOIN_ALLOW = {
 }
 
 
+# Physical plans of every localCheckpoint'ed subtree, captured at pin
+# time: a pin replaces its lineage with a LogicalRDD, so posture
+# violations INSIDE the pinned subtree (which executes in production!)
+# would otherwise never be audited — the same hide-behind-the-pin hole
+# the r10 scan-audit fix closed (tools/audit_scans.py docstring).
+_pin_plans: list[str] = []
+
+
+def _install_pin_capture() -> None:
+    from pyspark.sql import DataFrame
+
+    def _patch(cls):
+        orig = cls.__dict__.get("localCheckpoint")
+        if orig is None or getattr(orig, "_plan_audit_patch", False):
+            return
+
+        def patched(self, eager=True):
+            _pin_plans.append(
+                self._jdf.queryExecution().executedPlan().toString()
+            )
+            return orig(self, eager)
+
+        patched._plan_audit_patch = True  # type: ignore[attr-defined]
+        cls.localCheckpoint = patched  # type: ignore[method-assign]
+
+    _patch(DataFrame)
+    try:
+        from pyspark.sql.classic.dataframe import (
+            DataFrame as ClassicDataFrame,
+        )
+
+        _patch(ClassicDataFrame)
+    except ImportError:
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
     from etl_his_spark.session import get_spark
 
+    _install_pin_capture()
     spark = get_spark("audit_plans", cpus=8)
     violations: list[str] = []
 
     for name, fn in entrymod.queries().items():
+        _pin_plans.clear()
         try:
             plan = (
                 fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -155,6 +200,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             violations.append(f"{name}: plan build failed: {e}")
             continue
+        plan = "\n".join([plan, *_pin_plans])
         if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_ALLOW:
             violations.append(f"{name}: Exchange SinglePartition (serial stage)")
         if (
@@ -177,7 +223,16 @@ def main() -> int:
     # exchange-parallel throughout.
     his_allow_single = {"paciente", "prestacion", "turno"}
     try:
+        _pin_plans.clear()
         outputs = run_pipeline(his_tables_from_testdata(spark, sf_dir))
+        # Pinned subtrees are shared across outputs — audit them once.
+        # SinglePartition inside the pins is the documented dim-scale
+        # dense-id minting (dense_ids_small); cartesians are not.
+        pinned = "\n".join(_pin_plans)
+        if "CartesianProduct" in pinned or "BroadcastNestedLoopJoin" in pinned:
+            violations.append(
+                "his_pipeline.pinned_subtrees: cartesian/nested-loop join"
+            )
         for name, df in outputs.items():
             plan = df._jdf.queryExecution().executedPlan().toString()
             qname = f"his_pipeline.{name}"
