@@ -107,7 +107,15 @@ _CHECK_FIRST = [
     #   41-50 the ten permanent family sentinels (pinned). text_simhash
     #         doubles as the hard check on this round's lane-overflow
     #         guard in simhash_signatures (ADVICE r9 low).
-    # Positions 1-10: the ten r9 additions.
+    # Position 1: fuzzy_name_match was REDESIGNED this round (verify
+    # once per distinct name + the distinct-name-dim pin from the
+    # fixed scan audit) — the rotation rule puts changed queries
+    # first, so its new code gets a driver row even though its r9 row
+    # was green. To keep the window at 50 with the ten sentinels
+    # intact, window_running_sum (its machinery adjacent to the
+    # in-window window_range_frame) slides to the r11-leader queue.
+    "fuzzy_name_match",
+    # Positions 2-11: the ten r9 additions.
     "text_lexical_diversity",
     "inference_prefix_cache_hits",
     "curation_blocklist_filter",
@@ -149,7 +157,6 @@ _CHECK_FIRST = [
     "window_lag_lead",
     "window_range_frame",
     "window_rank_dense",
-    "window_running_sum",
     # Positions 41-50: the ten permanent family sentinels (pinned —
     # do not rotate out).
     "his_extraction_shape",
@@ -171,6 +178,11 @@ _CHECK_FIRST = [
     "join_inner_broadcast",
     "unpivot_measures",
     "dedup_distinct_name",
+    # Slid out of the 50-slot window when fuzzy_name_match's r10
+    # redesign took position 1 (changed-queries-first rule); its
+    # running-sum machinery stays exercised in-window by
+    # window_range_frame's range-frame sums. r9-green driver row.
+    "window_running_sum",
     # Position 56: added in r10 after this window froze (r9 verdict
     # item 6 — the ninth live streaming lane: foreachBatch MERGE into
     # the manifest lakehouse); tri-scale green on registration day,
