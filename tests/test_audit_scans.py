@@ -85,3 +85,23 @@ def test_counts_same_table_amplification(spark, sf_dir):
         return a.join(b, "source")
 
     assert production_scan_counts(q, spark, sf_dir) == {"documents": 2}
+
+
+def test_plan_audit_pin_capture_sees_hidden_posture(spark, sf_dir):
+    """The plan audit's pin capture must surface a SinglePartition
+    exchange hidden INSIDE a checkpointed subtree — the hole that let
+    training_curriculum_deciles' inherited posture go unaudited."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.audit_plans import _install_pin_capture, _pin_plans
+
+    _install_pin_capture()
+    _pin_plans.clear()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pinned = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    ).localCheckpoint(eager=False)
+    pinned.select("doc_id", "rn").limit(1)
+    joined = "\n".join(_pin_plans)
+    assert "Exchange SinglePartition" in joined
