@@ -143,17 +143,24 @@ from .queries_dedup import _SIMHASH_CTE  # noqa: E402  (canonical simhash SQL)
     "graph_triangle_counts",
     f"""
     WITH {_SIMHASH_CTE},
-    e AS (
+    -- The MATERIALIZED hints below are load-bearing, not style:
+    -- DuckDB inlines plain CTEs per reference, and this chain is
+    -- referenced multiply (deg reads e twice, o reads e + deg twice,
+    -- tri reads o three times transitively, the final UNION reads
+    -- tri three times) — inlined, the whole simhash pipeline re-ran
+    -- ~45x, which made the r10 sf0.1 closing audit sit an HOUR on
+    -- this one oracle (25 GB spill). Materialized, sf0.1 runs in ~6 s.
+    e AS MATERIALIZED (
         SELECT a.doc_id AS u, b.doc_id AS v
         FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
             SELECT u AS node FROM e UNION ALL SELECT v FROM e
         ) GROUP BY 1
     ),
-    o AS (
+    o AS MATERIALIZED (
         -- orient every edge from the (degree, id)-smaller endpoint:
         -- a total order, so the oriented graph is a DAG and each
         -- triangle matches the (u→v, u→w, v→w) pattern exactly once
@@ -163,11 +170,21 @@ from .queries_dedup import _SIMHASH_CTE  # noqa: E402  (canonical simhash SQL)
                    AS dst
         FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
     ),
-    tri AS (
-        SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
-        FROM o w1
-        JOIN o w2 ON w1.src = w2.src AND w1.dst <> w2.dst
-        JOIN o cl ON cl.src = w1.dst AND cl.dst = w2.dst
+    adj AS MATERIALIZED (
+        SELECT src, list(dst) AS nbrs FROM o GROUP BY src
+    ),
+    tri AS MATERIALIZED (
+        -- adjacency-intersect closure (the Spark side's r9 shape):
+        -- for each oriented edge (a, b), every shared out-neighbor w
+        -- closes exactly the (a→b, a→w, b→w) triangle of the wedge
+        -- formulation — the same set, verified bit-identical against
+        -- the wedge-join form at sf0.001/0.01, without materializing
+        -- the wedge rows.
+        SELECT o.src AS a, o.dst AS b,
+               unnest(list_intersect(au.nbrs, av.nbrs)) AS c
+        FROM o
+        JOIN adj au ON au.src = o.src
+        JOIN adj av ON av.src = o.dst
     )
     SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
         SELECT a AS node FROM tri
