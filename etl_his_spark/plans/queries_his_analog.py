@@ -88,7 +88,10 @@ def _wide_slots_sql() -> str:
         for i in range(_N)
     )
     return f"""
-    WITH wide AS (
+    -- MATERIALIZED: wide is read once per slot (11 UNION ALL branches);
+    -- inlined, DuckDB re-runs the lineitem pivot per branch (the
+    -- triangle-oracle lesson, r10).
+    WITH wide AS MATERIALIZED (
         SELECT l_orderkey AS orden_id,
            {cases}
         FROM lineitem

@@ -708,17 +708,27 @@ def _jl_signs() -> list[list[float]]:
 
 
 def _jl_oracle() -> str:
+    # Each output dim is a FLAT left-associative chain of ±e[i] terms:
+    # ((e[1]*s1 + e[2]*s2) + ...) — bit-identical to list_sum's
+    # sequential fold (0 + x1 ≡ x1 for the nonzero components real
+    # embeddings have), with no per-row list work. The original form
+    # indexed a 64-element list LITERAL per element inside
+    # list_transform — DuckDB rebuilt the constant per row per index,
+    # measured ~37 s at sf0.1 quiet (r10 oracle-cost sweep). v is also
+    # MATERIALIZED: 16 UNION ALL branches otherwise re-inline the
+    # embedding cast per branch (the triangle-oracle lesson).
     rows = []
     for j, signs in enumerate(_jl_signs()):
-        lit = "[" + ", ".join(
-            ("1.0" if s > 0 else "-1.0") for s in signs
-        ) + "]"
+        terms = " + ".join(
+            f"e[{i + 1}] * {'1.0' if s > 0 else '-1.0'}"
+            for i, s in enumerate(signs)
+        )
         rows.append(f"""
         SELECT vec_id, {j} AS out_dim,
-               list_sum(list_transform(generate_series(1, {JL_IN_DIMS}),
-                        i -> e[i] * ({lit})[i])) / 4 AS value
+               ({terms}) / 4 AS value
         FROM v""")
-    return f"WITH {_VECS_CTE} " + "\n        UNION ALL ".join(rows)
+    vec_cte = _VECS_CTE.replace("v AS (", "v AS MATERIALIZED (")
+    return f"WITH {vec_cte} " + "\n        UNION ALL ".join(rows)
 
 
 @register("embedding_jl_projection", _jl_oracle())

@@ -228,7 +228,10 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
           ELSE CAST([] AS BIGINT[]) END AS ms
         FROM grams
     ),
-    fps AS (
+    -- fps/kept MATERIALIZED: each is referenced twice (rarity +
+    -- join sides); inlined, DuckDB re-runs the whole winnowing chain
+    -- per reference (the triangle-oracle lesson, r10).
+    fps AS MATERIALIZED (
         SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM mins
     ),
     -- posting-list cap: a fingerprint present in many documents is
@@ -237,7 +240,8 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare AS (
         SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
     ),
-    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+    kept AS MATERIALIZED (
+        SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(count(*) AS BIGINT) AS n_shared
     FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
