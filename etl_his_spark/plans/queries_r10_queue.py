@@ -653,7 +653,12 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    nn = c1.agg(F.sum("c").cast("long").alias("n_total"))
+    # coalesce: sum() is NULL on an empty train split (tr_toks count
+    # returned 0), which would silently nullify every backoff score
+    # downstream (ADVICE r10).
+    nn = c1.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
+    )
 
     def gram_counts(k: int, out: str):
         # n >= k guard: F.sequence(k, n) is DESCENDING when n < k (Spark

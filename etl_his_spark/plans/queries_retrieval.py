@@ -728,6 +728,13 @@ def _jl_oracle() -> str:
                ({terms}) / 4 AS value
         FROM v""")
     vec_cte = _VECS_CTE.replace("v AS (", "v AS MATERIALIZED (")
+    # A silent no-op here (shared-CTE text drift: rename/whitespace)
+    # would quietly reintroduce the 16x per-branch re-inlining this
+    # replacement exists to prevent (ADVICE r10) — fail loudly instead.
+    assert vec_cte != _VECS_CTE, (
+        "_VECS_CTE no longer starts with 'v AS (' — the MATERIALIZED "
+        "rewrite in _jl_oracle() did not apply; update the marker."
+    )
     return f"WITH {vec_cte} " + "\n        UNION ALL ".join(rows)
 
 

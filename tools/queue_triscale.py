@@ -8,7 +8,10 @@ format) so registration day inherits both proofs.
 
 Usage: python tools/queue_triscale.py [--module plans.queries_r11_queue]
        [--dict R11_QUEUE] [--out R11_QUEUE_SCALE.json] [name ...]
-Exit non-zero on the first oracle mismatch.
+Continues through every requested name (so one run reports ALL
+mismatches), then exits non-zero if any name failed an oracle
+comparison at any scale — or if no SF_DIR existed at all (a vacuous
+sweep must not read as a pass; the r8 audit lesson).
 """
 
 from __future__ import annotations
@@ -103,6 +106,16 @@ def main() -> int:
             spark.stop()
             per_sf[sf] = round(min(runs), 3)
         else:
+            if not per_sf:
+                # No SF_DIR existed: recording an empty entry and
+                # printing OK would be a vacuous pass (the r8
+                # scan-audit lesson). Count it as a failure instead.
+                failures += 1
+                print(
+                    f"FAIL {name}: no sf dir found among {SF_DIRS}",
+                    file=sys.stderr,
+                )
+                continue
             sfs = sorted(per_sf, key=float)
             alphas = {}
             for lo, hi in zip(sfs, sfs[1:]):
