@@ -167,6 +167,21 @@ HEADLINE = [
     # round-10 addition: streaming CDC apply (foreachBatch MERGE into
     # the manifest lakehouse — r9 verdict item 6).
     "streaming_cdc_apply_agree",
+    # round-11 registrations (written and tri-scale-proven in r10):
+    # KMV set-op sketches, mergeable quantile rollup, ANN recall +
+    # LSH precision/recall evals, margin bitext mining, SemDeDup
+    # diversity prune, Heaps coverage curve, Zipf fit, label
+    # propagation, Bloom membership.
+    "sketch_kmv_set_ops",
+    "events_quantile_daily_rollup",
+    "ann_recall_eval",
+    "dedup_lsh_eval",
+    "retrieval_margin_bitext",
+    "curation_diversity_prune",
+    "corpus_ngram_coverage_curve",
+    "text_zipf_fit",
+    "graph_label_propagation",
+    "sketch_bloom_membership",
 ]
 
 
@@ -190,6 +205,43 @@ def _quiesce(spark) -> None:
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     _time.sleep(0.7)
+
+
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def _isolated_reference() -> dict[str, float]:
+    """Per-query times from the NEWEST committed BENCH_ISOLATED_r*.json.
+
+    Used ONLY as a retry trigger (r10 verdict item 4): when a query's
+    in-sequence min lands > 2× its fresh-JVM isolated twin, the cause
+    is almost always box contention (the r10 driver artifact carried
+    43.9 s / 99.4 s one-off stragglers on ~3 s queries), so bench
+    re-measures under a fresh session instead of committing the noise.
+    Reference values never replace measurements — every reported
+    number is a real run from THIS invocation.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(os.path.join(here, "BENCH_ISOLATED_r*.json"))
+    rounds = []
+    for f in files:
+        m = re.search(r"_r(\d+)(?:_|\.json)", os.path.basename(f))
+        if m:
+            rounds.append((int(m.group(1)), f))
+    for _, f in sorted(rounds, reverse=True):
+        try:
+            with open(f) as fh:
+                q = json.load(fh).get("queries", {})
+            ref = {k: v for k, v in q.items() if isinstance(v, (int, float))}
+            if ref:
+                return ref
+        except (OSError, ValueError):
+            continue
+    return {}
 
 
 def run_isolated(names: list[str]) -> int:
@@ -291,6 +343,22 @@ def main() -> int:
     RESTART_EVERY = int(os.environ.get("BENCH_RESTART_EVERY", "6"))
     bench_names = names if one is None else [one]
     all_runs: dict[str, list[float]] = {n: [] for n in bench_names}
+    # Straggler/contention retry (r10 verdict item 4): the r10 driver
+    # artifact recorded one-off 43.9 s / 99.4 s runs on ~3 s queries
+    # (neighbor compile jobs on the shared box). Two triggers, each
+    # answered by MORE real measurements under a fresh session — never
+    # by editing values: (a) a single run > 3× this query's own median
+    # (runs_all must reflect the plan, not the neighbor), (b) the min
+    # itself > 2× the committed fresh-JVM isolated twin (the whole
+    # window was contended). Budget: 2 extra sessions per query.
+    ISO_REF = _isolated_reference() if one is None else {}
+    noise_suspect: list[str] = []
+
+    def _contended(runs: list[float], ref: float | None) -> bool:
+        if max(runs) > 3.0 * _median(runs):
+            return True
+        return ref is not None and min(runs) > 2.0 * ref
+
     for i, name in enumerate(bench_names):
         if i and i % RESTART_EVERY == 0:
             spark.stop()
@@ -300,6 +368,26 @@ def main() -> int:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(round(time.time() - t0, 3))
+        retries = 2
+        while retries and _contended(all_runs[name], ISO_REF.get(name)):
+            retries -= 1
+            spark.stop()
+            spark = get_spark("bench")
+            # Unrecorded warm run: a fresh session's first execution
+            # pays plan compile + parquet footers, which the original
+            # min-of-3 absorbed via the session-start warm query.
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            _quiesce(spark)
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                all_runs[name].append(round(time.time() - t0, 3))
+        if _contended(all_runs[name], ISO_REF.get(name)):
+            noise_suspect.append(name)
     timings = {n: min(r) for n, r in all_runs.items()}
     if one is not None:
         print(json.dumps(timings))
@@ -346,6 +434,10 @@ def main() -> int:
         "his_pipeline_publish": min(his_runs),
         "his_pipeline_publish_runs": his_runs,
         "queries": timings,
+        # queries whose runs stayed contention-shaped even after the
+        # fresh-session retries (see _contended) — read their min with
+        # the isolated twin, not at face value
+        "noise_suspect": noise_suspect,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     _persist(payload, "BENCH_LOCAL.json")

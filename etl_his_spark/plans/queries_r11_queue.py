@@ -366,7 +366,11 @@ def events_quantile_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def q(p: int) -> F.Column:
-        need = F.floor((p * F.col("total") + 99) / 100)
+        # Pure integer ceil-rank (`div`, not `/` + floor): double
+        # division rounds for totals beyond ~2^53/p and would break
+        # the no-float-enters-either-engine discipline the oracle's
+        # (p*total+99)//100 follows (ADVICE r10).
+        need = F.expr(f"({p} * total + 99) div 100")
         return F.min(F.when(F.col("c") >= need, F.col("bin"))) * F.lit(
             1000000 // QUANTILE_SCALE
         )
@@ -728,6 +732,15 @@ def retrieval_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRUNE_BITS = 10       # sign-LSH cell = 10 sign bits over dims 1..10
 PRUNE_DOT_THRESH = 900_000  # quantized-dot near-twin threshold (~cos 0.9)
+# int64 headroom for the n²-scaled spread Σ_64 (n·q_i − s_i)²: with
+# milli-quantized unit vectors |q_i| ≤ 1000, each term is ≤ (2000·n)²
+# and the 64-dim sum ≤ 2.56e8·n², which stays under 2^63 only while
+# n ≲ 1.9e5 rows per cell (ADVICE r10). At 100 TB, grow PRUNE_BITS
+# with the corpus so cells stay under this cap — the guard below
+# raises instead of silently wrapping (Spark ANSI would throw anyway;
+# DuckDB's HUGEINT sum would NOT, so a wrap would surface as a hash
+# mismatch at best and a silent wrong prune at worst).
+PRUNE_MAX_CELL = 150_000
 
 _PRUNE_CELL_SQL = " + ".join(
     f"(CASE WHEN e[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
@@ -823,11 +836,24 @@ def curation_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("s"),
     ).localCheckpoint(eager=False)
+    # Cell-size guard (the simhash lane_packed pattern): n is already
+    # on every joined row, so the check is a free per-row expression.
+    spread_expr = F.when(
+        F.col("n") > PRUNE_MAX_CELL,
+        F.raise_error(
+            F.lit(
+                "curation_diversity_prune cell overflow: a sign-LSH"
+                f" cell holds > {PRUNE_MAX_CELL} vectors; the int64"
+                " n^2-scaled spread would overflow — increase"
+                " PRUNE_BITS for this corpus size"
+            )
+        ).cast("long"),
+    )
     scored = (
         cells.join(csum, "cell")
         .withColumn(
             "spread",
-            F.aggregate(
+            spread_expr.otherwise(F.aggregate(
                 F.zip_with(
                     "q",
                     "s",
@@ -836,7 +862,7 @@ def curation_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            ),
+            )),
         )
         .select("vec_id", "cell", "q", "spread")
     )
@@ -1362,3 +1388,15 @@ R11_QUEUE = {
     "graph_label_propagation": (graph_label_propagation, LPA_ORACLE),
     "sketch_bloom_membership": (sketch_bloom_membership, BLOOM_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# r11 registration: publish every queue entry into the driver-facing
+# registry (the r10 pattern — looping over R11_QUEUE keeps the queue
+# dict, which tests/test_r11_queue.py verifies against the DuckDB
+# oracles, and the registry surface mechanically identical).
+# ---------------------------------------------------------------------------
+from ..registry import register  # noqa: E402
+
+for _name, (_fn, _oracle) in R11_QUEUE.items():
+    register(_name, _oracle)(_fn)

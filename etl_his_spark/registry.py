@@ -65,6 +65,7 @@ from .plans import queries_lm  # noqa: E402,F401
 from .plans import queries_retrieval  # noqa: E402,F401
 from .plans import queries_graph  # noqa: E402,F401
 from .plans import queries_r10_queue  # noqa: E402,F401
+from .plans import queries_r11_queue  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -82,6 +83,119 @@ from .plans import queries_r10_queue  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    # --- Round 11 window (50 slots) — executes the queue the r10
+    # window wrote down, exactly as the r10 verdict ordered (items 1-2).
+    # Layout:
+    #   1-8   the eight queued r11 leaders: the five sentinel-subsumed
+    #         r5-last queries + window_running_sum (slid out when
+    #         fuzzy_name_match's redesign took r10 position 1), then
+    #         streaming_cdc_apply_agree (registered r10 after the
+    #         window froze — never driver-checked) and
+    #         multimodal_features (oracle upgraded rows-only →
+    #         hash-exact after the freeze). After this round no
+    #         registered query lacks a driver row under its CURRENT
+    #         oracle, and no hash-oracle row is older than r6.
+    #   9-18  the ten r11-queue gates registered THIS round (written
+    #         and tri-scale-proven in r10; tests/test_r11_queue.py
+    #         runs the driver-style comparison over all ten every
+    #         pytest run). events_quantile_daily_rollup carries the
+    #         r11 integer-div ceil-rank fix and
+    #         curation_diversity_prune the r11 cell-size guard (both
+    #         ADVICE r10 lows) — changed-queries-first puts the whole
+    #         block up front anyway.
+    #   19    quality_trigram_backoff — its n_total gained an
+    #         empty-train coalesce this round (ADVICE r10 low);
+    #         changed-queries-first rule, despite its green r10 row.
+    #   20-40 twenty-one of the thirty-eight r6-last queries,
+    #         machinery-first (F4 gender lookup, as-of/range joins,
+    #         graph lanes, LSH scale guards, ANN variants, BM25,
+    #         curation, lakehouse, multimodal, sketches, skew/bucket
+    #         joins, BPE, streaming state, weighted sampling). The
+    #         seventeen remaining r6-last queries queue at positions
+    #         51+ as written r12 leaders.
+    #   41-50 the ten permanent family sentinels (pinned).
+    "proj_alias_concat",
+    "string_clean",
+    "join_inner_broadcast",
+    "unpivot_measures",
+    "dedup_distinct_name",
+    "window_running_sum",
+    "streaming_cdc_apply_agree",
+    "multimodal_features",
+    # Positions 9-18: the ten r11-queue gates registered this round.
+    "sketch_kmv_set_ops",
+    "events_quantile_daily_rollup",
+    "ann_recall_eval",
+    "dedup_lsh_eval",
+    "retrieval_margin_bitext",
+    "curation_diversity_prune",
+    "corpus_ngram_coverage_curve",
+    "text_zipf_fit",
+    "graph_label_propagation",
+    "sketch_bloom_membership",
+    # Position 19: code changed this round (ADVICE r10 coalesce).
+    "quality_trigram_backoff",
+    # Positions 20-40: twenty-one r6-last queries, machinery-first.
+    "gender_inference",
+    "events_asof_join",
+    "events_range_join",
+    "graph_pagerank_trade",
+    "dedup_components",
+    "dedup_lsh_giant_buckets",
+    "corpus_dedup_collapse_guarded",
+    "ann_topk_multiprobe",
+    "ann_topk_pq_adc",
+    "retrieval_bm25_topk",
+    "curation_pii_redact",
+    "curation_contamination",
+    "lakehouse_zorder",
+    "multimodal_frame_sample",
+    "sketch_count_min",
+    "skew_salted_pricing",
+    "bucketed_join_colocated",
+    "training_bpe_merges",
+    "training_vocab_build",
+    "streaming_stateful_totals_agree",
+    "sample_weighted_quality",
+    # Positions 41-50: the ten permanent family sentinels (pinned —
+    # do not rotate out).
+    "his_extraction_shape",
+    "his_unpivot_slots",
+    "tpch_q1_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "text_simhash",
+    "merge_upsert_orders",
+    "json_extract_stats",
+    # Positions 51-67: the seventeen remaining r6-last queries —
+    # written r12 leaders (same retire-the-queue discipline as the
+    # r10→r11 positions 51-57).
+    "corpus_dedup_report",
+    "doc_chunk_overlap",
+    "events_attribution",
+    "events_attribution_last",
+    "events_funnel_ordered",
+    "events_hopping_window",
+    "events_retention_cohorts",
+    "events_topk_per_window",
+    "stats_correlation",
+    "stats_histogram",
+    "stats_outliers_mad",
+    "streaming_attribution_agree",
+    "streaming_dedup_agree",
+    "training_curriculum_deciles",
+    "training_oov_rate",
+    "training_temperature_mixture",
+    "training_tokenize_docs",
+    # Positions 68+: everything else keeps registration order; all
+    # were driver-green in r7-r10 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R10_WINDOW_HISTORY = [
     # --- Round 10 window (50 slots) — executes the queue the r9 window
     # wrote down, exactly as the r9 verdict ordered (item 1).
     # Layout:

@@ -87,6 +87,13 @@ SINGLE_PARTITION_ALLOW = {
     # 1-row training-token-total N aggregate then broadcast — the
     # quality_bigram_likelihood idiom (r10)
     "quality_trigram_backoff",
+    # r11 queue registrations: single-row FINAL aggregates after
+    # map-side partials (sketch monoids / eval totals):
+    "sketch_bloom_membership",
+    "dedup_lsh_eval",
+    # cumulative window over the 10-row decile aggregate —
+    # report-sized by construction (the stats_ks_drift argument):
+    "corpus_ngram_coverage_curve",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.
@@ -143,6 +150,17 @@ CROSS_JOIN_ALLOW = {
     # broadcast of the 1-row training-token-total N feeding the
     # unigram backoff arm — the quality_bigram_likelihood idiom (r10)
     "quality_trigram_backoff",
+    # r11 queue registrations (idioms verified against the executed
+    # plans at sf0.001 before registration — queue module docstring):
+    # fixed query-panel broadcast over the corpus — the
+    # ann_topk_bruteforce shape:
+    "ann_recall_eval",
+    "retrieval_margin_bitext",
+    # event-type-dim × event-type-dim theta join (≤ |types|² rows):
+    "sketch_kmv_set_ops",
+    # 1-row scalar-aggregate broadcasts — the tpch_q11 idiom:
+    "dedup_lsh_eval",
+    "corpus_ngram_coverage_curve",
 }
 
 

@@ -90,6 +90,18 @@ ALLOW = {
     # Exact top-k ground truth (documented brute-force baseline) plus
     # the clustered lane read the same vectors.
     "ann_label_purity": ("embeddings", 4, "exact baseline + eval lane"),
+    # r11 queue registrations (production scan counts measured under
+    # the r10 final-plan + pin-build semantics at sf0.001; the other
+    # six queue gates count ≤ 3):
+    # brute-force truth + IVF index lanes
+    "ann_recall_eval": ("embeddings", 5, "truth + IVF index lanes"),
+    # cells + pinned-centroid build + two pair sides (which share one
+    # exchange at runtime)
+    "curation_diversity_prune": ("embeddings", 4, "cells + pair sides"),
+    # the dots table's fwd/bwd/argmax traversals
+    "retrieval_margin_bitext": ("embeddings", 4, "fwd/bwd/argmax lanes"),
+    # exact-truth lanes incl. the pinned shingle build + LSH candidates
+    "dedup_lsh_eval": ("documents", 5, "exact truth + LSH lanes"),
 }
 
 
