@@ -187,8 +187,14 @@ def jaccard_pairs(
     Inverted-index join: explode shingles, self-join on shingle,
     count intersections, divide by union size. Exact but scales with
     posting-list squares — use minhash_lsh_candidates at 100 TB and
-    reserve this for verification of candidate pairs.
+    reserve this for verification of candidate pairs. Guarded (r11):
+    raises above 200,000 docs, pointing to the LSH twin.
     """
+    from .guards import assert_baseline_scale
+
+    assert_baseline_scale(
+        docs, 200_000, "jaccard_pairs", "minhash_lsh_candidates"
+    )
     # sh feeds three plan subtrees (sizes + both join sides): materialize
     # once or Spark recomputes the shingling per consumer. Eager
     # localCheckpoint, not persist(): blocks are GC-reclaimed with the

@@ -44,7 +44,23 @@ def brute_force_topk(
 
     Deterministic: cosine is a sequential double fold (bit-stable) and
     ties break on neighbor id.
+
+    Guarded (r11): work is |queries| × |vectors| sims with the query
+    panel broadcast, so an oversized panel both explodes the work and
+    OOMs the broadcast. Caps: 10,000 queries, and vectors bounded so
+    the sim count stays ≤ 2e9. The scale path is ``ivf_topk``.
     """
+    from .guards import assert_baseline_scale
+
+    n_q = assert_baseline_scale(
+        queries, 10_000, "brute_force_topk (query panel)", "ivf_topk"
+    )
+    assert_baseline_scale(
+        vectors,
+        max(2_000_000_000 // max(n_q, 1), 1),
+        "brute_force_topk (corpus side)",
+        "ivf_topk",
+    )
     q = _prep(queries, id_col, vec_col, "query").withColumn(
         "q_norm", norm(F.col("query_vec"))
     )
@@ -192,8 +208,14 @@ def embedding_neardup_pairs(
 
     Kept ONLY as ground truth for recall tests of
     ``banded_neardup_pairs`` (the registered scale path). Do not use
-    at scale.
+    at scale — guarded (r11): raises above 100,000 vectors (≈5e9
+    pairs), pointing to the banded twin.
     """
+    from .guards import assert_baseline_scale
+
+    assert_baseline_scale(
+        vectors, 100_000, "embedding_neardup_pairs", "banded_neardup_pairs"
+    )
     # Precompute each vector's norm ONCE (per-pair recomputation would
     # triple the dominant cost); dot/(norm_a*norm_b) is the identical
     # double expression either way, so oracle parity is preserved.

@@ -103,16 +103,40 @@ def dense_ids(
     return out
 
 
+# dense_ids_small is a single-partition window: correct ONLY for
+# deduped dimensions. The cap makes "never for the fact table" a
+# runtime property instead of a docstring promise (r10 verdict item
+# 6): row_number is already the running count, so the check is a free
+# per-row expression — no extra job, no extra scan — and a fact-scale
+# input raises instead of silently serializing onto one task.
+DENSE_IDS_SMALL_MAX = 10_000_000
+
+
 def dense_ids_small(
     df: DataFrame, order_cols: list[Column], id_col: str = "id"
 ) -> DataFrame:
     """Gap-free ids via one global window — fine for dimension tables.
 
     Single-partition window: acceptable when the input is a deduped
-    dimension (thousands-to-millions of rows), never for the fact table.
+    dimension (thousands-to-millions of rows), never for the fact
+    table — enforced at ``DENSE_IDS_SMALL_MAX`` rows (raises; use
+    ``dense_ids`` for larger dims, ``unique_ids`` for facts).
     """
     w = Window.orderBy(*order_cols)
-    return df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    rn = F.row_number().over(w)
+    guarded = F.when(
+        rn > DENSE_IDS_SMALL_MAX,
+        F.raise_error(
+            F.lit(
+                "dense_ids_small input exceeds"
+                f" {DENSE_IDS_SMALL_MAX} rows — this is a"
+                " single-partition window for DIMENSIONS; use"
+                " dense_ids (parallel two-phase) or unique_ids"
+                " (fact-scale) instead"
+            )
+        ).cast("int"),
+    ).otherwise(rn)
+    return df.withColumn(id_col, guarded.cast("long"))
 
 
 def unique_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
