@@ -1045,20 +1045,15 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs).filter(F.col("est_sim") >= 0.5)
-    splits = docs.select("doc_id", _split_assign_expr().alias("split"))
+    # The split is a PURE FUNCTION of the id (md5-mod-100), so both
+    # assignments are evaluated in place on the pair row — no split
+    # dim, no joins, one fewer documents scan (r11; the r10 form
+    # joined a (doc_id, split) frame twice, and those two extra
+    # analysis passes over the doubled self-join subtree were the
+    # bulk of the r9→r10 isolated drift on this query).
     return (
-        pairs.join(
-            splits.select(
-                F.col("doc_id").alias("a_id"), F.col("split").alias("split_a")
-            ),
-            "a_id",
-        )
-        .join(
-            splits.select(
-                F.col("doc_id").alias("b_id"), F.col("split").alias("split_b")
-            ),
-            "b_id",
-        )
+        pairs.withColumn("split_a", _split_assign_expr("a_id"))
+        .withColumn("split_b", _split_assign_expr("b_id"))
         .filter(F.col("split_a") != F.col("split_b"))
         .select("a_id", "b_id", "split_a", "split_b", "est_sim")
     )

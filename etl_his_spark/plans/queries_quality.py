@@ -242,10 +242,15 @@ SPLIT_CASE_SQL = (
 )
 
 
-def split_assign_expr():
-    """doc_id → 'train'/'val'/'test' Column (md5-mod-100, 90/5/5)."""
+def split_assign_expr(id_col: str = "doc_id"):
+    """id → 'train'/'val'/'test' Column (md5-mod-100, 90/5/5).
+
+    A PURE FUNCTION of the id — consumers holding any id column can
+    evaluate it in place instead of joining a (doc_id, split) frame
+    (split_leakage_check r11: two joins + one documents scan removed
+    this way, identical rows)."""
     h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     bucket = h % 100
     return (
