@@ -180,12 +180,26 @@ def run_pipeline(
         "prestacion_x_turno": bridge,
     }
     if output_root is not None:
+        # The turno(fecha) index analog (PostgresSchemaBuilder.php:90)
+        # at MONTH grain: date-grain dirs put one directory per date on
+        # the filesystem/metastore (2,405 at sf0.1; tens of thousands
+        # at 100 TB — the partition-explosion anti-pattern, and 12-17 s
+        # of pure directory traffic in the r11 write profile, width-
+        # insensitive). Month dirs (~80) plus fecha-sorted row groups
+        # give the same day-grain pruning — directory pruning to the
+        # month, then parquet min/max skips to the date — at 2.2 s
+        # (measured r11, same box, same data). fecha_mes is a
+        # write-layout column, added only on the publish path; the
+        # returned frames keep the DDL schema.
+        publish = dict(outputs)
+        publish["turno"] = outputs["turno"].withColumn(
+            "fecha_mes", F.date_format("fecha", "yyyy-MM")
+        )
         publish_atomic(
-            outputs,
+            publish,
             output_root,
-            # fecha partitioning = the turno(fecha) index analog
-            # (PostgresSchemaBuilder.php:90)
-            partition_by={"turno": ["fecha"]},
+            partition_by={"turno": ["fecha_mes"]},
+            sort_within={"turno": ["fecha"]},
         )
     return outputs
 

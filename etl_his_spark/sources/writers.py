@@ -114,6 +114,7 @@ def write_table(
     path: str,
     *,
     partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Parquet overwrite write; optional partition columns.
@@ -142,6 +143,13 @@ def write_table(
     32 tasks → 5.8 s at 256. More tasks than values costs only empty
     tasks; each value still lands in exactly one task (one file per
     partition either way).
+
+    ``sort_within`` sorts rows inside each writing task before the
+    write: with one task (hence one file) per partition value, the
+    file's row groups carry tight min/max stats on the sort columns,
+    so sub-partition predicates (e.g. a single date inside a month
+    partition) prune at the row-group level without needing a
+    directory per value.
     """
     if partition_by:
         n_tasks = max(
@@ -149,6 +157,8 @@ def write_table(
             df.sparkSession.sparkContext.defaultParallelism * 8,
         )
         df = df.repartition(n_tasks, *[F.col(c) for c in partition_by])
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -209,6 +219,7 @@ def publish_atomic(
     root: str,
     *,
     partition_by: dict[str, list[str]] | None = None,
+    sort_within: dict[str, list[str]] | None = None,
 ) -> str:
     """Write all tables to a staging dir, then atomically publish.
 
@@ -220,10 +231,16 @@ def publish_atomic(
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{token}")
     partition_by = partition_by or {}
+    sort_within = sort_within or {}
     paths = {}
     for name, df in tables.items():
         paths[name] = os.path.join(staging, name)
-        write_table(df, paths[name], partition_by=partition_by.get(name))
+        write_table(
+            df,
+            paths[name],
+            partition_by=partition_by.get(name),
+            sort_within=sort_within.get(name),
+        )
     _swap_pointer(
         root, json.dumps({"staging": staging, "tables": paths}), token
     )

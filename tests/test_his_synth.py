@@ -72,14 +72,17 @@ def test_fk_integrity_by_construction(outputs):
     assert orphans == 0
 
 
-def test_publish_partitioned_one_file_per_fecha(synth_tables, tmp_path):
+def test_publish_partitioned_one_file_per_mes(synth_tables, tmp_path):
     root = str(tmp_path / "pub")
     run_pipeline(synth_tables, output_root=root)
     current = resolve_current(root)
-    part_dirs = glob.glob(os.path.join(current, "turno", "fecha=*"))
-    assert part_dirs, "no fecha partitions written"
+    # month-grain partition dirs (r11: date-grain exploded into one
+    # directory per date — the metastore anti-pattern at 100 TB; month
+    # dirs + fecha-sorted row groups give the same day-grain pruning)
+    part_dirs = glob.glob(os.path.join(current, "turno", "fecha_mes=*"))
+    assert part_dirs, "no fecha_mes partitions written"
     for d in part_dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         # the dynamic-partition repartition guarantees one writer task
-        # per date → exactly one file per partition at this volume
+        # per month → exactly one file per partition at this volume
         assert len(files) == 1, (d, files)
