@@ -96,6 +96,9 @@ audit allowlist entries measured at sf0.001 on registration day:
   measured).
 (Exact counts re-measured on registration day; the queue test keeps
 the oracles green meanwhile.)
+
+Tri-scale proof: R12_QUEUE_SCALE.json (r11 same-day run) — 30/30
+oracle-green at sf0.001/0.01/0.1, all fitted exponents ≤ 0.45.
 """
 
 from __future__ import annotations
