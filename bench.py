@@ -211,6 +211,16 @@ def _median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
+def _contended(runs: list[float], ref: float | None) -> bool:
+    """True when a query's recorded runs look contention-shaped:
+    a one-off straggler (any run > 3× this query's own median) or a
+    whole inflated window (min > 2× the committed fresh-JVM isolated
+    twin). Answered by MORE real measurements, never edited values."""
+    if max(runs) > 3.0 * _median(runs):
+        return True
+    return ref is not None and min(runs) > 2.0 * ref
+
+
 def _isolated_reference() -> dict[str, float]:
     """Per-query times from the NEWEST committed BENCH_ISOLATED_r*.json.
 
@@ -353,12 +363,6 @@ def main() -> int:
     # window was contended). Budget: 2 extra sessions per query.
     ISO_REF = _isolated_reference() if one is None else {}
     noise_suspect: list[str] = []
-
-    def _contended(runs: list[float], ref: float | None) -> bool:
-        if max(runs) > 3.0 * _median(runs):
-            return True
-        return ref is not None and min(runs) > 2.0 * ref
-
     for i, name in enumerate(bench_names):
         if i and i % RESTART_EVERY == 0:
             spark.stop()

@@ -1,0 +1,56 @@
+"""bench.py straggler-retry helpers (r11): pure-Python contracts —
+the reference loader picks the NEWEST committed isolated artifact and
+the contention predicate fires on exactly the two documented triggers."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, "/root/repo")
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_median_and_isolated_reference():
+    b = _load_bench()
+    assert b._median([3.0, 1.0, 2.0]) == 2.0
+    assert b._median([5.0, 1.0]) == 5.0  # upper median on even n
+    ref = b._isolated_reference()
+    # the repo commits BENCH_ISOLATED_r*.json artifacts — the loader
+    # must find the newest round and return numeric values only
+    assert ref, "no isolated reference found despite committed artifacts"
+    assert all(isinstance(v, (int, float)) for v in ref.values())
+    newest = max(
+        int(m)
+        for f in __import__("glob").glob(
+            "/root/repo/BENCH_ISOLATED_r*.json"
+        )
+        for m in [__import__("re").search(r"_r(\d+)", f).group(1)]
+        if json.load(open(f)).get("queries")
+    )
+    expect = json.load(
+        open(f"/root/repo/BENCH_ISOLATED_r{newest}.json")
+    )["queries"]
+    assert ref == {
+        k: v for k, v in expect.items() if isinstance(v, (int, float))
+    }
+
+
+def test_contended_predicate_triggers():
+    b = _load_bench()
+    # one-off straggler: a single run > 3x the query's own median
+    assert b._contended([3.0, 3.1, 43.9], None)
+    # whole-window inflation vs the isolated twin
+    assert b._contended([3.0, 3.1, 3.2], 1.0)
+    # quiet runs, close to reference: no retry
+    assert not b._contended([3.0, 3.1, 3.2], 2.9)
+    # no reference: only the straggler trigger applies
+    assert not b._contended([3.0, 3.1, 3.2], None)
