@@ -1,13 +1,15 @@
-"""Round-12 gate queue — complete (fn, oracle) pairs, UNregistered.
+"""Round-12 gate queue — REGISTERED in round 12 (module tail loop).
 
-Round 11 registered the ten r11-queue gates, so this round's net-new
-work waits here under the ≤10-additions-per-round cap, exactly like
-``queries_r10_queue.py`` (written r9, registered r10) and
-``queries_r11_queue.py`` (written r10, registered r11) did.
-``R12_QUEUE`` maps name -> (query fn, DuckDB oracle);
-``tests/test_r12_queue.py`` runs the REAL driver-style canonicalized
-comparison over every entry each pytest run, so r12 registration day
-is a decorator move, not new code.
+Written and tri-scale-proven in round 11 under the
+≤10-additions-per-round cap, exactly like ``queries_r10_queue.py``
+(written r9, registered r10) and ``queries_r11_queue.py`` (written
+r10, registered r11). ``R12_QUEUE`` maps name -> (query fn, DuckDB
+oracle); ``tests/test_r12_queue.py`` runs the REAL driver-style
+canonicalized comparison over every entry each pytest run, and the
+loop at the bottom publishes each entry into the driver registry.
+One r12 registration-day code change: the bottom-k dedup moved from
+dropDuplicates to a deterministic groupBy-min mirrored in the oracle
+(ADVICE r11 low — see _bottomk_daily).
 
 The slate (why each earns a gate at 100 TB):
 
@@ -79,23 +81,25 @@ Every score is integer or fixed-point micro-units; every hash is the
 repo's 60-bit md5 — both engines run bit-identical arithmetic, so the
 gates are hash-exact, not approximately equal.
 
-Registration-day checklist for r12 (the r10/r11-queue pattern): move
-each entry into ``@register`` (the loop), add the names to bench.py
-HEADLINE and the registry _CHECK_FIRST window (after the seventeen
-queued r12 leaders at positions 51-67 of the r11 window), and add
-audit allowlist entries measured at sf0.001 on registration day:
-- ``tools/audit_plans.py`` CROSS_JOIN_ALLOW: ``retrieval_mrr_eval``
-  (1-row scalar broadcast if present), ``graph_kcore`` (per-round
-  1-row stats aggregates).
+Registration-day checklist (EXECUTED in r12, the r10/r11-queue
+pattern): the loop at the module tail registers every entry, the
+names ride bench.py HEADLINE and the registry _CHECK_FIRST window
+(after the seventeen queued r6-last leaders), and the audit
+allowlists carry these entries (re-verified at sf0.001 on
+registration day):
 - ``tools/audit_plans.py`` SINGLE_PARTITION_ALLOW: ``graph_kcore``
-  (three 1-row per-round stats), ``lakehouse_compaction_plan`` (manifest
-  window — report-sized), ``corpus_token_gini`` (vocab-bounded rank
-  window per source).
+  (three 1-row per-round stats aggregates). The other predicted
+  entries measured CLEAN at sf0.001 and were NOT added:
+  lakehouse_compaction_plan and corpus_token_gini window on
+  part/source keys (no SinglePartition), and no gate builds a
+  cartesian/nested-loop plan.
 - ``tools/audit_scans.py`` ALLOW: ``dedup_snapshot_incremental``
-  ("documents", measured), ``retrieval_mrr_eval`` ("documents",
-  measured).
-(Exact counts re-measured on registration day; the queue test keeps
-the oracles green meanwhile.)
+  ("documents", 5 — fp lanes + residual + two shingle-pin builds);
+  ``retrieval_mrr_eval`` measured 1 documents scan (single eager
+  shingle pin), no entry needed.
+- ``graph_kcore`` gained a registration-day base pin: the unpinned
+  distinct lineitem⋈orders base fed both arms of the symmetric edge
+  union (measured 4 scans of each input → 1 with the pin).
 
 Tri-scale proof: R12_QUEUE_SCALE.json (r11 same-day run) — 30/30
 oracle-green at sf0.001/0.01/0.1, all fitted exponents ≤ 0.45.
@@ -127,11 +131,21 @@ BOTTOMK_ORACLE = f"""
                     AS BIGINT) AS h
         FROM events
     ),
+    -- Mirrors the Spark side's deterministic per-(type, day, id)
+    -- min-value dedup (ADVICE r11: the previous dropDuplicates had no
+    -- oracle twin and picked an arbitrary survivor among duplicate
+    -- event_ids; groupBy-min is deterministic on BOTH engines even if
+    -- a future fixture carries duplicate ids with different values).
+    deduped AS (
+        SELECT event_type, day, event_id,
+               min(value_micro) AS value_micro, min(h) AS h
+        FROM hashed GROUP BY 1, 2, 3
+    ),
     daily AS (
         SELECT event_type, event_id, value_micro, h
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY event_type, day ORDER BY h, event_id) AS rk
-              FROM hashed)
+              FROM deduped)
         WHERE rk <= {BOTTOMK_K}
     ),
     merged AS (
@@ -176,14 +190,21 @@ def _bottomk_project(ev: DataFrame) -> DataFrame:
 
 def _bottomk_daily(projected: DataFrame) -> DataFrame:
     """Per-(type, day) bottom-k partials — the monoid the lakehouse
-    persists. dropDuplicates first makes the merge IDEMPOTENT: an
-    at-least-once replay of a micro-batch re-unions rows that the
-    key dedup collapses before ranking, so re-applying a batch is a
-    no-op (the CDC lane's idempotence argument, monoid form)."""
+    persists. The per-(type, day, id) min-value dedup first makes the
+    merge IDEMPOTENT: an at-least-once replay of a micro-batch
+    re-unions rows that the key dedup collapses before ranking, so
+    re-applying a batch is a no-op (the CDC lane's idempotence
+    argument, monoid form). groupBy-min rather than dropDuplicates
+    (ADVICE r11): min picks a DETERMINISTIC survivor, mirrored exactly
+    in the oracle's deduped CTE, so duplicate event_ids with different
+    values cannot cause a nondeterministic mismatch. ``h`` is a pure
+    function of event_id, so min(h) = h within any key group."""
     wd = Window.partitionBy("event_type", "day").orderBy("h", "event_id")
+    deduped = projected.groupBy("event_type", "day", "event_id").agg(
+        F.min("value_micro").alias("value_micro"), F.min("h").alias("h")
+    )
     return (
-        projected.dropDuplicates(["event_type", "day", "event_id"])
-        .withColumn("rk", F.row_number().over(wd))
+        deduped.withColumn("rk", F.row_number().over(wd))
         .filter(F.col("rk") <= BOTTOMK_K)
         .select("event_type", "day", "event_id", "value_micro", "h")
     )
@@ -585,6 +606,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # base feeds BOTH arms of the symmetric edge union: pin it so the
+    # lineitem⋈orders distinct runs once, not once per arm (measured
+    # at registration: 4 li/orders scans → 1 with the pin).
+    base = base.localCheckpoint(eager=False)
     edges = base.select(
         F.col("s_node").alias("src"), F.col("c_node").alias("dst")
     ).unionAll(
@@ -1152,8 +1177,9 @@ def streaming_bottomk_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged-at-read into quantiles and hash-checked against the SAME
     DuckDB oracle as ``sketch_bottomk_quantiles``: stream-of-merges ≡
     one batch pass, because bottom-k is a commutative idempotent
-    monoid (dropDuplicates before the rank makes an at-least-once
-    batch replay a no-op — the CDC lane's idempotence argument).
+    monoid (the per-key min-value dedup before the rank makes an
+    at-least-once batch replay a no-op — the CDC lane's idempotence
+    argument).
 
     No watermark and no state store: the persisted partial table IS
     the state, k rows per (type, day) at any corpus size. Each
@@ -1227,3 +1253,15 @@ R12_QUEUE = {
     "retrieval_mrr_eval": (retrieval_mrr_eval, MRR_ORACLE),
     "streaming_bottomk_agree": (streaming_bottomk_agree, BOTTOMK_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# r12 registration: publish every queue entry into the driver-facing
+# registry (the r10/r11 pattern — looping over R12_QUEUE keeps the
+# queue dict, which tests/test_r12_queue.py verifies against the
+# DuckDB oracles, and the registry surface mechanically identical).
+# ---------------------------------------------------------------------------
+from ..registry import register  # noqa: E402
+
+for _name, (_fn, _oracle) in R12_QUEUE.items():
+    register(_name, _oracle)(_fn)

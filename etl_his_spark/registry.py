@@ -66,6 +66,7 @@ from .plans import queries_retrieval  # noqa: E402,F401
 from .plans import queries_graph  # noqa: E402,F401
 from .plans import queries_r10_queue  # noqa: E402,F401
 from .plans import queries_r11_queue  # noqa: E402,F401
+from .plans import queries_r12_queue  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -83,6 +84,143 @@ from .plans import queries_r11_queue  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    # --- Round 12 window (50 slots) — executes the queue the r11
+    # window wrote down, exactly as the r11 verdict ordered (items 1-2).
+    # Layout:
+    #   1-17  the seventeen queued r12 leaders: the r6-last queries the
+    #         r11 window parked at positions 51-67 (registry history).
+    #         After this block no registered query's driver row is
+    #         older than round 7.
+    #   18-27 the ten r12-queue gates registered THIS round (written
+    #         and tri-scale-proven in r11; tests/test_r12_queue.py runs
+    #         the driver-style comparison over all ten every pytest
+    #         run). sketch_bottomk_quantiles / streaming_bottomk_agree
+    #         carry the r12 deterministic groupBy-min dedup mirrored in
+    #         their shared oracle (ADVICE r11 low) — new-gates-first
+    #         puts the whole block up front anyway.
+    #   28-30 queries whose CODE changed this round (changed-first
+    #         rule): ann_topk_bruteforce (brute_force_topk's baseline
+    #         guard cap clamped to a fixed constant — ADVICE r11 low),
+    #         embedding_gram_matrix (gram_matrix_exact dim guard — r11
+    #         verdict item 7), surrogate_dense_ids (dense_ids_small
+    #         pre-shuffle size check — ADVICE r11 low).
+    #   31    bench_embedding_neardup_numpy — the registry's single
+    #         rows-only lane (documented BLAS summation-order decision)
+    #         and the OLDEST driver row of all (r3); refreshed under
+    #         its weaker rows-only check.
+    #   32-40 nine of the remaining r7-last queries, machinery-first
+    #         (heaviest graph lane, two streaming lanes, SCD2 as-of,
+    #         curation filter, drift stats, corrupt-JSONL ingest,
+    #         multimodal WAV stats, PQ codes). The remaining
+    #         thirty-nine r7-last queries queue at positions 51+ as
+    #         written r13 leaders.
+    #   41-50 the ten permanent family sentinels (pinned).
+    # Positions 1-17: the seventeen queued r6-last leaders.
+    "corpus_dedup_report",
+    "doc_chunk_overlap",
+    "events_attribution",
+    "events_attribution_last",
+    "events_funnel_ordered",
+    "events_hopping_window",
+    "events_retention_cohorts",
+    "events_topk_per_window",
+    "stats_correlation",
+    "stats_histogram",
+    "stats_outliers_mad",
+    "streaming_attribution_agree",
+    "streaming_dedup_agree",
+    "training_curriculum_deciles",
+    "training_oov_rate",
+    "training_temperature_mixture",
+    "training_tokenize_docs",
+    # Positions 18-27: the ten r12-queue gates registered this round.
+    "sketch_bottomk_quantiles",
+    "text_readability_scores",
+    "corpus_token_gini",
+    "events_path_mining",
+    "graph_kcore",
+    "lakehouse_compaction_plan",
+    "ann_knn_graph",
+    "dedup_snapshot_incremental",
+    "retrieval_mrr_eval",
+    "streaming_bottomk_agree",
+    # Positions 28-30: r12 code-changed queries (changed-first rule).
+    "ann_topk_bruteforce",
+    "embedding_gram_matrix",
+    "surrogate_dense_ids",
+    # Position 31: oldest driver row (r3, rows-only by decision).
+    "bench_embedding_neardup_numpy",
+    # Positions 32-40: nine r7-last queries, machinery-first.
+    "graph_triangle_counts",
+    "streaming_sessionize_agree",
+    "streaming_window_counts_agree",
+    "fact_scd2_asof_join",
+    "curation_gopher_filter",
+    "stats_ks_drift",
+    "jsonl_ingest_corrupt",
+    "multimodal_wav_stats",
+    "embedding_pq_codes",
+    # Positions 41-50: the ten permanent family sentinels (pinned —
+    # do not rotate out).
+    "his_extraction_shape",
+    "his_unpivot_slots",
+    "tpch_q1_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "text_simhash",
+    "merge_upsert_orders",
+    "json_extract_stats",
+    # Positions 51-89: the thirty-nine remaining r7-last queries —
+    # written r13 leaders (same retire-the-queue discipline as the
+    # r11→r12 positions 51-67), machinery-first.
+    "ann_topk_ivf",
+    "basket_brand_affinity",
+    "bloom_prefilter_join",
+    "contrastive_triplets",
+    "corpus_dedup_keeper_quality",
+    "curation_boilerplate_prefixes",
+    "curation_lm_report",
+    "curation_source_report",
+    "customer_rfm_segments",
+    "dataset_split_assign",
+    "date_parts",
+    "dedup_containment_pairs",
+    "dedup_repeated_spans",
+    "embedding_jl_projection",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_update",
+    "embedding_label_separation",
+    "embedding_quantize_int8",
+    "embedding_standardize",
+    "events_churn_training_set",
+    "events_dau_wau_stickiness",
+    "events_decayed_revenue",
+    "events_markov_transitions",
+    "fk_resolution",
+    "incremental_agg_refresh",
+    "inference_length_batches",
+    "json_schema_parse",
+    "orders_seasonal_naive",
+    "quality_novel_ngrams",
+    "quality_unigram_likelihood",
+    "schema_evolution_read",
+    "source_overlap_matrix",
+    "split_leakage_check",
+    "stats_key_skew",
+    "stats_winsorized",
+    "table_analyze_stats",
+    "table_diff_changelog",
+    "text_script_detect",
+    "training_epoch_shuffle",
+    # Positions 90+: everything else keeps registration order; all
+    # were driver-green in r8-r11 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R11_WINDOW_HISTORY = [
     # --- Round 11 window (50 slots) — executes the queue the r10
     # window wrote down, exactly as the r10 verdict ordered (items 1-2).
     # Layout:

@@ -94,6 +94,10 @@ SINGLE_PARTITION_ALLOW = {
     # cumulative window over the 10-row decile aggregate —
     # report-sized by construction (the stats_ks_drift argument):
     "corpus_ngram_coverage_curve",
+    # r12 queue registration: three 1-row per-peeling-round stats
+    # aggregates (count distinct nodes / edges after each round) —
+    # report-sized by construction:
+    "graph_kcore",
 }
 
 # Cartesian/nested-loop allowed: explicitly-named exact baselines only.

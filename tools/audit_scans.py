@@ -102,6 +102,11 @@ ALLOW = {
     "retrieval_margin_bitext": ("embeddings", 4, "fwd/bwd/argmax lanes"),
     # exact-truth lanes incl. the pinned shingle build + LSH candidates
     "dedup_lsh_eval": ("documents", 5, "exact truth + LSH lanes"),
+    # r12 queue registration (measured at sf0.001 on registration
+    # day): old-snapshot fp + new-batch fp + residual re-read + the
+    # two shingle-pin builds each take one column-pruned documents
+    # pass; retrieval_mrr_eval measured 1 (single eager shingle pin).
+    "dedup_snapshot_incremental": ("documents", 5, "snapshot + pin builds"),
 }
 
 
