@@ -3,7 +3,11 @@
 Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forcing full
 execution with a noop write (JVM-side, no driver collect), and prints
-ONE JSON line with per-query wall seconds.
+ONE JSON line with the totals, the slowest queries by name, and every
+per-query min (array form). The line is kept under the driver's
+2000-char stdout tail so it stays machine-parseable; the FULL payload
+(every query keyed by name + every raw run) is written to
+BENCH_LOCAL.json beside this script.
 """
 
 from __future__ import annotations
@@ -182,6 +186,21 @@ HEADLINE = [
     "text_zipf_fit",
     "graph_label_propagation",
     "sketch_bloom_membership",
+    # round-12 registrations (written and tri-scale-proven in r11):
+    # bottom-k quantile sketch + its streaming monoid twin, integer
+    # Flesch readability, token-Gini concentration, session path
+    # mining, k-core peeling, compaction planning, kNN graph,
+    # incremental snapshot dedup, MRR retrieval eval.
+    "sketch_bottomk_quantiles",
+    "text_readability_scores",
+    "corpus_token_gini",
+    "events_path_mining",
+    "graph_kcore",
+    "lakehouse_compaction_plan",
+    "ann_knn_graph",
+    "dedup_snapshot_incremental",
+    "retrieval_mrr_eval",
+    "streaming_bottomk_agree",
 ]
 
 
@@ -212,10 +231,17 @@ def _median(xs: list[float]) -> float:
 
 
 def _contended(runs: list[float], ref: float | None) -> bool:
-    """True when a query's recorded runs look contention-shaped:
-    a one-off straggler (any run > 3× this query's own median) or a
+    """True when a measurement window looks contention-shaped:
+    a one-off straggler (any run > 3× the window's own median) or a
     whole inflated window (min > 2× the committed fresh-JVM isolated
-    twin). Answered by MORE real measurements, never edited values."""
+    twin). Answered by MORE real measurements, never edited values.
+
+    Callers pass the LATEST window, not the full run history (ADVICE
+    r11): a straggler in the original runs must not keep flagging a
+    query whose fresh-session retries are clean. On a 2-run retry
+    window the straggler arm is inert by construction (median = max),
+    which is correct — one clean run means the min is trustworthy;
+    only min > 2×ref (the whole window inflated) keeps the flag."""
     if max(runs) > 3.0 * _median(runs):
         return True
     return ref is not None and min(runs) > 2.0 * ref
@@ -258,22 +284,53 @@ def run_isolated(names: list[str]) -> int:
     """--isolate: one fresh interpreter+JVM per query (subprocess) —
     the controlled-environment mode for diagnosing session-lifetime
     effects. ~8 s JVM start per query, so diagnostic, not the default
-    driver path."""
+    driver path.
+
+    Same contention-retry discipline as the driver path (r11 verdict
+    item 6): a reading > 2× the newest COMMITTED isolated twin is
+    contention-shaped (neighbor load on the shared box — the r11 sweep
+    measured a 1.69× median inflation on untouched plans during one
+    such window), so the query is re-attempted in another fresh JVM
+    (≤ 2 retries) and the min over attempts is reported. All attempts
+    are kept in recheck_runs — retry-filtered, never edited."""
     import subprocess
 
-    timings: dict[str, float] = {}
-    for name in names:
+    ref = _isolated_reference()
+
+    def _one(name: str) -> float | None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        line = (
+            out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        )
         try:
-            timings[name] = json.loads(line)[name]
+            return json.loads(line)[name]
         except Exception:
-            timings[name] = None
-    payload = {"metric": "isolated_queries", "queries": timings}
+            return None
+
+    timings: dict[str, float | None] = {}
+    recheck_runs: dict[str, list[float | None]] = {}
+    for name in names:
+        attempts = [_one(name)]
+        while (
+            len(attempts) < 3
+            and attempts[-1] is not None
+            and ref.get(name) is not None
+            and attempts[-1] > 2.0 * ref[name]
+        ):
+            attempts.append(_one(name))
+        vals = [a for a in attempts if a is not None]
+        timings[name] = min(vals) if vals else None
+        if len(attempts) > 1:
+            recheck_runs[name] = attempts
+    payload = {
+        "metric": "isolated_queries",
+        "queries": timings,
+        "recheck_runs": recheck_runs,
+    }
     _persist(payload, "BENCH_ISOLATED.json")
     print(json.dumps(payload))
     return 0
@@ -372,8 +429,16 @@ def main() -> int:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(round(time.time() - t0, 3))
+        # The contention decision looks at the LATEST measurement
+        # window only (ADVICE r11): the contaminated original runs
+        # stay in runs_all for transparency, but a straggler there
+        # must not poison the verdict on clean fresh-session retries —
+        # under the old all-runs predicate one 43.9 s outlier
+        # guaranteed both retries burned AND a noise_suspect flag even
+        # when every retry run was clean.
+        window = list(all_runs[name])
         retries = 2
-        while retries and _contended(all_runs[name], ISO_REF.get(name)):
+        while retries and _contended(window, ISO_REF.get(name)):
             retries -= 1
             spark.stop()
             spark = get_spark("bench")
@@ -384,13 +449,15 @@ def main() -> int:
                 "overwrite"
             ).save()
             _quiesce(spark)
+            window = []
             for _ in range(2):
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                all_runs[name].append(round(time.time() - t0, 3))
-        if _contended(all_runs[name], ISO_REF.get(name)):
+                window.append(round(time.time() - t0, 3))
+            all_runs[name].extend(window)
+        if _contended(window, ISO_REF.get(name)):
             noise_suspect.append(name)
     timings = {n: min(r) for n, r in all_runs.items()}
     if one is not None:
@@ -445,7 +512,39 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     _persist(payload, "BENCH_LOCAL.json")
-    print(json.dumps(payload))
+    # stdout gets a COMPACT line, not the full payload: the driver
+    # captures only the last 2000 chars of stdout, and the full JSON
+    # (≳3 kB of per-query keys alone) truncates from the front, making
+    # the driver artifact unparseable (BENCH_r11 "parsed": null — r11
+    # verdict item 5). The full payload (runs_all, every query keyed
+    # by name) is committed in BENCH_LOCAL.json; the compact line
+    # carries the totals, the 15 slowest queries by name, and ALL
+    # per-query mins as an array in names() order (reconstructable
+    # from bench.py HEADLINE + the registry, and cross-checkable
+    # against BENCH_LOCAL.json).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "core_queries_total": core_total,
+        "his_pipeline_publish": min(his_runs),
+        "queries": slowest,
+        "queries_note": "15 slowest; full map in BENCH_LOCAL.json",
+        "n_queries": len(timings),
+        "mins_order": "HEADLINE-filtered names() order",
+        "mins": [timings[n] for n in bench_names],
+        "noise_suspect": noise_suspect,
+        "sf": payload["sf"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # keep the whole line inside the tail capture
+        compact.pop("mins")
+        compact["mins_order"] = "dropped (line over tail budget)"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

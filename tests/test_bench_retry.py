@@ -54,3 +54,22 @@ def test_contended_predicate_triggers():
     assert not b._contended([3.0, 3.1, 3.2], 2.9)
     # no reference: only the straggler trigger applies
     assert not b._contended([3.0, 3.1, 3.2], None)
+
+
+def test_contended_window_semantics():
+    """ADVICE r11: the decision window is the LATEST runs, so a clean
+    fresh-session retry pair clears a flag the original straggler
+    raised — the predicate itself must support that call shape."""
+    b = _load_bench()
+    # the exact false-positive case from the advice: original window
+    # carries one 43.9 s straggler...
+    assert b._contended([3.0, 3.1, 43.9, 3.0, 3.1, 3.0, 3.1], None)
+    # ...but the caller now re-evaluates on the 2-run retry window,
+    # where a clean pair is NOT contended
+    assert not b._contended([3.0, 3.1], None)
+    assert not b._contended([3.0, 3.1], 2.9)
+    # a 2-run window with one straggler still trusts the clean min
+    # (straggler arm inert on n=2 by design — documented)
+    assert not b._contended([3.0, 43.9], 2.9)
+    # a wholly inflated retry window keeps the flag via the ref arm
+    assert b._contended([6.5, 6.8], 2.9)
