@@ -47,8 +47,13 @@ def brute_force_topk(
 
     Guarded (r11): work is |queries| × |vectors| sims with the query
     panel broadcast, so an oversized panel both explodes the work and
-    OOMs the broadcast. Caps: 10,000 queries, and vectors bounded so
-    the sim count stays ≤ 2e9. The scale path is ``ivf_topk``.
+    OOMs the broadcast. Caps: 10,000 queries, and vectors bounded by
+    min(4M rows, 2e9 total sims). The fixed 4M clamp (ADVICE r11)
+    keeps the guard's own limit-scan genuinely cheap: with a tiny
+    query panel the 2e9-sims formula alone would make the guard
+    ``limit(~2e9).count()`` — an eager scan of billions of rows at
+    plan-build time, on the operator meant to FAIL FAST on oversized
+    input. The scale path is ``ivf_topk``.
     """
     from .guards import assert_baseline_scale
 
@@ -57,7 +62,7 @@ def brute_force_topk(
     )
     assert_baseline_scale(
         vectors,
-        max(2_000_000_000 // max(n_q, 1), 1),
+        min(max(2_000_000_000 // max(n_q, 1), 1), 4_000_000),
         "brute_force_topk (corpus side)",
         "ivf_topk",
     )

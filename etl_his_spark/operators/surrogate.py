@@ -107,21 +107,45 @@ def dense_ids(
 # deduped dimensions. The cap makes "never for the fact table" a
 # runtime property instead of a docstring promise (r10 verdict item
 # 6): row_number is already the running count, so the check is a free
-# per-row expression — no extra job, no extra scan — and a fact-scale
-# input raises instead of silently serializing onto one task.
+# per-row expression — no extra job, no extra scan. PRECISION of that
+# promise (ADVICE r11): the expression evaluates while row_number
+# runs, i.e. AFTER the full input has already been shuffled and
+# sorted onto the single window partition — it stops silent wrong-ids
+# and unbounded runaway, but a fact-scale input can still OOM that
+# one task before row DENSE_IDS_SMALL_MAX+1 raises. Callers with
+# UNKNOWN input size should pass precheck=True for a pre-shuffle
+# bounded scan.
 DENSE_IDS_SMALL_MAX = 10_000_000
 
 
 def dense_ids_small(
-    df: DataFrame, order_cols: list[Column], id_col: str = "id"
+    df: DataFrame,
+    order_cols: list[Column],
+    id_col: str = "id",
+    precheck: bool = False,
 ) -> DataFrame:
     """Gap-free ids via one global window — fine for dimension tables.
 
     Single-partition window: acceptable when the input is a deduped
     dimension (thousands-to-millions of rows), never for the fact
-    table — enforced at ``DENSE_IDS_SMALL_MAX`` rows (raises; use
-    ``dense_ids`` for larger dims, ``unique_ids`` for facts).
+    table — enforced at ``DENSE_IDS_SMALL_MAX`` rows. The inline
+    guard raises MID-SORT (after the shuffle onto the window's single
+    partition — see the module comment), so for inputs of unknown
+    size pass ``precheck=True``: a ``limit(MAX+1).count()`` bounded
+    scan (the ``assert_baseline_scale`` pattern) that raises BEFORE
+    any shuffle, at the cost of one small eager job at plan-build
+    time. Use ``dense_ids`` for larger dims, ``unique_ids`` for
+    facts.
     """
+    if precheck:
+        from .guards import assert_baseline_scale
+
+        assert_baseline_scale(
+            df,
+            DENSE_IDS_SMALL_MAX,
+            "dense_ids_small (single-partition dimension id mint)",
+            "dense_ids (parallel two-phase) or unique_ids (fact-scale)",
+        )
     w = Window.orderBy(*order_cols)
     rn = F.row_number().over(w)
     guarded = F.when(

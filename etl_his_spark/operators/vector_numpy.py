@@ -151,6 +151,15 @@ GRAM_SCHEMA = T.StructType(
 )
 
 
+# d cap for gram_matrix_exact / pca_project: the operator shuffles d²
+# cells per partition and pca_project COLLECTS d² rows onto the driver
+# for the O(d³) eigensolve — all fine for embedding-sized d (64-1024:
+# ≤ 1M cells, ≤ ~24 MB collected) and hostile beyond it. Like the
+# all-pairs baselines (guards.py), the docstring's "d is small by
+# construction" is now asserted, not trusted (r11 verdict item 7).
+GRAM_MAX_DIM = 1024
+
+
 def gram_matrix_exact(
     vectors: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
@@ -167,7 +176,19 @@ def gram_matrix_exact(
     cells per partition regardless of row count (the CMS discipline).
     Overflow headroom: |q| ≲ 3·10³ ⇒ per-pair product ≲ 10⁷; int64
     holds ~9·10¹⁸, so ~10¹¹ rows fit before any partial could wrap.
+
+    Guarded (r12): raises above ``GRAM_MAX_DIM`` — the d²-cell shuffle
+    and the driver-side d² collect in ``pca_project`` are only
+    scale-safe while d stays embedding-sized.
     """
+    if dim > GRAM_MAX_DIM:
+        raise ValueError(
+            f"gram_matrix_exact is bounded at dim <= {GRAM_MAX_DIM}"
+            f" (got {dim}): it shuffles dim² cells per partition and"
+            " its pca_project consumer collects dim² rows onto the"
+            " driver. For wider features, reduce dimensionality first"
+            " (jl_project) or use a blocked covariance path."
+        )
 
     def batches(it):
         for pdf in it:

@@ -227,6 +227,16 @@ def publish_atomic(
     ``resolve_current`` to find it. If any write fails, the pointer is
     never moved — the previous publish stays visible (matches the
     reference's rollback-on-error, Command.php:213-216).
+
+    Publish-schema contract (ADVICE r11): any ``partition_by`` column
+    becomes part of the PUBLISHED table's read schema — parquet
+    partition columns reappear on read. Concretely, the HIS pipeline's
+    turno publish carries the derived ``fecha_mes`` write-layout
+    column in addition to the DDL columns; it is pure layout
+    (``date_format(fecha, 'yyyy-MM')``), derivable from ``fecha``,
+    and strict-schema consumers should select the DDL columns
+    explicitly (the in-repo gates do). The in-memory frames returned
+    by ``run_pipeline`` keep the exact DDL schema.
     """
     token = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f"_staging_{token}")
