@@ -230,6 +230,30 @@ def _median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
+def ambient_probe() -> float:
+    """Seconds for a fixed single-thread CPU workload (pure-Python
+    xorshift loop — no numpy/BLAS thread effects, no I/O): a
+    box-throughput thermometer recorded beside every bench payload.
+
+    Motivation (r12): cross-round drift investigations repeatedly hit
+    readings 1.5-5× the committed twin with the CODE untouched and
+    in-container `ps` IDLE — hypervisor-level neighbor load is
+    invisible from inside the container, so the only way to read a
+    number fairly next round is to know how fast the box itself was
+    when it was taken. Every committed artifact records its own probe
+    value; cross-round comparisons should divide out the probe ratio
+    (a probe reading 2× another artifact's means wall-times that day
+    carry roughly the same factor) or be made as ratios within one
+    sweep."""
+    t0 = time.time()
+    x = 0x9E3779B97F4A7C15
+    for _ in range(2_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return round(time.time() - t0, 3)
+
+
 def _contended(runs: list[float], ref: float | None) -> bool:
     """True when a measurement window looks contention-shaped:
     a one-off straggler (any run > 3× the window's own median) or a
@@ -330,6 +354,7 @@ def run_isolated(names: list[str]) -> int:
         "metric": "isolated_queries",
         "queries": timings,
         "recheck_runs": recheck_runs,
+        "ambient_probe_sec": min(ambient_probe() for _ in range(3)),
     }
     _persist(payload, "BENCH_ISOLATED.json")
     print(json.dumps(payload))
@@ -510,6 +535,7 @@ def main() -> int:
         # the isolated twin, not at face value
         "noise_suspect": noise_suspect,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ambient_probe_sec": min(ambient_probe() for _ in range(3)),
     }
     _persist(payload, "BENCH_LOCAL.json")
     # stdout gets a COMPACT line, not the full payload: the driver
@@ -538,6 +564,7 @@ def main() -> int:
         "mins": [timings[n] for n in bench_names],
         "noise_suspect": noise_suspect,
         "sf": payload["sf"],
+        "ambient_probe_sec": payload["ambient_probe_sec"],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:  # keep the whole line inside the tail capture
