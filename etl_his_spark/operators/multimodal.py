@@ -723,3 +723,77 @@ def _wav_audio_features(b: bytes) -> list[float] | None:
     hist = np.bincount(bins, minlength=N_FEATURES).astype("float64")
     total = hist.sum() or 1.0
     return list(hist / total)
+
+
+# ---------------------------------------------------------------------------
+# Container metadata walk (RIFF) — the dependency-free chunk-index lane
+# ---------------------------------------------------------------------------
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("form", T.StringType(), True),  # RIFF form, e.g. WAVE
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("chunk_offset", T.LongType(), False),
+        T.StructField("chunk_size", T.LongType(), False),
+    ]
+)
+
+
+def parse_riff_chunks(b: bytes):
+    """Walk a RIFF container's top-level chunk index WITHOUT decoding
+    payloads: yields ``(form, chunk_id, header_offset, size)`` per
+    chunk — the container-metadata pass an ingest pipeline runs to
+    census assets (which chunks exist, how big, where) before deciding
+    what to decode at all. Pure byte arithmetic (the ``parse_wav``
+    walking loop, metadata-only): word-aligned stepping, truncated
+    trailing chunks dropped. Returns [] for non-RIFF bytes.
+    """
+    if not b or len(b) < 12 or b[:4] != b"RIFF":
+        return []
+    form = b[8:12].decode("latin-1")
+    out = []
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4].decode("latin-1")
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + csize > len(b):  # truncated chunk: stop the walk
+            break
+        out.append((form, cid, pos, csize))
+        pos += 8 + csize + (csize % 2)  # word alignment pad
+    return out
+
+
+def riff_chunks(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Chunk index rows for every RIFF asset (1:N fan-out, like
+    ``frame_sample``): (media_id, form, chunk_id, chunk_offset,
+    chunk_size). Arrow-batched ``mapInPandas`` over the binary column
+    — per-asset work is the byte walk only (no payload decode), so the
+    lane is metadata-priced at any corpus size; non-RIFF assets yield
+    no rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, forms, cids, offs, sizes = [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf["media_bytes"]):
+                if b is None:
+                    continue
+                for form, cid, off, size in parse_riff_chunks(bytes(b)):
+                    ids.append(mid)
+                    forms.append(form)
+                    cids.append(cid)
+                    offs.append(off)
+                    sizes.append(size)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "form": pd.Series(forms, dtype="object"),
+                    "chunk_id": pd.Series(cids, dtype="object"),
+                    "chunk_offset": pd.Series(offs, dtype="int64"),
+                    "chunk_size": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select(F.col(id_col).alias("media_id"), "media_bytes").mapInPandas(
+        batches, CHUNKS_SCHEMA
+    )
