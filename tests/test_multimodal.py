@@ -411,3 +411,40 @@ def test_image_dedup_degree_matches_arithmetic(spark, sf_dir):
         k = i % 48
         want_near = sum(kc.get(kk, 0) for kk in (k - 1, k, k + 1)) - 1
         assert out[i] == ((1 << k) - 1, want_near), i
+
+
+def test_parse_riff_chunks_walk_and_edges():
+    """Pure-byte RIFF chunk walk: offsets/sizes/alignment, truncation
+    and non-RIFF handling (no Spark, no codec)."""
+    from etl_his_spark.operators.multimodal import parse_riff_chunks
+
+    def le32(v):
+        return v.to_bytes(4, "little")
+
+    fmt_payload = bytes(16)
+    note_payload = b"\xab\xab\xab"  # odd size 3 -> pad byte follows
+    data_payload = b"\x07" * 4
+    body = (
+        b"WAVE"
+        + b"fmt " + le32(16) + fmt_payload
+        + b"note" + le32(3) + note_payload + b"\x00"
+        + b"data" + le32(4) + data_payload
+    )
+    buf = b"RIFF" + le32(len(body)) + body
+    chunks = parse_riff_chunks(buf)
+    assert chunks == [
+        ("WAVE", "fmt ", 12, 16),
+        ("WAVE", "note", 36, 3),
+        ("WAVE", "data", 48, 4),  # 36 + 8 + 3 + 1 pad
+    ]
+    # truncated final chunk: declared size overruns the buffer -> the
+    # walk stops WITHOUT emitting the truncated chunk
+    trunc = buf[:-2]
+    assert parse_riff_chunks(trunc) == [
+        ("WAVE", "fmt ", 12, 16),
+        ("WAVE", "note", 36, 3),
+    ]
+    # non-RIFF and too-short inputs yield no rows
+    assert parse_riff_chunks(b"JUNKJUNKJUNKJUNK") == []
+    assert parse_riff_chunks(b"RIFF") == []
+    assert parse_riff_chunks(None) == []
