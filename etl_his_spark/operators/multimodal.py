@@ -797,3 +797,85 @@ def riff_chunks(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(F.col(id_col).alias("media_id"), "media_bytes").mapInPandas(
         batches, CHUNKS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Container metadata walk (PNG) — big-endian lengths + CRC validation
+# ---------------------------------------------------------------------------
+
+PNG_CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_type", T.StringType(), False),
+        T.StructField("chunk_offset", T.LongType(), False),
+        T.StructField("chunk_length", T.LongType(), False),
+        T.StructField("crc_ok", T.BooleanType(), False),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_chunks(b: bytes):
+    """Walk a PNG's chunk index AND validate each chunk's CRC-32
+    (computed over type+payload, the PNG spec rule) — the integrity
+    census an ingest pipeline runs on image assets before decode:
+    a bad CRC means truncated/corrupted bytes that a decoder would
+    reject later and more expensively. Big-endian lengths (the RIFF
+    walker's little-endian complement). Yields
+    ``(chunk_type, header_offset, length, crc_ok)``; returns [] for
+    non-PNG bytes; stops at a truncated chunk.
+    """
+    import zlib
+
+    if not b or len(b) < 16 or b[:8] != _PNG_SIG:
+        return []
+    out = []
+    pos = 8
+    while pos + 8 <= len(b):
+        length = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8].decode("latin-1")
+        end = pos + 8 + length + 4
+        if end > len(b):  # truncated chunk: stop the walk
+            break
+        payload = b[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(b[pos + 8 + length : end], "big")
+        crc_ok = zlib.crc32(b[pos + 4 : pos + 8] + payload) == crc
+        out.append((ctype, pos, length, crc_ok))
+        pos = end
+        if ctype == "IEND":
+            break
+    return out
+
+
+def png_chunks(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """PNG chunk-index rows with CRC validation for every asset
+    (1:N fan-out, the ``riff_chunks`` shape): Arrow-batched
+    ``mapInPandas`` over the binary column; per-asset work is the
+    byte walk + one CRC pass over the bytes — no image decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, types, offs, lens, oks = [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf["media_bytes"]):
+                if b is None:
+                    continue
+                for ctype, off, length, ok in parse_png_chunks(bytes(b)):
+                    ids.append(mid)
+                    types.append(ctype)
+                    offs.append(off)
+                    lens.append(length)
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "chunk_type": pd.Series(types, dtype="object"),
+                    "chunk_offset": pd.Series(offs, dtype="int64"),
+                    "chunk_length": pd.Series(lens, dtype="int64"),
+                    "crc_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), "media_bytes"
+    ).mapInPandas(batches, PNG_CHUNKS_SCHEMA)
