@@ -337,6 +337,13 @@ def run_isolated(names: list[str]) -> int:
 
     timings: dict[str, float | None] = {}
     recheck_runs: dict[str, list[float | None]] = {}
+    payload = {
+        "metric": "isolated_queries",
+        "queries": timings,
+        "recheck_runs": recheck_runs,
+        "ambient_probe_sec": min(ambient_probe() for _ in range(3)),
+        "n_requested": len(names),
+    }
     for name in names:
         attempts = [_one(name)]
         while (
@@ -350,13 +357,13 @@ def run_isolated(names: list[str]) -> int:
         timings[name] = min(vals) if vals else None
         if len(attempts) > 1:
             recheck_runs[name] = attempts
-    payload = {
-        "metric": "isolated_queries",
-        "queries": timings,
-        "recheck_runs": recheck_runs,
-        "ambient_probe_sec": min(ambient_probe() for _ in range(3)),
-    }
-    _persist(payload, "BENCH_ISOLATED.json")
+        # Persist INCREMENTALLY: a ~2-3 h fresh-JVM-per-query sweep
+        # that only writes at the end loses everything to any
+        # interruption (r12: a round boundary nearly discarded a
+        # 50-minute partial sweep). Each completed query updates the
+        # artifact; n_requested vs len(queries) shows partiality
+        # honestly.
+        _persist(payload, "BENCH_ISOLATED.json")
     print(json.dumps(payload))
     return 0
 
