@@ -405,7 +405,9 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 return 2
-        return run_isolated([n for n in names if n in subset] if subset else names)
+        # preserve the CALLER's order: an interruptible incremental
+        # sweep wants its priority queries measured first
+        return run_isolated(subset if subset else names)
     one = None
     if "--one" in sys.argv:
         one = sys.argv[sys.argv.index("--one") + 1]
