@@ -73,3 +73,26 @@ def test_contended_window_semantics():
     assert not b._contended([3.0, 43.9], 2.9)
     # a wholly inflated retry window keeps the flag via the ref arm
     assert b._contended([6.5, 6.8], 2.9)
+
+
+def test_compact_line_fits_tail_budget():
+    """r11 verdict item 5: the one stdout line must stay inside the
+    driver's 2000-char tail capture AND parse as JSON — checked
+    against the real committed payload so headline growth that would
+    overflow the budget fails here first."""
+    b = _load_bench()
+    payload = json.load(open("/root/repo/BENCH_LOCAL_r12.json"))
+    names = list(payload["queries"])
+    line = b.compact_line(payload, names)
+    assert len(line) <= 1990
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(names)
+    assert len(parsed["queries"]) <= 15
+    assert parsed["value"] == payload["value"]
+    # a pathologically large query set still yields a parseable line
+    big = dict(payload)
+    big["queries"] = {f"very_long_query_name_number_{i:04d}": 1.0
+                     for i in range(400)}
+    line2 = b.compact_line(big, list(big["queries"]))
+    assert len(line2) <= 1990
+    assert "mins" not in json.loads(line2)
