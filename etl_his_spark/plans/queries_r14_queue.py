@@ -52,6 +52,14 @@ The slate (why each earns a gate at 100 TB):
   halves, largest rate ratio via ppb-normalized integer scores),
   new, dropped. The tokenizer-refresh decision input; token counts
   are vocab-bounded dims.
+- ``events_bot_detection`` — burst-rate traffic cleaning: users whose
+  busiest minute carries ≥ 10 events are flagged, with cohort volume
+  stats. The pass an events pipeline runs before engagement data is
+  trusted or harvested; one minute-keyed count + one per-user rollup.
+- ``text_encoding_anomalies`` — mojibake / control-character corpus
+  QA per source (U+FFFD, C0 controls, the UTF-8-as-Latin-1
+  signature): the broken-extraction detector run before a source's
+  text enters a training mix. Map-only regexp counting.
 
 Every score is integer or fixed-point micro/ppb units; hashes are the
 repo's 60-bit md5 — both engines run bit-identical arithmetic, so
@@ -931,6 +939,163 @@ def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# events_bot_detection — burst-rate traffic cleaning
+# ---------------------------------------------------------------------------
+
+BOT_BURST_PER_MIN = 10
+
+BOT_ORACLE = f"""
+    WITH permin AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    peruser AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(max(c) AS BIGINT) AS max_per_min,
+               CAST(count(*) AS BIGINT) AS n_active_minutes
+        FROM permin GROUP BY 1
+    )
+    SELECT max_per_min >= {BOT_BURST_PER_MIN} AS is_bot,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(max_per_min) AS BIGINT) AS sum_max_per_min,
+           CAST(max(max_per_min) AS BIGINT) AS peak_per_min,
+           CAST(sum(n_active_minutes) AS BIGINT) AS n_active_minutes
+    FROM peruser GROUP BY 1
+"""
+
+
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate bot detection — the traffic-cleaning pass an events
+    pipeline runs before any engagement data is trusted (or harvested
+    for training): a user whose busiest minute carries ≥
+    {BOT_BURST_PER_MIN} events is flagged, and the gate reports the
+    two cohorts' volumes (users, events, burst mass, peak rate,
+    active minutes). All integer counts.
+
+    Plan: one (user, minute) count (map-side combined), one per-user
+    rollup, one 2-row cohort aggregate — linear at any event volume,
+    no windows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    permin = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    peruser = permin.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.max("c").cast("long").alias("max_per_min"),
+        F.count(F.lit(1)).cast("long").alias("n_active_minutes"),
+    )
+    return peruser.groupBy(
+        (F.col("max_per_min") >= BOT_BURST_PER_MIN).alias("is_bot")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("max_per_min").cast("long").alias("sum_max_per_min"),
+        F.max("max_per_min").cast("long").alias("peak_per_min"),
+        F.sum("n_active_minutes").cast("long").alias("n_active_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_encoding_anomalies — mojibake / control-character corpus QA
+# ---------------------------------------------------------------------------
+
+ENC_ORACLE = r"""
+    WITH scored AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT)
+                   AS n_replacement,
+               CAST(len(regexp_extract_all(text,
+                        '[\x01-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT)
+                   AS n_control,
+               CAST(len(regexp_extract_all(text,
+                        '[\x{00C2}-\x{00C3}][\x{0080}-\x{00BF}]'))
+                   AS BIGINT) AS n_mojibake_pairs,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_replacement + n_control
+                         + n_mojibake_pairs > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+           CAST(sum(n_replacement) AS BIGINT) AS n_replacement,
+           CAST(sum(n_control) AS BIGINT) AS n_control,
+           CAST(sum(n_mojibake_pairs) AS BIGINT) AS n_mojibake_pairs,
+           CAST((1000000 * sum(n_replacement + n_control
+                               + n_mojibake_pairs))
+                // greatest(sum(n_chars), 1) AS BIGINT)
+               AS anomaly_rate_micro
+    FROM scored GROUP BY 1
+"""
+
+
+def text_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly corpus QA per source: U+FFFD replacement
+    characters (a decoder already gave up), C0 control characters
+    (excluding tab/newlines — binary junk in "text"), and the
+    classic UTF-8-read-as-Latin-1 mojibake signature (Â/Ã followed by
+    a continuation-range codepoint). Per source: doc counts, flagged
+    docs, per-class totals, and the anomaly rate per character in
+    micro — the signal that says a source's extraction pipeline is
+    broken before its text poisons a training mix.
+
+    Map-only regexp counting + one hash-agg; linear at any corpus
+    size. Regex classes are pure codepoint ranges — engine-identical.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_repl = F.expr(
+        "size(regexp_extract_all(text, '\\ufffd', 0))"
+    ).cast("long")
+    # \uXXXX (not \xNN): Spark SQL string literals unescape \u to the
+    # literal codepoint, while an unrecognized \x silently drops the
+    # backslash and turns the class into garbage (caught by the
+    # sf0.001 oracle run on authoring day).
+    n_ctrl = F.expr(
+        "size(regexp_extract_all(text,"
+        " '[\\u0001-\\u0008\\u000b\\u000c\\u000e-\\u001f]', 0))"
+    ).cast("long")
+    n_moji = F.expr(
+        "size(regexp_extract_all(text,"
+        " '[\\u00c2-\\u00c3][\\u0080-\\u00bf]', 0))"
+    ).cast("long")
+    scored = docs.select(
+        "source",
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake_pairs"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_replacement")
+                + F.col("n_control")
+                + F.col("n_mojibake_pairs")
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_flagged"),
+        F.sum("n_replacement").cast("long").alias("n_replacement"),
+        F.sum("n_control").cast("long").alias("n_control"),
+        F.sum("n_mojibake_pairs").cast("long").alias("n_mojibake_pairs"),
+        F.expr(
+            "CAST((1000000 * sum(n_replacement + n_control"
+            " + n_mojibake_pairs)) div greatest(sum(n_chars), 1)"
+            " AS BIGINT)"
+        ).alias("anomaly_rate_micro"),
+    )
+
+
 # name -> (query fn, oracle SQL): r14 registration day moves each
 # entry into the @register loop verbatim.
 R14_QUEUE = {
@@ -951,4 +1116,9 @@ R14_QUEUE = {
         SKIP_ORACLE,
     ),
     "text_vocab_drift": (text_vocab_drift, DRIFT_ORACLE),
+    "events_bot_detection": (events_bot_detection, BOT_ORACLE),
+    "text_encoding_anomalies": (
+        text_encoding_anomalies,
+        ENC_ORACLE,
+    ),
 }
