@@ -818,7 +818,20 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_snapshot_incremental — cross-snapshot corpus merge decision table
 # ---------------------------------------------------------------------------
 
-SNAPSHOT_ORACLE = r"""
+# Posting-list document-frequency cap for the residual shingle join
+# (r12 verdict item 3): a shingle on more than this many docs (old and
+# residual-new sides combined) is boilerplate by definition here — its
+# |new postings| × |old postings| product would own the stage at scale
+# (the exact hazard the winnow lane's df cap and the LSH lane's bucket
+# cap already guard). Capped shingles are EXCLUDED from the
+# intersection count while per-doc sizes stay full, the same
+# contract-documented asymmetry as weighted_jaccard_pairs
+# (operators/dedup_approx.py df_cap): the threshold gets strictly
+# harder to meet through boilerplate, never easier. Mirrored exactly
+# in the oracle below.
+SNAPSHOT_DF_CAP = 64
+
+SNAPSHOT_ORACLE = rf"""
     WITH oldd AS (
         SELECT doc_id, source, text FROM documents
         WHERE text IS NOT NULL AND doc_id % 2 = 0
@@ -872,9 +885,19 @@ SNAPSHOT_ORACLE = r"""
     ),
     sizes_old AS (SELECT doc_id, count(*) AS n FROM sh_old GROUP BY 1),
     sizes_new AS (SELECT doc_id, count(*) AS n FROM sh_new GROUP BY 1),
+    keep AS (
+        SELECT shingle FROM (
+            SELECT shingle, count(*) AS df
+            FROM (SELECT shingle FROM sh_new
+                  UNION ALL SELECT shingle FROM sh_old)
+            GROUP BY 1
+        ) WHERE df <= {SNAPSHOT_DF_CAP}
+    ),
     inter AS (
         SELECT n.doc_id AS n_id, o.doc_id AS o_id, count(*) AS i
-        FROM sh_new n JOIN sh_old o ON n.shingle = o.shingle
+        FROM sh_new n
+        JOIN keep k ON n.shingle = k.shingle
+        JOIN sh_old o ON n.shingle = o.shingle
         GROUP BY 1, 2
     ),
     near AS (
@@ -898,6 +921,39 @@ SNAPSHOT_ORACLE = r"""
 """
 
 
+def snapshot_capped_intersection(
+    sh_new: DataFrame, sh_old: DataFrame, df_cap: int = SNAPSHOT_DF_CAP
+) -> DataFrame:
+    """Per-pair shared-shingle counts ``(n_id, o_id, i)`` from the
+    new×old inverted-index join, with posting lists df-capped: a
+    shingle on more than ``df_cap`` docs (both sides combined) is
+    dropped from the pair join entirely, so one hot boilerplate
+    shingle can no longer multiply |new postings| × |old postings|
+    (r12 verdict item 3 — the winnow/LSH cap discipline applied to
+    the residual join). Per-doc sizes are computed OUTSIDE this
+    helper from the full shingle sets, so the Jaccard threshold only
+    gets harder to meet through boilerplate, never easier. Inputs are
+    distinct (doc_id, shingle) frames."""
+    keep = (
+        sh_new.select("shingle")
+        .union(sh_old.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    return (
+        sh_new.select(F.col("doc_id").alias("n_id"), "shingle")
+        .join(keep, "shingle")
+        .join(
+            sh_old.select(F.col("doc_id").alias("o_id"), "shingle"),
+            "shingle",
+        )
+        .groupBy("n_id", "o_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+
+
 def dedup_snapshot_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -906,9 +962,12 @@ def dedup_snapshot_incremental(
     ``exact_carry`` (normalized fingerprint already present — the
     sorted-merge-able join every snapshot refresh starts with),
     ``near_dup`` (verified 3-gram Jaccard ≥ 0.7 via the new×old
-    inverted-index join — postings work is new-batch-sized, never
-    corpus²), or ``new``. Output: the per-(source, class) decision
-    table an incremental ingest publishes.
+    inverted-index join over df-capped posting lists — shingles on
+    more than ``SNAPSHOT_DF_CAP`` docs are dropped from the pair join
+    while per-doc sizes stay full, so postings work is
+    new-batch-sized AND hot-key-bounded, never corpus²), or ``new``.
+    Output: the per-(source, class) decision table an incremental
+    ingest publishes.
 
     Integer Jaccard test (1000·i ≥ 700·(nₐ+n_b−i)) — no division
     crosses the engine boundary; shingles are 60-bit md5 longs (the
@@ -955,15 +1014,7 @@ def dedup_snapshot_incremental(
     sizes_new = sh_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_n")
     )
-    inter = (
-        sh_new.select(F.col("doc_id").alias("n_id"), "shingle")
-        .join(
-            sh_old.select(F.col("doc_id").alias("o_id"), "shingle"),
-            "shingle",
-        )
-        .groupBy("n_id", "o_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    inter = snapshot_capped_intersection(sh_new, sh_old)
     near_ids = (
         inter.join(
             sizes_new.withColumnRenamed("doc_id", "n_id"), "n_id"
