@@ -775,7 +775,9 @@ def riff_chunks(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, forms, cids, offs, sizes = [], [], [], [], []
-            for mid, b in zip(pdf[id_col], pdf["media_bytes"]):
+            # the select below aliases id_col -> media_id, so the batch
+            # iterator must read the POST-select name (ADVICE r12 low)
+            for mid, b in zip(pdf["media_id"], pdf["media_bytes"]):
                 if b is None:
                     continue
                 for form, cid, off, size in parse_riff_chunks(bytes(b)):
@@ -857,7 +859,9 @@ def png_chunks(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, types, offs, lens, oks = [], [], [], [], []
-            for mid, b in zip(pdf[id_col], pdf["media_bytes"]):
+            # post-select name, not id_col (ADVICE r12 low — see
+            # riff_chunks)
+            for mid, b in zip(pdf["media_id"], pdf["media_bytes"]):
                 if b is None:
                     continue
                 for ctype, off, length, ok in parse_png_chunks(bytes(b)):

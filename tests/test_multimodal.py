@@ -29,16 +29,24 @@ def test_media_schema_and_bytes(media):
     assert row["kind"] == "image"
 
 
-@pytest.mark.skipif(
-    pil_available(), reason="Pillow installed: stub gates do not raise"
-)
 def test_decode_stub_gate_raises(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media, decoder="pil")  # names the missing dependency
+    """Environment-gate contract (no skips either way): the 'fake'
+    decoder always raises without allow_fake=True; the Pillow lanes
+    raise a loud NotImplementedError naming the dependency when PIL is
+    absent (the sandbox has no package-index route — install attempts
+    r9 and r13 both failed on DNS), and construct fine when present
+    (their real behavior is then covered by the branching lane tests
+    below)."""
     with pytest.raises(NotImplementedError):
         decode_media(media, decoder="fake")  # fake needs allow_fake=True
-    with pytest.raises(NotImplementedError):
+    if pil_available():
+        decode_media(media, decoder="pil")  # constructs; no gate raise
         resize_image(media, 224, 224, codec="pil")
+    else:
+        with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+            decode_media(media, decoder="pil")
+        with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+            resize_image(media, 224, 224, codec="pil")
 
 
 def _pgm(pixels: list[list[int]]) -> bytes:
@@ -82,15 +90,14 @@ def test_decode_netpbm_real_images(spark):
     assert feats[3] is None  # corrupt asset stays visible as NULL
 
 
-@pytest.mark.skipif(
-    not pil_available(),
-    reason="cross-lane equality needs Pillow (PIL), not installed here",
-)
 def test_netpbm_and_pil_lanes_agree_on_p6(spark):
     """The claim the netpbm luminance formula makes — bit-for-bit
     agreement with Pillow's convert('L') — checked where Pillow exists,
     over triples (including (1,3,210), where the textbook
-    299/587/114//1000 formula disagrees with Pillow by 1)."""
+    299/587/114//1000 formula disagrees with Pillow by 1). Where the
+    environment lacks Pillow (this sandbox: no package-index route),
+    the branch instead asserts the lane's LOUD gate — no silent
+    skip."""
     from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
 
     triples = [
@@ -102,6 +109,10 @@ def test_netpbm_and_pil_lanes_agree_on_p6(spark):
         img = _ppm([[t] * 4 for _ in range(4)])
         rows.append((i, "image", img, len(img), 4, 4))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    if not pil_available():
+        with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+            decode_media(media, decoder="pil")
+        return
     by_lane = {}
     for lane in ("netpbm", "pil"):
         by_lane[lane] = {
@@ -130,13 +141,21 @@ def test_resize_netpbm_nearest_neighbor(spark):
     assert arr.tolist() == [[10, 20], [30, 40]]
 
 
-@pytest.mark.skipif(
-    not pil_available(),
-    reason="real image decode requires Pillow (PIL), not installed here",
-)
 def test_decode_pil_real_images(spark):
     """Real Pillow path: synthetic PNGs through decoder='pil' —
-    luminance histograms normalize to 1 and separate black from white."""
+    luminance histograms normalize to 1 and separate black from white.
+    Without Pillow (this sandbox), asserts the lane's loud gate
+    instead — no silent skip; the decode math itself stays proven
+    end-to-end by the dependency-free netpbm lane."""
+    if not pil_available():
+        from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+
+        media = spark.createDataFrame(
+            [(0, "image", b"\x89PNG fake", 9, None, None)], MEDIA_SCHEMA
+        )
+        with pytest.raises(NotImplementedError, match="[Pp]illow|PIL"):
+            decode_media(media, decoder="pil")
+        return
     from io import BytesIO
 
     from PIL import Image
@@ -301,35 +320,28 @@ def test_decode_wav_features(spark):
     assert feats[3] is None
 
 
-def test_frame_sample_ffmpeg_gate_raises_without_binary(spark, media):
-    """The compressed-video lane is environment-gated like the Pillow
-    lane: a loud NotImplementedError naming the dependency when ffmpeg
-    is absent (construction-time, before any Spark job)."""
-    from etl_his_spark.operators.multimodal import ffmpeg_available
-
-    if ffmpeg_available():
-        pytest.skip("ffmpeg installed: the gate does not raise")
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        frame_sample(media, decoder="ffmpeg")
-
-
-@pytest.mark.skipif(
-    not __import__(
-        "etl_his_spark.operators.multimodal", fromlist=["ffmpeg_available"]
-    ).ffmpeg_available(),
-    reason="ffmpeg binary not on PATH",
-)
 def test_frame_sample_ffmpeg_transcodes_to_y4m_lane(spark):
-    """With ffmpeg present: already-y4m bytes bypass the subprocess
-    and produce the same frames as decoder='y4m'; non-y4m bytes go
-    through the transcode (pipe-only, no temp files)."""
-    from etl_his_spark.operators.multimodal import MEDIA_SCHEMA
+    """Branching env-gate (no skips either way, like the Pillow
+    lanes): with ffmpeg present, already-y4m bytes bypass the
+    subprocess and produce the same frames as decoder='y4m' (non-y4m
+    bytes go through the pipe-only transcode); without it (this
+    sandbox has no ffmpeg binary and no install route), the lane
+    raises a loud construction-time NotImplementedError naming the
+    dependency, before any Spark job."""
+    from etl_his_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ffmpeg_available,
+    )
 
     planes = [bytes([v] * 64) for v in (5, 100, 250)]
     vid = _y4m(planes, 8, 8)
     media = spark.createDataFrame(
         [(0, "video", vid, len(vid), 8, 8)], MEDIA_SCHEMA
     )
+    if not ffmpeg_available():
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            frame_sample(media, decoder="ffmpeg")
+        return
     via_ffmpeg = {
         (r["media_id"], r["frame_index"], bytes(r["frame_bytes"]))
         for r in frame_sample(media, every_n=2, decoder="ffmpeg").collect()
@@ -448,3 +460,39 @@ def test_parse_riff_chunks_walk_and_edges():
     assert parse_riff_chunks(b"JUNKJUNKJUNKJUNK") == []
     assert parse_riff_chunks(b"RIFF") == []
     assert parse_riff_chunks(None) == []
+
+
+def test_chunk_walkers_accept_custom_id_col(spark):
+    """riff_chunks / png_chunks with a NON-default id_col (ADVICE r12
+    low: the batch iterator indexed pdf[id_col] after the select had
+    already renamed it to media_id, so any custom id_col raised
+    KeyError at execution time)."""
+    import zlib
+
+    from etl_his_spark.operators.multimodal import png_chunks, riff_chunks
+
+    def le32(v):
+        return v.to_bytes(4, "little")
+
+    riff = b"RIFF" + le32(4 + 8 + 4) + b"WAVE" + b"data" + le32(4) + b"\x01\x02\x03\x04"
+    ihdr = bytes(13)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+        + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + b"IEND"
+        + zlib.crc32(b"IEND").to_bytes(4, "big")
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(riff)), (8, bytearray(png))],
+        "asset_id long, media_bytes binary",
+    )
+    riff_rows = riff_chunks(df, id_col="asset_id").collect()
+    assert [(r.media_id, r.chunk_id, r.chunk_size) for r in riff_rows] == [
+        (7, "data", 4)
+    ]
+    png_rows = png_chunks(df, id_col="asset_id").collect()
+    assert [(r.media_id, r.chunk_type, r.crc_ok) for r in png_rows] == [
+        (8, "IHDR", True),
+        (8, "IEND", True),
+    ]
