@@ -1386,7 +1386,11 @@ def _manifest_partial(ev: DataFrame) -> DataFrame:
     per file for skipping (min/max) and compaction (rows/bytes)."""
     return ev.groupBy(
         F.to_date("ts").alias("day"),
-        F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("bucket"),
+        # dividend-sign %, NOT pmod: DuckDB's % takes the dividend's
+        # sign, and the oracle buckets with user_id % 16 — the two
+        # diverge for negative ids (ADVICE r12 low). Same convention
+        # on both sides keeps the gate exact for ANY id domain.
+        (F.col("user_id") % F.lit(16)).cast("long").alias("bucket"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.length(F.coalesce("props", F.lit(""))) + F.lit(16))
@@ -1495,3 +1499,15 @@ R13_QUEUE = {
         MANIFEST_ORACLE,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# r13 registration: publish every queue entry into the driver-facing
+# registry (the r10/r11/r12 pattern — looping over R13_QUEUE keeps the
+# queue dict, which tests/test_r13_queue.py verifies against the
+# DuckDB oracles, and the registry surface mechanically identical).
+# ---------------------------------------------------------------------------
+from ..registry import register  # noqa: E402
+
+for _name, (_fn, _oracle) in R13_QUEUE.items():
+    register(_name, _oracle)(_fn)

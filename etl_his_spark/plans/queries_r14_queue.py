@@ -719,7 +719,11 @@ def lakehouse_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     manifest = ev.groupBy(
         F.to_date("ts").alias("day"),
-        F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("bucket"),
+        # dividend-sign %, NOT pmod: DuckDB's % takes the dividend's
+        # sign, and the oracle buckets with user_id % 16 — the two
+        # diverge for negative ids (ADVICE r12 low). Same convention
+        # on both sides keeps the gate exact for ANY id domain.
+        (F.col("user_id") % F.lit(16)).cast("long").alias("bucket"),
     ).agg(
         F.min("event_id").cast("long").alias("mn"),
         F.max("event_id").cast("long").alias("mx"),

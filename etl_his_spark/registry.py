@@ -67,6 +67,7 @@ from .plans import queries_graph  # noqa: E402,F401
 from .plans import queries_r10_queue  # noqa: E402,F401
 from .plans import queries_r11_queue  # noqa: E402,F401
 from .plans import queries_r12_queue  # noqa: E402,F401
+from .plans import queries_r13_queue  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -84,6 +85,106 @@ from .plans import queries_r12_queue  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    # --- Round 13 window (50 slots) — executes the queue the r12
+    # window wrote down, exactly as the r12 verdict ordered (item 1):
+    # clear the whole r7-stale cohort, then the ten r13-queue gates.
+    # Layout:
+    #   1     dedup_snapshot_incremental — its residual shingle join
+    #         gained the posting-list df cap this round (r12 verdict
+    #         item 3; SNAPSHOT_DF_CAP in queries_r12_queue.py,
+    #         mirrored in the oracle, planted hot-shingle test) — the
+    #         changed-first rule puts it at position 1 even though its
+    #         r12 row was green, exactly as fuzzy_name_match's r10
+    #         redesign did.
+    #   2-40  the thirty-nine r7-last queries the r12 window queued at
+    #         positions 51-89 (the verdict's item-1 cohort; its joint
+    #         15-query spot-check of exactly these found zero drift).
+    #         After this block no registered query's driver row is
+    #         older than round 8.
+    #   41-50 the ten r13-queue gates registered THIS round (written
+    #         and tri-scale-proven in r12; tests/test_r13_queue.py
+    #         runs the driver-style comparison over all ten every
+    #         pytest run). streaming_manifest_agree additionally
+    #         carries this round's dividend-sign % bucketing fix
+    #         (ADVICE r12 low) — registered-new puts it in-window
+    #         anyway.
+    #   51    bench_embedding_neardup_numpy slides out to make room
+    #         for position 1 (the fuzzy_name_match/window_running_sum
+    #         precedent): it holds the weakest slot claim — its
+    #         rows-only row was refreshed in r12 (position 31), its
+    #         code is untouched, and its semantics stay pinned by the
+    #         hash-exact twin embedding_neardup (sentinel-tier, green
+    #         r12) plus the pytest pair-set equality test.
+    # The ten family sentinels sit OUT of this window — the second
+    # documented one-round exception to the pin rule (the first was
+    # r7, same reason: a stale-cohort clearing round needs the slots).
+    # All ten were driver-green in r12 (CORRECTNESS_r12 positions
+    # 41-50), none of their code paths change this round, and pytest
+    # + the local DuckDB gate still hard-check them every round; they
+    # return at positions 41-50 of the r14 window.
+    # Position 1: changed-first (snapshot df cap).
+    "dedup_snapshot_incremental",
+    # Positions 2-40: the thirty-nine r7-last queries, machinery-first
+    # (same order the r12 window queued them).
+    "ann_topk_ivf",
+    "basket_brand_affinity",
+    "bloom_prefilter_join",
+    "contrastive_triplets",
+    "corpus_dedup_keeper_quality",
+    "curation_boilerplate_prefixes",
+    "curation_lm_report",
+    "curation_source_report",
+    "customer_rfm_segments",
+    "dataset_split_assign",
+    "date_parts",
+    "dedup_containment_pairs",
+    "dedup_repeated_spans",
+    "embedding_jl_projection",
+    "embedding_kmeans_assign",
+    "embedding_kmeans_update",
+    "embedding_label_separation",
+    "embedding_quantize_int8",
+    "embedding_standardize",
+    "events_churn_training_set",
+    "events_dau_wau_stickiness",
+    "events_decayed_revenue",
+    "events_markov_transitions",
+    "fk_resolution",
+    "incremental_agg_refresh",
+    "inference_length_batches",
+    "json_schema_parse",
+    "orders_seasonal_naive",
+    "quality_novel_ngrams",
+    "quality_unigram_likelihood",
+    "schema_evolution_read",
+    "source_overlap_matrix",
+    "split_leakage_check",
+    "stats_key_skew",
+    "stats_winsorized",
+    "table_analyze_stats",
+    "table_diff_changelog",
+    "text_script_detect",
+    "training_epoch_shuffle",
+    # Positions 41-50: the ten r13-queue gates registered this round.
+    "retrieval_rerank_eval",
+    "ann_index_maintenance",
+    "multimodal_riff_walk",
+    "curation_contamination_attribution",
+    "events_cusum_changepoint",
+    "graph_jaccard_neighbors",
+    "text_keyword_rake",
+    "training_tokenizer_fertility",
+    "embedding_matryoshka_eval",
+    "streaming_manifest_agree",
+    # Position 51: slid out (r12-fresh rows-only row; see header).
+    "bench_embedding_neardup_numpy",
+    # Positions 52+: everything else keeps registration order; all
+    # were driver-green in r8-r12 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R12_WINDOW_HISTORY = [
     # --- Round 12 window (50 slots) — executes the queue the r11
     # window wrote down, exactly as the r11 verdict ordered (items 1-2).
     # Layout:
