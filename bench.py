@@ -201,6 +201,22 @@ HEADLINE = [
     "dedup_snapshot_incremental",
     "retrieval_mrr_eval",
     "streaming_bottomk_agree",
+    # round-13 registrations (written and tri-scale-proven in r12):
+    # two-stage reranker eval, incremental ANN index maintenance, RIFF
+    # chunk walk, contamination attribution, CUSUM changepoint,
+    # bottom-k neighbor-Jaccard link prediction, RAKE keywords,
+    # tokenizer fertility, matryoshka prefix-recall eval, streaming
+    # file-manifest lane.
+    "retrieval_rerank_eval",
+    "ann_index_maintenance",
+    "multimodal_riff_walk",
+    "curation_contamination_attribution",
+    "events_cusum_changepoint",
+    "graph_jaccard_neighbors",
+    "text_keyword_rake",
+    "training_tokenizer_fertility",
+    "embedding_matryoshka_eval",
+    "streaming_manifest_agree",
 ]
 
 
@@ -251,6 +267,41 @@ def ambient_probe() -> float:
         x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
         x ^= x >> 7
         x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return round(time.time() - t0, 3)
+
+
+def ambient_io_probe() -> float:
+    """Seconds for a fixed write+fsync+read filesystem workload (16
+    fsync'd 512 KiB blocks written, read back, unlinked): the I/O
+    complement to the CPU probe above (r12 verdict item 4).
+
+    Motivation: the CPU probe read a QUIET 0.494 while the r12
+    driver's his_pipeline_publish ran 26.1 s vs 14.7 s on a quiet box
+    — publish is fs-bound, and a pure-Python xorshift loop is blind to
+    I/O contention (neighbor writers, dirty-page pressure, throttled
+    block device). Recording both probes beside every artifact lets a
+    future reader separate CPU-regime from I/O-regime inflation:
+    fs-bound numbers (publish, parquet-heavy scans) read against THIS
+    probe, compute-bound ones against the CPU probe."""
+    import tempfile
+
+    block = os.urandom(512 * 1024)
+    t0 = time.time()
+    fd, path = tempfile.mkstemp(prefix="bench_io_probe_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(16):
+                f.write(block)
+                f.flush()
+                os.fsync(f.fileno())
+        with open(path, "rb") as f:
+            while f.read(1 << 20):
+                pass
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
     return round(time.time() - t0, 3)
 
 
@@ -342,6 +393,7 @@ def run_isolated(names: list[str]) -> int:
         "queries": timings,
         "recheck_runs": recheck_runs,
         "ambient_probe_sec": min(ambient_probe() for _ in range(3)),
+        "ambient_io_probe_sec": min(ambient_io_probe() for _ in range(3)),
         "n_requested": len(names),
     }
     for name in names:
@@ -393,6 +445,7 @@ def compact_line(payload: dict, bench_names: list[str]) -> str:
         "noise_suspect": payload["noise_suspect"],
         "sf": payload["sf"],
         "ambient_probe_sec": payload["ambient_probe_sec"],
+        "ambient_io_probe_sec": payload["ambient_io_probe_sec"],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:  # keep the whole line inside the tail capture
@@ -579,6 +632,8 @@ def main() -> int:
         "noise_suspect": noise_suspect,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ambient_probe_sec": min(ambient_probe() for _ in range(3)),
+        # fs-bound complement (read his_pipeline_publish against THIS)
+        "ambient_io_probe_sec": min(ambient_io_probe() for _ in range(3)),
     }
     _persist(payload, "BENCH_LOCAL.json")
     # stdout gets a COMPACT line, not the full payload: the driver

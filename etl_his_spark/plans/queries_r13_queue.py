@@ -875,8 +875,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one distinct edge build, one per-node rank window
     (node-partitioned), one sketch-element equi-join for candidates,
-    two candidate-keyed joins fanning each pair to ≤ 2k merged
-    elements, one per-pair rank window, broadcast-able size dims, one
+    then per-pair bottom-k merge as ARRAY math on the candidate rows
+    (each node's sketch collected once into a sorted ≤k array;
+    merged = slice(sort(union), k), k_inter = |a ∩ b ∩ merged| — no
+    fan-out join, no per-pair window), broadcast-able size dims, one
     per-node top-k window. No global windows, no cartesian joins.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -911,32 +913,47 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cc") >= JACC_CAND_MIN)
         .select("s_a", "s_b")
     )
-    melem = (
-        cand.join(
-            sk.select(F.col("s").alias("s_a"), "h"), "s_a"
-        )
-        .select("s_a", "s_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-        .unionAll(
-            cand.join(
-                sk.select(F.col("s").alias("s_b"), "h"), "s_b"
-            ).select(
-                "s_a", "s_b", "h",
-                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
-            )
-        )
-        .groupBy("s_a", "s_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    # Merge stage as ARRAY math, not a fan-out join (r13 perf fix): the
+    # first registration-day build mirrored the oracle literally —
+    # union-join each candidate pair back to its sketch rows (x2),
+    # groupBy (pair, h), rank-window the merged elements, re-aggregate
+    # — which fans |cand| pairs to <=2k rows (77k pairs -> ~20M rows at
+    # sf0.1) through two shuffles and a pair-keyed window, measured
+    # 39.2 s isolated fresh-JVM. Equivalent per-pair math on collected
+    # sketch ARRAYS (<=k sorted 60-bit hashes per node, ~1 KiB) does
+    # the bottom-k merge with built-in array ops on |cand| ROWS:
+    # merged = slice(sort(union(a, b)), k); k_inter = |a ∩ b ∩ merged|.
+    # Identical values (union/intersect dedup by h exactly like the
+    # oracle's groupBy-max-flag melem; the rank window's bottom-k = the
+    # sorted slice), zero fan-out, and the node->array table joins
+    # broadcast at dim scale (AQE picks it; ~16 KiB per 1k nodes of
+    # payload) or sort-merge on s at graph scale — either way the big
+    # side stays |cand| rows. Isolated fresh-JVM after: 8.9 s (was
+    # 39.2), all of it base-build + candidate join.
+    sk_arr = sk.groupBy("s").agg(
+        F.array_sort(F.collect_list("h")).alias("arr")
     )
-    wmrg = Window.partitionBy("s_a", "s_b").orderBy("h")
+    merged = F.slice(
+        F.array_sort(F.array_union("arr_a", "arr_b")), 1, JACC_SKETCH_K
+    )
     est = (
-        melem.withColumn("rk", F.row_number().over(wmrg))
-        .filter(F.col("rk") <= JACC_SKETCH_K)
-        .groupBy("s_a", "s_b")
-        .agg(
-            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
-                "k_inter"
-            ),
-            F.count(F.lit(1)).cast("long").alias("k_merged"),
+        cand.join(
+            sk_arr.select(F.col("s").alias("s_a"), F.col("arr").alias("arr_a")),
+            "s_a",
+        )
+        .join(
+            sk_arr.select(F.col("s").alias("s_b"), F.col("arr").alias("arr_b")),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            F.size(
+                F.array_intersect(
+                    F.array_intersect("arr_a", "arr_b"), merged
+                )
+            ).cast("long").alias("k_inter"),
+            F.size(merged).cast("long").alias("k_merged"),
         )
     )
     sym = est.select(
