@@ -445,7 +445,9 @@ def compact_line(payload: dict, bench_names: list[str]) -> str:
         "noise_suspect": payload["noise_suspect"],
         "sf": payload["sf"],
         "ambient_probe_sec": payload["ambient_probe_sec"],
-        "ambient_io_probe_sec": payload["ambient_io_probe_sec"],
+        # pre-r13 payloads (and the committed r12 artifact the tail-budget
+        # test replays) predate the I/O probe — absent reads as null
+        "ambient_io_probe_sec": payload.get("ambient_io_probe_sec"),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:  # keep the whole line inside the tail capture
