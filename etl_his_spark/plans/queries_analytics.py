@@ -365,7 +365,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("monetary_cents"),
-    )
+    ).localCheckpoint(eager=False)  # customer-dim-sized; the count()
+    # action below materializes the blocks, and the three chained
+    # dense_ids passes then reuse them instead of re-running the
+    # orders scan + aggregation (r13)
     n = cust.count()
     c = dense_ids(cust, [F.col("last_dt"), F.col("o_custkey")], id_col="rr")
     c = dense_ids(c, [F.col("frequency"), F.col("o_custkey")], id_col="fr")

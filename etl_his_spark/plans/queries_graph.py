@@ -108,11 +108,20 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking pass; no-checkpoint race-recomputes the join per
     # consumer (the spiky tail).
     edges = edges.localCheckpoint(eager=False)
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    # outw feeds the rank init AND the ew join of EVERY iteration —
+    # un-pinned it re-aggregated the edge list once per consumer (3
+    # subtrees in the r12 physical plan). Node-dim-sized: pinning is
+    # O(nodes) storage at any scale.
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("wout")
+    ).localCheckpoint(eager=False)
     ranks = outw.select(
         F.col("src").alias("node"), F.lit(PR_UNIT).cast("long").alias("r")
     )
-    ew = edges.join(outw, "src")
+    # ew feeds one join per iteration: pin it so the edges⋈outw join
+    # runs once, not once per unrolled iteration. Edge-sized — the
+    # same O(|E|) storage class as the edges pin above.
+    ew = edges.join(outw, "src").localCheckpoint(eager=False)
     for _ in range(PR_ITERS):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -244,28 +253,43 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).localCheckpoint(eager=False)
+    # adj feeds BOTH endpoint joins below: pin it so the collect_list
+    # agg runs once, not once per join side (r13: the un-pinned adj
+    # was re-aggregated per consumer).
     adj = o.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    ).localCheckpoint(eager=False)
     a_src = adj.select("src", F.col("nbrs").alias("src_nbrs"))
     a_dst = adj.select(
         F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")
     )
-    tri = (
+    # SINGLE-PASS node emission (r13): the previous 3-arm
+    # unionByName over the tri frame re-executed the o⋈adj⋈adj join
+    # chain once per arm (12 SortMergeJoins in the physical plan).
+    # Each oriented edge (src, dst) with I = N⁺(src) ∩ N⁺(dst) closes
+    # |I| triangles; the per-triangle node multiset is therefore src
+    # ×|I|, dst ×|I|, and each w ∈ I once — emitted here as one
+    # array concat + one explode per edge row, so the join chain runs
+    # exactly once and no intermediate triangle rows materialize.
+    # Multiset-identical to exploding (a, b, c) triangle rows and
+    # unioning the three columns (oracle unchanged, hash-exact).
+    withI = (
         o.join(a_src, "src")
         .join(a_dst, "dst")
         .select(
-            F.col("src").alias("a"),
-            F.col("dst").alias("b"),
-            F.explode(
-                F.array_intersect("src_nbrs", "dst_nbrs")
-            ).alias("c"),
+            "src",
+            "dst",
+            F.array_intersect("src_nbrs", "dst_nbrs").alias("ii"),
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    nodes = withI.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("src"), F.size("ii")),
+                F.array_repeat(F.col("dst"), F.size("ii")),
+                F.col("ii"),
+            )
+        ).alias("node")
     )
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")

@@ -552,10 +552,17 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded-LSH production lane, not itself a production pass.
     """
     docs = read_table(spark, sf_dir, "documents")
+    # truth and cand each feed TWO consumers (the tp join and their
+    # own count aggregate); un-pinned, Catalyst plans the full
+    # prefix-filtered Jaccard / banded-LSH pipeline once per consumer
+    # — pinning halves the heavy work (r13; pair-list-sized frames,
+    # the bounded-dimension checkpoint policy).
     truth = jaccard_pairs_prefix(docs, LSH_EVAL_THRESHOLD).select(
         "a_id", "b_id"
-    )
-    cand = minhash_lsh_candidates(docs).select("a_id", "b_id")
+    ).localCheckpoint(eager=False)
+    cand = minhash_lsh_candidates(docs).select(
+        "a_id", "b_id"
+    ).localCheckpoint(eager=False)
     tp = cand.join(truth, ["a_id", "b_id"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_tp")
     )
@@ -1163,13 +1170,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint(eager=False)
 
     def argmax_label(votes: DataFrame) -> DataFrame:
-        wv = Window.partitionBy("node").orderBy(
-            F.col("votes").desc(), F.col("label")
-        )
+        # argmax by (votes DESC, label ASC) as min(struct(-votes,
+        # label)): field-by-field struct ordering makes the min row
+        # exactly the row_number()=1 row of the previous window form,
+        # but a hash aggregate does partial map-side reduction and
+        # skips the window's per-partition sort (r13).
         return (
-            votes.withColumn("rk", F.row_number().over(wv))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"), F.col("label")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
         )
 
     # Round 1: label(dst) = dst identically, so the votes come straight

@@ -1137,11 +1137,15 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    # inter feeds the truth derivation AND (symmetrized, below) the
+    # retrieval scoring itself — pin it so the posting-list self-join
+    # runs once (r13; pair-count-sized, ≪ the posting join's input).
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("i"))
+        .localCheckpoint(eager=False)
     )
     verified = (
         inter.join(
@@ -1175,15 +1179,26 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     queries = truth.select("query_id").distinct()
-    qsh = queries.join(
-        sh.withColumnRenamed("doc_id", "query_id"), "query_id"
+    # The retrieval score of (query, cand) — shared-distinct-shingle
+    # count — is exactly inter's i for that unordered pair (both are
+    # counts over the same distinct (doc_id, shingle) frame), so the
+    # scoring stage needs NO second posting-list join (r13: the
+    # previous qsh⋈sh join recomputed every intersection the pair
+    # stage had already counted). Symmetrize inter and keep the query
+    # panel's rows; queries is distinct, so the inner join is a pure
+    # filter.
+    sym = inter.select(
+        F.col("a_id").alias("query_id"),
+        F.col("b_id").alias("cand_id"),
+        F.col("i").alias("score"),
+    ).unionAll(
+        inter.select(
+            F.col("b_id").alias("query_id"),
+            F.col("a_id").alias("cand_id"),
+            F.col("i").alias("score"),
+        )
     )
-    scored = (
-        qsh.join(sh, "shingle")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
+    scored = sym.join(queries, "query_id")
     wrk = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("cand_id")
     )
