@@ -339,6 +339,13 @@ def jaccard_pairs_prefix(
     # prune took the same stage to sub-second. (The r7 note about
     # array-carry being slower applied to riding arrays through the
     # pre-filter WINDOW rows — candidates-only joins avoid that.)
+    # r13 A/B note: deriving arr from pos (to reuse the window's
+    # id-partitioning) was tried and reverted — localCheckpoint/window
+    # partitioning does not survive into the groupBy (an exchange is
+    # planned either way), and the duplicated window subtree cost more
+    # than the one sh shuffle it saved (fresh-JVM min-of-3:
+    # corpus_pipeline 4.46→5.04 s). arr over the pinned sh blocks is
+    # the cheapest correct shape.
     arr = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("shingles")
     )

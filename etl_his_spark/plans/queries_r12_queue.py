@@ -618,6 +618,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stats = []
+    # r13 A/B note: replacing the per-round degree agg + two keeper
+    # joins with two count windows over the edge list was tried and
+    # reverted (fresh-JVM min-of-3: 4.85→5.09 s) — the windows shuffle
+    # FULL edge rows twice per round, while the degree agg shuffles
+    # only map-side partial counts and AQE converts the node-dim-sized
+    # keeper joins to broadcasts at runtime.
     for r in range(1, KCORE_ROUNDS + 1):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select(
@@ -1165,6 +1171,9 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 700 * (F.col("n_a") + F.col("n_b") - F.col("i"))
         )
         .select("a_id", "b_id")
+        # verified feeds BOTH symmetrization arms of truth: pin it so
+        # the size joins run once, not once per direction (r13).
+        .localCheckpoint(eager=False)
     )
     truth = (
         verified.select(

@@ -244,11 +244,15 @@ def retrieval_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    # inter feeds the truth derivation AND (symmetrized, below) the
+    # stage-1 scoring — pin it so the posting-list self-join runs once
+    # (r13; the same rewrite as retrieval_mrr_eval).
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("i"))
+        .localCheckpoint(eager=False)
     )
     verified = (
         inter.join(
@@ -268,6 +272,9 @@ def retrieval_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 700 * (F.col("n_a") + F.col("n_b") - F.col("i"))
         )
         .select("a_id", "b_id")
+        # verified feeds BOTH symmetrization arms of truth: pin it so
+        # the size joins run once, not once per direction (r13).
+        .localCheckpoint(eager=False)
     )
     truth = (
         verified.select(
@@ -283,15 +290,24 @@ def retrieval_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     queries = truth.select("query_id").distinct()
-    qsh = queries.join(
-        sh.withColumnRenamed("doc_id", "query_id"), "query_id"
+    # Stage-1 score of (query, cand) — shared-distinct-shingle count —
+    # is exactly inter's i for the unordered pair (both count over the
+    # same distinct (doc_id, shingle) frame), so stage 1 needs NO
+    # second posting-list join (r13: the previous qsh⋈sh join
+    # recomputed every intersection the pair stage already counted).
+    # queries is distinct, so the inner join is a pure filter.
+    sym = inter.select(
+        F.col("a_id").alias("query_id"),
+        F.col("b_id").alias("cand_id"),
+        F.col("i").alias("score1"),
+    ).unionAll(
+        inter.select(
+            F.col("b_id").alias("query_id"),
+            F.col("a_id").alias("cand_id"),
+            F.col("i").alias("score1"),
+        )
     )
-    scored = (
-        qsh.join(sh, "shingle")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
-        .agg(F.count(F.lit(1)).alias("score1"))
-    )
+    scored = sym.join(queries, "query_id")
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score1"), F.asc("cand_id")
     )
@@ -955,6 +971,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("k_inter"),
             F.size(merged).cast("long").alias("k_merged"),
         )
+        # est feeds BOTH symmetrization arms below: pin it so the
+        # candidate joins + per-pair array merge run once, not once
+        # per direction (r13; pair-count-sized rows of 4 longs).
+        .localCheckpoint(eager=False)
     )
     sym = est.select(
         F.col("s_a").alias("s"), F.col("s_b").alias("neighbor"),
