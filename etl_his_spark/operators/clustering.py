@@ -30,12 +30,13 @@ def _sq_dist(a, b_lit: list[float]):
     sequential fold, deterministic order (functions/vector.dot).
     Squares by plain multiplication, not ``**``: Math.pow is only
     1-ulp-accurate, which is enough to flip a round(d2, 6) at a
-    boundary against the oracle's (a-b)*(a-b)."""
-    diffs = F.transform(
-        a,
-        lambda x, i: (x - F.element_at(F.lit(b_lit), i + 1))
-        * (x - F.element_at(F.lit(b_lit), i + 1)),
-    )
+    boundary against the oracle's (a-b)*(a-b).
+
+    zip_with, not transform+element_at (r13): the previous form did
+    two positional array lookups into the centroid literal per
+    element; zip_with walks both arrays once. Same (x−y)·(x−y) values
+    folded in the same index order — bit-identical result."""
+    diffs = F.zip_with(a, F.lit(b_lit), lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -65,7 +66,17 @@ def kmeans_assign(
                 .collect()
             )
         ]
-    v = vectors.select(id_col, to_double_array(vec_col).alias("e"))
+    # Spread a narrow scan before the CPU-heavy projection (r13): the
+    # assignment is k·d interpreted array ops per row, and a small
+    # parquet file arrives as ONE scan split — byte-cheap but
+    # CPU-bound, the case AQE's byte-based coalescing cannot see.
+    # Conditional: at cluster scale the scan is already ≥ cores wide
+    # and this is a no-op (dedup_approx.spread_small_input).
+    from .dedup_approx import spread_small_input
+
+    v = spread_small_input(
+        vectors.select(id_col, to_double_array(vec_col).alias("e"))
+    )
     candidates = [
         F.struct(
             F.round(_sq_dist(F.col("e"), c), 6).alias("d2"),

@@ -114,8 +114,14 @@ def bucketed_topk(
         .withColumn("bucket", sign_bucket(F.col("query_vec"), bits))
         .withColumn("q_norm", norm(F.col("query_vec")))
     )
+    # Spread a narrow candidate scan before the per-pair cosine work
+    # (r13): the broadcast join keeps the big side's partitioning, so
+    # a single-split parquet scan would score every pair on one core.
+    # Conditional no-op at cluster scale (spread_small_input).
+    from .dedup_approx import spread_small_input
+
     v = (
-        _prep(vectors, id_col, vec_col, "cand")
+        spread_small_input(_prep(vectors, id_col, vec_col, "cand"))
         .withColumn("bucket", sign_bucket(F.col("cand_vec"), bits))
         .withColumn("c_norm", norm(F.col("cand_vec")))
     )
@@ -173,8 +179,14 @@ def bucketed_topk_multiprobe(
             F.explode(probes).alias("bucket"),
         )
     )
+    # Spread a narrow candidate scan before the per-pair cosine work
+    # (r13): the broadcast join keeps the big side's partitioning, so
+    # a single-split parquet scan would score every pair on one core.
+    # Conditional no-op at cluster scale (spread_small_input).
+    from .dedup_approx import spread_small_input
+
     v = (
-        _prep(vectors, id_col, vec_col, "cand")
+        spread_small_input(_prep(vectors, id_col, vec_col, "cand"))
         .withColumn("bucket", sign_bucket(F.col("cand_vec"), bits))
         .withColumn("c_norm", norm(F.col("cand_vec")))
     )
