@@ -390,6 +390,19 @@ def perceptual_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     (``dedup_approx.hamming_pairs_blocked``) finds visual duplicates
     with the same pigeonhole machinery as SimHash text dedup. Real
     decode, Arrow-batched ``mapInPandas``, 8 bytes per image out."""
+    # Spread a narrow scan before the Python hash stage (r13): the
+    # fixture media frame derives from a single parquet split, so the
+    # Arrow-batched per-image numpy work would otherwise run in ONE
+    # Python worker. Kept HERE only — the ahash per-row work is heavy
+    # enough to pay for the shuffle (multimodal_image_dedup fresh-JVM
+    # min 2.81 -> 1.81 s); the light decode lanes (wav/riff/y4m/png
+    # walkers) measured WORSE with the same spread and keep their
+    # narrow input (A/B in OPTIMIZATION_r13.md). Conditional no-op at
+    # cluster scale (spread_small_input).
+    from .dedup_approx import spread_small_input
+
+    media = spread_small_input(media)
+
     out_schema = T.StructType(
         [media.schema[id_col], T.StructField("ahash", T.LongType())]
     )
