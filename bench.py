@@ -217,6 +217,22 @@ HEADLINE = [
     "training_tokenizer_fertility",
     "embedding_matryoshka_eval",
     "streaming_manifest_agree",
+    # round-14 registrations (written and tri-scale-proven in r12):
+    # versioned-manifest vacuum planning, Theil-Sen robust trend,
+    # binary-quantization recall eval, A/B sample-ratio mismatch, PNG
+    # chunk walk with real CRC validation, conversion-latency buckets,
+    # file-skipping overlap stats, vocabulary drift, burst-rate bot
+    # detection, encoding-anomaly QA.
+    "lakehouse_vacuum_plan",
+    "stats_theil_sen_trend",
+    "embedding_binary_recall",
+    "events_ab_srm",
+    "multimodal_png_walk",
+    "events_conversion_latency",
+    "lakehouse_skipping_stats",
+    "text_vocab_drift",
+    "events_bot_detection",
+    "text_encoding_anomalies",
 ]
 
 

@@ -44,15 +44,52 @@ def _with_row_ids(wide: DataFrame) -> DataFrame:
     """Mint the SERIAL turno id: one sequential id per extraction row.
 
     Fan-out duplicates are bit-identical rows (the dead joins project
-    nothing), so any order among duplicates is equivalent; row_number
-    over turno_id makes ids deterministic up to that equivalence.
+    nothing), so any order among duplicates is equivalent; ranking by
+    turno_id makes ids deterministic up to that equivalence.
 
-    Uses the PARALLEL two-phase id scheme: the extraction is fact-scale
-    (every turno × fan-out), so a single-partition global window would
-    serialize the whole pipeline at 100 TB. dense_ids range-partitions
-    on the order key and offsets per-partition row_numbers instead.
+    NARROW-PROXY scheme (r14, guide §8 "decide with small rows, move
+    big rows once"): the id decision depends only on ``turno_id``, yet
+    the r13 form ran ``dense_ids`` directly on the 40-column
+    extraction — the full payload was locally checkpointed twice
+    (input pin + ranged pin), range-exchanged through the sampler, and
+    sorted per partition, ~12 s of the 20-30 s publish at sf0.1. Now:
+
+    1. Pin the payload ONCE. The pinned partitions make
+       ``monotonically_increasing_id`` (partition id << 33 | position)
+       a stable per-row address across separate reads of the frame —
+       the §8 "record scan partition + position" device.
+    2. Rank a two-column proxy ``(turno_id, __mid)`` through the same
+       parallel two-phase ``dense_ids`` — the range exchange, both
+       internal pins, and the per-partition sort now carry 16 bytes a
+       row instead of the whole extraction.
+    3. Re-attach by ``__mid`` equi-join. One exchange carries the
+       payload (the unavoidable move; the r13 form paid exactly one
+       too, as the range exchange), SHUFFLE_HASH-hinted so neither
+       side is sorted: the 1:1 build side is (mid, uid) pairs.
+
+    Ordering ties (fan-out duplicates) break by ``__mid`` instead of
+    the window sort's arbitrary order — a different representative of
+    the same equivalence class; every id set per turno_id group is
+    unchanged (tests pin ids 1..N dense with fan-out duplicates
+    distinct).
+
+    The single-point work is unchanged: summing ≤ ``buckets`` counts
+    on the driver. At 100 TB the payload crosses the wire once and
+    every other pass (checkpoint writes, sampling, sort) is
+    proxy-sized.
     """
-    return dense_ids(wide, [F.col("turno_id")], "turno_uid", buckets=64)
+    wide = wide.localCheckpoint(eager=False)
+    proxy = wide.select("turno_id").withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    idmap = dense_ids(
+        proxy, [F.col("turno_id"), F.col("__mid")], "turno_uid", buckets=64
+    ).select("__mid", "turno_uid")
+    return (
+        wide.withColumn("__mid", F.monotonically_increasing_id())
+        .join(idmap.hint("SHUFFLE_HASH"), "__mid")
+        .drop("__mid")
+    )
 
 
 def build_paciente(wide: DataFrame) -> DataFrame:
@@ -153,11 +190,10 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Full E/T/(L): returns the 4 outputs; optionally publishes them
     atomically (stage-then-publish) under ``output_root``."""
-    # The 22-table extraction is pinned INSIDE dense_ids (the operator
-    # lazily checkpoints its input before repartitionByRange, whose
-    # range-bounds sampling job would otherwise execute the extraction
-    # twice — found on this pipeline's r9 profile, measured ~23-25s ->
-    # ~19-21s at sf0.1; SCALE.md "his_pipeline_publish").
+    # The 22-table extraction is pinned INSIDE _with_row_ids (once —
+    # the narrow-proxy id mint needs stable partitions for its per-row
+    # address; dense_ids' own input/ranged pins now carry only the
+    # 16-byte proxy, not the extraction — r14, guide §8).
     wide_ids = _with_row_ids(extract_wide(tables))
     # One pass feeds all four outputs; materialize the id-assigned
     # extraction rather than recompute the offset map per derivation.

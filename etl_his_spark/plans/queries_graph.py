@@ -229,68 +229,13 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the Schank-Wagner degree bound (≤ O(√m)), not raw degree —
     safe to carry through the joins even on power-law graphs."""
     from ..operators.dedup_approx import simhash_pairs_blocked
+    from ..operators.graph import triangle_node_counts
 
     e = (
         simhash_pairs_blocked(read_table(spark, sf_dir, "documents"), 8)
         .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     )
-    # e feeds deg + the orientation join + (via o) three more joins:
-    # one materialization (lazy — first consumer is the cheap deg agg)
-    e = e.localCheckpoint(eager=False)
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ed = e.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=False)
-    # adj feeds BOTH endpoint joins below: pin it so the collect_list
-    # agg runs once, not once per join side (r13: the un-pinned adj
-    # was re-aggregated per consumer).
-    adj = o.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    ).localCheckpoint(eager=False)
-    a_src = adj.select("src", F.col("nbrs").alias("src_nbrs"))
-    a_dst = adj.select(
-        F.col("src").alias("dst"), F.col("nbrs").alias("dst_nbrs")
-    )
-    # SINGLE-PASS node emission (r13): the previous 3-arm
-    # unionByName over the tri frame re-executed the o⋈adj⋈adj join
-    # chain once per arm (12 SortMergeJoins in the physical plan).
-    # Each oriented edge (src, dst) with I = N⁺(src) ∩ N⁺(dst) closes
-    # |I| triangles; the per-triangle node multiset is therefore src
-    # ×|I|, dst ×|I|, and each w ∈ I once — emitted here as one
-    # array concat + one explode per edge row, so the join chain runs
-    # exactly once and no intermediate triangle rows materialize.
-    # Multiset-identical to exploding (a, b, c) triangle rows and
-    # unioning the three columns (oracle unchanged, hash-exact).
-    withI = (
-        o.join(a_src, "src")
-        .join(a_dst, "dst")
-        .select(
-            "src",
-            "dst",
-            F.array_intersect("src_nbrs", "dst_nbrs").alias("ii"),
-        )
-    )
-    nodes = withI.select(
-        F.explode(
-            F.concat(
-                F.array_repeat(F.col("src"), F.size("ii")),
-                F.array_repeat(F.col("dst"), F.size("ii")),
-                F.col("ii"),
-            )
-        ).alias("node")
-    )
-    return nodes.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    # Machinery factored to operators.graph.triangle_node_counts (r14,
+    # verbatim move — the r13 single-pass emission unchanged) so the
+    # planted power-law skew test exercises the same code path.
+    return triangle_node_counts(e)

@@ -508,36 +508,74 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-pipelines (token counts, bigram counts, char census) each
     aggregate to source-dim frames before the final joins, so the
     report join moves |sources| rows however big the corpus."""
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    src = docs.select("doc_id", "source")
-    toks, cnt, tot = _token_counts(docs)
-    tok_src = (
-        toks.join(cnt, "token")
-        .join(src, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("c").cast("long").alias("sum_freq"),
+    from ..operators.dedup_approx import spread_small_input
+
+    docs = spread_small_input(
+        read_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
         )
     )
-    bigrams = _bigram_rows(docs)
-    # bcnt feeds the corpus-novelty join AND nothing else corpus-sized,
-    # but the join side would rebuild the whole bigram pipeline for it;
-    # the lazy checkpoint pins the Heaps-bounded bigram dimension.
-    bcnt = (
-        bigrams.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # r14 (guide §2.3, aggregate before you join): the r13 form ran the
+    # tokenize explode TWICE (once into cnt, once as the tok_src probe)
+    # and joined every token INSTANCE against the count dim, then
+    # against src by doc_id — two fact-sized joins. The per-source
+    # decision needs only (source, token) multiplicities, so carry
+    # ``source`` through ONE explode, aggregate to the
+    # (sources × vocab)-bounded ``stok`` first (map-side partial agg),
+    # and derive cnt / tot / tok_src from it: the instance⋈cnt and
+    # instance⋈src joins disappear and every downstream frame is
+    # vocab-sized. Same exact integer sums, value-identical output
+    # (n_tokens = Σk, sum_freq = Σ k·c — each term ≤ the old total).
+    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    stok = (
+        docs.select("source", F.explode(arr).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .localCheckpoint(eager=False)
     )
-    bg_src = (
-        bigrams.join(bcnt, "bg")
-        .join(src, "doc_id")
+    cnt = stok.groupBy("token").agg(F.sum("k").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab_v"),
+    )
+    tok_src = (
+        stok.join(cnt, "token")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("c")).cast("long").alias("sum_freq"),
+        )
+    )
+    # Same single-pass treatment for bigrams: (source, bg)
+    # multiplicities first, the corpus count derived by re-aggregation
+    # — a bigram with corpus count 1 contributes its (necessarily 1)
+    # instance count to exactly one source's novel sum.
+    bg_arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
+    sbg = (
+        docs.select("source", bg_arr.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg_s"),
+        )
+        .select("source", seeded_hash60(F.col("bg_s")).alias("bg"))
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    bcnt = sbg.groupBy("bg").agg(F.sum("k").alias("c"))
+    bg_src = (
+        sbg.join(bcnt, "bg")
+        .groupBy("source")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") == 1, F.col("k")).otherwise(0))
             .cast("long")
             .alias("n_novel"),
         )

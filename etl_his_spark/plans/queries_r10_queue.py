@@ -622,6 +622,12 @@ def quality_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys, the repo discipline); scoring is four LEFT hash joins
     + one 1-row broadcast (N) over the held-out trigram instances —
     all keyed, corpus-linear, no window functions anywhere."""
+    # spread_small_input tried and REJECTED here (r14, interleaved
+    # fresh-JVM A/B 2.45 -> 2.70 s): the 3 gram emissions + held-out
+    # side each re-execute the repartition, so spreading costs 4 small
+    # text shuffles while the per-pass split/md5 work is too light to
+    # repay them (contrast corpus_ngram_coverage_curve, ONE consumer,
+    # 2.13 -> 1.19 s with the same spread).
     base = (
         read_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())

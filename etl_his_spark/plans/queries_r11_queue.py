@@ -963,10 +963,16 @@ def corpus_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     no single-partition stage. first-seen is one groupBy(gram); the
     10-row cumulative window is on the aggregated result.
     """
+    from ..operators.dedup_approx import spread_small_input
+
     docs = read_table(spark, sf_dir, "documents")
     bounds = docs.agg((F.max("doc_id") + 1).alias("m"))
+    # spread (r14, guide §2.5): the trigram explode + md5 hash is the
+    # whole cost and a single-file corpus scan runs it on ONE core;
+    # the 1-row bounds agg stays on the raw scan. inputFiles-gated,
+    # no-op at cluster scale.
     grams = (
-        docs.crossJoin(F.broadcast(bounds))
+        spread_small_input(docs).crossJoin(F.broadcast(bounds))
         .select(
             F.least(
                 F.lit(10), F.expr("doc_id * 10 div m") + 1

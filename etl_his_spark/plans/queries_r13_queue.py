@@ -640,11 +640,21 @@ def curation_contamination_attribution(
     at any corpus size); the corpus side is one distinct-gram explode
     + the postings equi-join; source totals are a source-bounded dim.
     """
+    from ..operators.dedup_approx import spread_small_input
+
     docs = read_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    # spread (r14, guide §2.5): the shingle explode + md5 ahead of the
+    # distinct is this query's whole map cost and a single-file corpus
+    # scan runs it on ONE core; one consumer chain before the pin, so
+    # the spread shuffle is paid once (the coverage-curve profile, not
+    # the trigram-backoff one). `tot` stays on the raw scan — its
+    # count agg is too cheap to repay a second repartition.
+    # inputFiles-gated: no-op at cluster scale.
     grams = (
-        docs.select(
+        spread_small_input(docs)
+        .select(
             "doc_id",
             "source",
             F.explode(word_shingles("text")).alias("g"),
@@ -911,100 +921,15 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sizes = base.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    wsk = Window.partitionBy("s").orderBy("h")
-    sk = (
-        base.select("s", seeded_hash60(F.col("c").cast("string")).alias("h"))
-        .withColumn("rk", F.row_number().over(wsk))
-        .filter(F.col("rk") <= JACC_SKETCH_K)
-        .select("s", "h")
-        .localCheckpoint(eager=False)
-    )
-    cand = (
-        sk.select(F.col("s").alias("s_a"), "h")
-        .join(sk.select(F.col("s").alias("s_b"), "h"), "h")
-        .filter(F.col("s_a") < F.col("s_b"))
-        .groupBy("s_a", "s_b")
-        .agg(F.count(F.lit(1)).alias("cc"))
-        .filter(F.col("cc") >= JACC_CAND_MIN)
-        .select("s_a", "s_b")
-    )
-    # Merge stage as ARRAY math, not a fan-out join (r13 perf fix): the
-    # first registration-day build mirrored the oracle literally —
-    # union-join each candidate pair back to its sketch rows (x2),
-    # groupBy (pair, h), rank-window the merged elements, re-aggregate
-    # — which fans |cand| pairs to <=2k rows (77k pairs -> ~20M rows at
-    # sf0.1) through two shuffles and a pair-keyed window, measured
-    # 39.2 s isolated fresh-JVM. Equivalent per-pair math on collected
-    # sketch ARRAYS (<=k sorted 60-bit hashes per node, ~1 KiB) does
-    # the bottom-k merge with built-in array ops on |cand| ROWS:
-    # merged = slice(sort(union(a, b)), k); k_inter = |a ∩ b ∩ merged|.
-    # Identical values (union/intersect dedup by h exactly like the
-    # oracle's groupBy-max-flag melem; the rank window's bottom-k = the
-    # sorted slice), zero fan-out, and the node->array table joins
-    # broadcast at dim scale (AQE picks it; ~16 KiB per 1k nodes of
-    # payload) or sort-merge on s at graph scale — either way the big
-    # side stays |cand| rows. Isolated fresh-JVM after: 8.9 s (was
-    # 39.2), all of it base-build + candidate join.
-    sk_arr = sk.groupBy("s").agg(
-        F.array_sort(F.collect_list("h")).alias("arr")
-    )
-    merged = F.slice(
-        F.array_sort(F.array_union("arr_a", "arr_b")), 1, JACC_SKETCH_K
-    )
-    est = (
-        cand.join(
-            sk_arr.select(F.col("s").alias("s_a"), F.col("arr").alias("arr_a")),
-            "s_a",
-        )
-        .join(
-            sk_arr.select(F.col("s").alias("s_b"), F.col("arr").alias("arr_b")),
-            "s_b",
-        )
-        .select(
-            "s_a",
-            "s_b",
-            F.size(
-                F.array_intersect(
-                    F.array_intersect("arr_a", "arr_b"), merged
-                )
-            ).cast("long").alias("k_inter"),
-            F.size(merged).cast("long").alias("k_merged"),
-        )
-        # est feeds BOTH symmetrization arms below: pin it so the
-        # candidate joins + per-pair array merge run once, not once
-        # per direction (r13; pair-count-sized rows of 4 longs).
-        .localCheckpoint(eager=False)
-    )
-    sym = est.select(
-        F.col("s_a").alias("s"), F.col("s_b").alias("neighbor"),
-        "k_inter", "k_merged",
-    ).unionAll(
-        est.select(
-            F.col("s_b").alias("s"), F.col("s_a").alias("neighbor"),
-            "k_inter", "k_merged",
-        )
-    )
-    scored = (
-        sym.join(sizes.withColumnRenamed("n", "n_s"), "s")
-        .join(
-            sizes.withColumnRenamed("s", "neighbor").withColumnRenamed(
-                "n", "n_neighbor"
-            ),
-            "neighbor",
-        )
-        .select(
-            "s", "neighbor", "k_inter", "k_merged", "n_s", "n_neighbor",
-            F.expr("CAST((1000000 * k_inter) div k_merged AS BIGINT)")
-            .alias("jaccard_est_micro"),
-        )
-    )
-    wr = Window.partitionBy("s").orderBy(
-        F.desc("jaccard_est_micro"), F.desc("k_inter"), F.asc("neighbor")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= JACC_TOP)
+    # Machinery factored to operators.graph.bottomk_neighbor_topk (r14,
+    # verbatim move — the r13 array-math merge stage and est/sk pins
+    # unchanged; the module docstring keeps the full merge-stage A/B
+    # history) so the planted hot-node skew test exercises the same
+    # code path.
+    from ..operators.graph import bottomk_neighbor_topk
+
+    return bottomk_neighbor_topk(
+        base, JACC_SKETCH_K, JACC_CAND_MIN, JACC_TOP
     )
 
 

@@ -1126,3 +1126,15 @@ R14_QUEUE = {
         ENC_ORACLE,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# r14 registration: publish every queue entry into the driver-facing
+# registry (the r10/r11/r12/r13 pattern — looping over R14_QUEUE keeps
+# the queue dict, which tests/test_r14_queue.py verifies against the
+# DuckDB oracles, and the registry surface mechanically identical).
+# ---------------------------------------------------------------------------
+from ..registry import register  # noqa: E402
+
+for _name, (_fn, _oracle) in R14_QUEUE.items():
+    register(_name, _oracle)(_fn)

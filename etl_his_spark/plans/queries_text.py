@@ -339,19 +339,30 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_approx import spread_small_input
 
     d = spread_small_input(read_table(spark, sf_dir, "documents"))
-    fps = (
-        d.select("doc_id", winnow_hashes("text").alias("hs"))
-        .select("doc_id", F.explode(winnow_select("hs")).alias("fp"))
+    # r14 (guide §2.3): the r13 form counted per-fp docs with a window
+    # over the exploded INSTANCE stream (full shuffle + sort of every
+    # (doc, fp) row), joined doc→source by doc_id, took distinct, and
+    # planned that whole pipeline TWICE for the self-join's two arms.
+    # The decision needs only (source, fp) multiplicities: carry
+    # ``source`` through ONE explode, aggregate to ``spf`` first
+    # (map-side partial agg, no sort), derive the per-fp doc count by
+    # re-aggregation (k sums over sources = docs sharing fp — the
+    # explode rows are already distinct per doc), and pin the
+    # sources×fp-bounded frame so both self-join arms reuse it.
+    spf = (
+        d.select("source", winnow_hashes("text").alias("hs"))
+        .select("source", F.explode(winnow_select("hs")).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("fp")
-    rare = fps.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
-        F.col("__df") <= 50
+    rare = (
+        spf.groupBy("fp")
+        .agg(F.sum("k").alias("__df"))
+        .filter(F.col("__df") <= 50)
+        .select("fp")
     )
-    srcfp = (
-        rare.join(d.select("doc_id", "source"), "doc_id")
-        .select("source", "fp")
-        .distinct()
-    )
+    srcfp = spf.join(rare, "fp").select("source", "fp")
     a = srcfp.select(F.col("source").alias("source_a"), "fp")
     b = srcfp.select(F.col("source").alias("source_b"), "fp")
     return (

@@ -68,6 +68,7 @@ from .plans import queries_r10_queue  # noqa: E402,F401
 from .plans import queries_r11_queue  # noqa: E402,F401
 from .plans import queries_r12_queue  # noqa: E402,F401
 from .plans import queries_r13_queue  # noqa: E402,F401
+from .plans import queries_r14_queue  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Verification-window ordering.
@@ -85,6 +86,119 @@ from .plans import queries_r13_queue  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
+    # --- Round 14 window (50 slots).
+    # Layout:
+    #   1-5   queries whose CODE changed this round (changed-first
+    #         rule): curation_lm_report + source_overlap_matrix
+    #         (single-pass per-source aggregation rewrites — guide
+    #         §2.3), corpus_ngram_coverage_curve (spread_small_input on
+    #         the trigram explode), graph_triangle_counts +
+    #         graph_jaccard_neighbors (machinery factored verbatim to
+    #         operators.graph for the planted hot-node skew tests —
+    #         plan-identical, but the changed-first rule makes the
+    #         driver prove it).
+    #   6-15  the ten r14-queue gates registered THIS round (written
+    #         and tri-scale-proven in r12; tests/test_r14_queue.py runs
+    #         the driver-style comparison over all ten every pytest
+    #         run).
+    #   16-40 twenty-five of the forty r8-last queries, machinery-first
+    #         (streaming join/enrich replays, BPE encode, semantic-cell
+    #         + perceptual-hash dedup, the netpbm decoder, the HIS
+    #         flagship, SCD2 + MERGE-delete, stratified/deterministic
+    #         sampling, the sketch pair, TF-IDF, sessionize/window
+    #         events, simhash pairs, rule violations, repetition,
+    #         pivot, p95, window dists, incremental keys, wordcount,
+    #         collect-sorted). After this block no registered query's
+    #         driver row is older than round 9 except the fifteen
+    #         queued below.
+    #   41-50 the ten permanent family sentinels — RESTORED exactly as
+    #         the r13 window promised after their documented one-round
+    #         exception (r13 header), closing the r13 verdict's
+    #         accepted-risk item 4.
+    #   51-65 the fifteen remaining r8-last queries — written r15
+    #         leaders (the retire-the-queue discipline): the five
+    #         r1-era expression queries, tokenizer trio, mixture
+    #         sample, the three SQL-analog joins, the four TPC-H
+    #         machinery picks.
+    # Positions 1-5: r14 code-changed queries (changed-first rule).
+    "curation_lm_report",
+    "source_overlap_matrix",
+    "corpus_ngram_coverage_curve",
+    "graph_triangle_counts",
+    "graph_jaccard_neighbors",
+    # Positions 6-15: the ten r14-queue gates registered this round.
+    "lakehouse_vacuum_plan",
+    "stats_theil_sen_trend",
+    "embedding_binary_recall",
+    "events_ab_srm",
+    "multimodal_png_walk",
+    "events_conversion_latency",
+    "lakehouse_skipping_stats",
+    "text_vocab_drift",
+    "events_bot_detection",
+    "text_encoding_anomalies",
+    # Positions 16-40: twenty-five r8-last queries, machinery-first.
+    "streaming_join_agree",
+    "streaming_enrich_agree",
+    "training_bpe_encode",
+    "dedup_semantic_cells",
+    "multimodal_image_dedup",
+    "multimodal_netpbm_decode",
+    "flagship_fact",
+    "scd2_customer_priority",
+    "merge_delete_orders",
+    "sample_stratified",
+    "sample_deterministic",
+    "sketch_approx_distinct",
+    "sketch_approx_quantiles",
+    "text_tfidf_topk",
+    "events_sessionize",
+    "events_window_agg",
+    "dedup_simhash_pairs",
+    "quality_rule_violations",
+    "curation_repetition",
+    "pivot_status",
+    "stats_p95_group",
+    "window_dist_functions",
+    "incremental_new_keys",
+    "explode_wordcount_topk",
+    "agg_collect_sorted",
+    # Positions 41-50: the ten permanent family sentinels (pinned —
+    # do not rotate out; restored per the r13 promise).
+    "his_extraction_shape",
+    "his_unpivot_slots",
+    "tpch_q1_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "text_simhash",
+    "merge_upsert_orders",
+    "json_extract_stats",
+    # Positions 51-65: the fifteen remaining r8-last queries — written
+    # r15 leaders.
+    "filter_nonempty",
+    "first_token",
+    "text_tokens",
+    "text_langid",
+    "doc_fingerprint",
+    "posexplode_positions",
+    "text_word_tokens",
+    "training_mixture_sample",
+    "sql_q3_shipping_priority",
+    "sql_q5_national_revenue",
+    "sql_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q17_small_qty",
+    "tpch_q20_promo_shippers",
+    "tpch_q21_waiting",
+    # Positions 66+: everything else keeps registration order; all
+    # were driver-green in r9-r13 and remain covered by pytest + the
+    # local DuckDB oracle gate (tools/check_correctness.py) every
+    # round.
+]
+
+_R13_WINDOW_HISTORY = [
     # --- Round 13 window (50 slots) — executes the queue the r12
     # window wrote down, exactly as the r12 verdict ordered (item 1):
     # clear the whole r7-stale cohort, then the ten r13-queue gates.

@@ -47,6 +47,10 @@ SINGLE_PARTITION_ALLOW = {
     "stats_ks_drift",
     # 1-row corpus-totals aggregate (N, V) then broadcast
     "quality_unigram_likelihood",
+    # two 1-row half-corpus token totals then broadcast — the
+    # quality_unigram_likelihood idiom per snapshot half (r14 gate;
+    # predicted on the queue's registration-day checklist)
+    "text_vocab_drift",
     # composes quality_unigram_likelihood behind a lazy pin: the pinned
     # subtree carries that query's documented 1-row (N, V) totals
     # aggregate (visible since the r10 pin-aware audit)
@@ -117,6 +121,8 @@ CROSS_JOIN_ALLOW = {
     "tpch_q22_dormant",
     "lakehouse_zorder",  # broadcast of the 1-row min/max extremes agg
     "quality_unigram_likelihood",  # broadcast of the 1-row (N, V) totals
+    # broadcast of the two 1-row half-corpus totals (r14 gate)
+    "text_vocab_drift",
     # composes quality_unigram_likelihood behind a lazy pin — inherits
     # its documented 1-row totals broadcast (r10 pin-aware audit)
     "training_curriculum_deciles",
