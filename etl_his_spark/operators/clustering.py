@@ -35,7 +35,16 @@ def _sq_dist(a, b_lit: list[float]):
     zip_with, not transform+element_at (r13): the previous form did
     two positional array lookups into the centroid literal per
     element; zip_with walks both arrays once. Same (x−y)·(x−y) values
-    folded in the same index order — bit-identical result."""
+    folded in the same index order — bit-identical result.
+
+    Dimension assumption (ADVICE r13): zip_with null-pads when the
+    two arrays differ in length, so a vector SHORTER than the
+    centroid yields a NULL distance (the old element_at form silently
+    ignored extra centroid dims instead). Fine here by construction —
+    every centroid in this module is derived from (or validated
+    against) the same fixed-dim vectors — and a NULL distance on a
+    genuinely ragged vector is the better failure mode: it surfaces
+    in the oracle comparison instead of scoring a truncated match."""
     diffs = F.zip_with(a, F.lit(b_lit), lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 

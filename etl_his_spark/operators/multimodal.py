@@ -398,7 +398,11 @@ def perceptual_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     # min 2.81 -> 1.81 s); the light decode lanes (wav/riff/y4m/png
     # walkers) measured WORSE with the same spread and keep their
     # narrow input (A/B in OPTIMIZATION_r13.md). Conditional no-op at
-    # cluster scale (spread_small_input).
+    # cluster scale (spread_small_input). NB (ADVICE r13): this frame
+    # carries the raw image BYTES, so the spread's shuffle cost scales
+    # with blob size, not row count — the measured win holds because
+    # the per-row numpy work outweighs moving the fixture's blobs
+    # once; re-measure before reusing the pattern on larger media.
     from .dedup_approx import spread_small_input
 
     media = spread_small_input(media)

@@ -1146,6 +1146,17 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inter feeds the truth derivation AND (symmetrized, below) the
     # retrieval scoring itself — pin it so the posting-list self-join
     # runs once (r13; pair-count-sized, ≪ the posting join's input).
+    # SIZE ASSUMPTION (ADVICE r13): "pair-count-sized" means every doc
+    # pair sharing ≥1 shingle — near-quadratic on a shingle-heavy
+    # corpus, a weaker bound than the node/dim frames the checkpoint
+    # policy usually pins. Acceptable HERE because the pin stores
+    # strictly less than the join it dedupes would rematerialize (3
+    # longs per pair vs re-running the posting self-join), the eval's
+    # candidate universe IS that pair set by construction, and
+    # localCheckpoint loss just fails the query (no silent wrongness).
+    # A production corpus would cap the posting lists first
+    # (SNAPSHOT_DF_CAP pattern) before this eval shape is run at
+    # 100 TB.
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))

@@ -246,7 +246,11 @@ def retrieval_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
     # inter feeds the truth derivation AND (symmetrized, below) the
     # stage-1 scoring — pin it so the posting-list self-join runs once
-    # (r13; the same rewrite as retrieval_mrr_eval).
+    # (r13; the same rewrite as retrieval_mrr_eval). SIZE ASSUMPTION
+    # (ADVICE r13): pair-count-sized = every doc pair sharing ≥1
+    # shingle — the full rationale and the 100 TB posting-cap caveat
+    # are at retrieval_mrr_eval's identical pin
+    # (queries_r12_queue.py).
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))

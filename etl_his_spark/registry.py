@@ -88,20 +88,21 @@ from .plans import queries_r14_queue  # noqa: E402,F401
 _CHECK_FIRST = [
     # --- Round 14 window (50 slots).
     # Layout:
-    #   1-5   queries whose CODE changed this round (changed-first
+    #   1-6   queries whose CODE changed this round (changed-first
     #         rule): curation_lm_report + source_overlap_matrix
     #         (single-pass per-source aggregation rewrites — guide
-    #         §2.3), corpus_ngram_coverage_curve (spread_small_input on
-    #         the trigram explode), graph_triangle_counts +
+    #         §2.3), corpus_ngram_coverage_curve +
+    #         curation_contamination_attribution (spread_small_input
+    #         on the single-split explodes), graph_triangle_counts +
     #         graph_jaccard_neighbors (machinery factored verbatim to
     #         operators.graph for the planted hot-node skew tests —
     #         plan-identical, but the changed-first rule makes the
     #         driver prove it).
-    #   6-15  the ten r14-queue gates registered THIS round (written
+    #   7-16  the ten r14-queue gates registered THIS round (written
     #         and tri-scale-proven in r12; tests/test_r14_queue.py runs
     #         the driver-style comparison over all ten every pytest
     #         run).
-    #   16-40 twenty-five of the forty r8-last queries, machinery-first
+    #   17-40 twenty-four of the forty r8-last queries, machinery-first
     #         (streaming join/enrich replays, BPE encode, semantic-cell
     #         + perceptual-hash dedup, the netpbm decoder, the HIS
     #         flagship, SCD2 + MERGE-delete, stratified/deterministic
@@ -115,18 +116,24 @@ _CHECK_FIRST = [
     #         the r13 window promised after their documented one-round
     #         exception (r13 header), closing the r13 verdict's
     #         accepted-risk item 4.
-    #   51-65 the fifteen remaining r8-last queries — written r15
+    #   51-66 the sixteen remaining r8-last queries — written r15
     #         leaders (the retire-the-queue discipline): the five
     #         r1-era expression queries, tokenizer trio, mixture
     #         sample, the three SQL-analog joins, the four TPC-H
-    #         machinery picks.
-    # Positions 1-5: r14 code-changed queries (changed-first rule).
+    #         machinery picks, and agg_collect_sorted (slid out when
+    #         curation_contamination_attribution's spread took the
+    #         sixth changed-first slot — the
+    #         fuzzy_name_match/window_running_sum precedent; its
+    #         sorted-collect_list machinery stays exercised in-window
+    #         by the triangle adjacency build at position 4).
+    # Positions 1-6: r14 code-changed queries (changed-first rule).
     "curation_lm_report",
     "source_overlap_matrix",
     "corpus_ngram_coverage_curve",
+    "curation_contamination_attribution",
     "graph_triangle_counts",
     "graph_jaccard_neighbors",
-    # Positions 6-15: the ten r14-queue gates registered this round.
+    # Positions 7-16: the ten r14-queue gates registered this round.
     "lakehouse_vacuum_plan",
     "stats_theil_sen_trend",
     "embedding_binary_recall",
@@ -137,7 +144,7 @@ _CHECK_FIRST = [
     "text_vocab_drift",
     "events_bot_detection",
     "text_encoding_anomalies",
-    # Positions 16-40: twenty-five r8-last queries, machinery-first.
+    # Positions 17-40: twenty-four r8-last queries, machinery-first.
     "streaming_join_agree",
     "streaming_enrich_agree",
     "training_bpe_encode",
@@ -162,7 +169,6 @@ _CHECK_FIRST = [
     "window_dist_functions",
     "incremental_new_keys",
     "explode_wordcount_topk",
-    "agg_collect_sorted",
     # Positions 41-50: the ten permanent family sentinels (pinned —
     # do not rotate out; restored per the r13 promise).
     "his_extraction_shape",
@@ -175,8 +181,9 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51-65: the fifteen remaining r8-last queries — written
+    # Positions 51-66: the sixteen remaining r8-last queries — written
     # r15 leaders.
+    "agg_collect_sorted",
     "filter_nonempty",
     "first_token",
     "text_tokens",
