@@ -57,11 +57,14 @@ _TOKS_CTE = """
 """
 
 
-def _tokens(docs: DataFrame) -> DataFrame:
+def _tokens(docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(keys..., token) — the corpus-wide tokenization rule, ONE
+    definition for every consumer; ``keys`` lets per-source consumers
+    (curation_lm_report) ride the same explode without re-stating it."""
     arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
     return (
         docs.filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(arr).alias("token"))
+        .select(*keys, F.explode(arr).alias("token"))
     )
 
 
@@ -85,16 +88,20 @@ def _token_counts(docs: DataFrame):
     return toks, cnt, tot
 
 
-def _bigram_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, bg) — adjacent-token bigrams as 60-bit md5 longs, the
-    shared pipeline of quality_novel_ngrams and curation_lm_report."""
+def _bigram_rows(
+    docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(keys..., bg) — adjacent-token bigrams as 60-bit md5 longs, the
+    shared pipeline of quality_novel_ngrams and curation_lm_report
+    (which passes ``keys=("source",)`` for its per-source roll-up —
+    same one-definition rule as _tokens)."""
     arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
     return (
         docs.filter(F.col("text").isNotNull())
-        .select("doc_id", arr.alias("ts"))
+        .select(*keys, arr.alias("ts"))
         .filter(F.size("ts") >= 2)
         .select(
-            "doc_id",
+            *keys,
             F.explode(
                 F.zip_with(
                     F.slice("ts", 1, F.size("ts") - 1),
@@ -103,7 +110,7 @@ def _bigram_rows(docs: DataFrame) -> DataFrame:
                 )
             ).alias("bg_s"),
         )
-        .select("doc_id", seeded_hash60(F.col("bg_s")).alias("bg"))
+        .select(*keys, seeded_hash60(F.col("bg_s")).alias("bg"))
     )
 
 
@@ -520,20 +527,27 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and joined every token INSTANCE against the count dim, then
     # against src by doc_id — two fact-sized joins. The per-source
     # decision needs only (source, token) multiplicities, so carry
-    # ``source`` through ONE explode, aggregate to the
+    # ``source`` through ONE explode (_tokens with keys= — the shared
+    # definition, not a re-statement), aggregate to the
     # (sources × vocab)-bounded ``stok`` first (map-side partial agg),
     # and derive cnt / tot / tok_src from it: the instance⋈cnt and
     # instance⋈src joins disappear and every downstream frame is
     # vocab-sized. Same exact integer sums, value-identical output
     # (n_tokens = Σk, sum_freq = Σ k·c — each term ≤ the old total).
-    arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
     stok = (
-        docs.select("source", F.explode(arr).alias("token"))
+        _tokens(docs, keys=("source",))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .localCheckpoint(eager=False)
     )
-    cnt = stok.groupBy("token").agg(F.sum("k").alias("c"))
+    # cnt feeds tot AND the tok_src join: pin the vocab dim so the
+    # stok re-aggregation runs once, not per consumer (the same
+    # two-branch rationale the pre-rewrite cnt pin documented).
+    cnt = (
+        stok.groupBy("token")
+        .agg(F.sum("k").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = cnt.agg(
         F.sum("c").cast("long").alias("big_n"),
         F.count(F.lit(1)).cast("long").alias("vocab_v"),
@@ -550,21 +564,8 @@ def curation_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplicities first, the corpus count derived by re-aggregation
     # — a bigram with corpus count 1 contributes its (necessarily 1)
     # instance count to exactly one source's novel sum.
-    bg_arr = F.filter(F.split(F.trim("text"), " "), lambda x: x != F.lit(""))
     sbg = (
-        docs.select("source", bg_arr.alias("ts"))
-        .filter(F.size("ts") >= 2)
-        .select(
-            "source",
-            F.explode(
-                F.zip_with(
-                    F.slice("ts", 1, F.size("ts") - 1),
-                    F.slice("ts", 2, F.size("ts") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("bg_s"),
-        )
-        .select("source", seeded_hash60(F.col("bg_s")).alias("bg"))
+        _bigram_rows(docs, keys=("source",))
         .groupBy("source", "bg")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .localCheckpoint(eager=False)

@@ -110,7 +110,7 @@ _CHECK_FIRST = [
     #         events, simhash pairs, rule violations, repetition,
     #         pivot, p95, window dists, incremental keys, wordcount,
     #         collect-sorted). After this block no registered query's
-    #         driver row is older than round 9 except the fifteen
+    #         driver row is older than round 9 except the sixteen
     #         queued below.
     #   41-50 the ten permanent family sentinels — RESTORED exactly as
     #         the r13 window promised after their documented one-round
@@ -199,7 +199,7 @@ _CHECK_FIRST = [
     "tpch_q17_small_qty",
     "tpch_q20_promo_shippers",
     "tpch_q21_waiting",
-    # Positions 66+: everything else keeps registration order; all
+    # Positions 67+: everything else keeps registration order; all
     # were driver-green in r9-r13 and remain covered by pytest + the
     # local DuckDB oracle gate (tools/check_correctness.py) every
     # round.

@@ -248,12 +248,19 @@ def publish_atomic(
     # task tail leaves executors idle, and the next table's jobs
     # back-fill them — Spark schedules concurrent jobs FIFO, which is
     # exactly that back-fill. 2 in flight is enough to cover tails
-    # without the writes fighting for cores. Shared upstream frames
-    # (the pipeline's pinned extraction) are safe: RDD checkpoint
-    # materialization is synchronized, so concurrent first-consumers
-    # compute it once. Failure semantics unchanged — any write error
-    # propagates before the pointer swap, so the previous publish
-    # stays visible and the orphaned staging dir is never referenced.
+    # without the writes fighting for cores. Shared lazily-pinned
+    # upstreams stay single-copy on local[N] (one block manager; the
+    # second computer hits "block already exists" and reads the stored
+    # copy) and the HIS pipeline materializes its pins at build time
+    # anyway (dense_ids' counts collect); on a multi-executor cluster
+    # two first-consumer jobs CAN duplicate the compute of a
+    # not-yet-materialized pin on different executors — wasted work,
+    # not wrongness (every consumer here is row-order-insensitive);
+    # callers with expensive unmaterialized pins should touch them
+    # with a cheap action first. Failure semantics unchanged — the
+    # first write error cancels the queued writes and propagates
+    # before the pointer swap, so the previous publish stays visible
+    # and the orphaned staging dir is never referenced.
     from concurrent.futures import ThreadPoolExecutor
 
     def _write(name: str) -> None:
@@ -265,7 +272,14 @@ def publish_atomic(
         )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(_write, tables))
+        futures = [pool.submit(_write, name) for name in tables]
+        try:
+            for f in futures:
+                f.result()
+        except BaseException:
+            for f in futures:
+                f.cancel()  # queued-but-unstarted writes never run
+            raise
     _swap_pointer(
         root, json.dumps({"staging": staging, "tables": paths}), token
     )
