@@ -1012,8 +1012,15 @@ def dedup_snapshot_incremental(
             .distinct()
         )
 
-    sh_old = _sh(oldd).localCheckpoint(eager=False)
-    sh_new = _sh(resid).localCheckpoint(eager=False)
+    # spread (r14, guide §2.5): both shingle explodes ran single-task —
+    # oldd is a 1-split file scan and resid inherits that partitioning
+    # through the broadcast anti join — so the md5 fan-out serialized.
+    # One consumer chain each before the pins (the coverage-curve
+    # profile); inputFiles-gated no-op at cluster scale.
+    from ..operators.dedup_approx import spread_small_input
+
+    sh_old = _sh(spread_small_input(oldd)).localCheckpoint(eager=False)
+    sh_new = _sh(spread_small_input(resid)).localCheckpoint(eager=False)
     sizes_old = sh_old.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_o")
     )

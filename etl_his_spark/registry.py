@@ -88,52 +88,57 @@ from .plans import queries_r14_queue  # noqa: E402,F401
 _CHECK_FIRST = [
     # --- Round 14 window (50 slots).
     # Layout:
-    #   1-6   queries whose CODE changed this round (changed-first
+    #   1-7   queries whose CODE changed this round (changed-first
     #         rule): curation_lm_report + source_overlap_matrix
     #         (single-pass per-source aggregation rewrites — guide
     #         §2.3), corpus_ngram_coverage_curve +
-    #         curation_contamination_attribution (spread_small_input
-    #         on the single-split explodes), graph_triangle_counts +
+    #         curation_contamination_attribution +
+    #         dedup_snapshot_incremental (spread_small_input on the
+    #         single-split explodes), graph_triangle_counts +
     #         graph_jaccard_neighbors (machinery factored verbatim to
     #         operators.graph for the planted hot-node skew tests —
     #         plan-identical, but the changed-first rule makes the
     #         driver prove it).
-    #   7-16  the ten r14-queue gates registered THIS round (written
+    #   8-17  the ten r14-queue gates registered THIS round (written
     #         and tri-scale-proven in r12; tests/test_r14_queue.py runs
     #         the driver-style comparison over all ten every pytest
     #         run).
-    #   17-40 twenty-four of the forty r8-last queries, machinery-first
+    #   18-40 twenty-three of the forty r8-last queries, machinery-first
     #         (streaming join/enrich replays, BPE encode, semantic-cell
     #         + perceptual-hash dedup, the netpbm decoder, the HIS
     #         flagship, SCD2 + MERGE-delete, stratified/deterministic
     #         sampling, the sketch pair, TF-IDF, sessionize/window
     #         events, simhash pairs, rule violations, repetition,
-    #         pivot, p95, window dists, incremental keys, wordcount,
-    #         collect-sorted). After this block no registered query's
-    #         driver row is older than round 9 except the sixteen
+    #         pivot, p95, window dists, incremental keys). After this
+    #         block no registered query's
+    #         driver row is older than round 9 except the seventeen
     #         queued below.
     #   41-50 the ten permanent family sentinels — RESTORED exactly as
     #         the r13 window promised after their documented one-round
     #         exception (r13 header), closing the r13 verdict's
     #         accepted-risk item 4.
-    #   51-66 the sixteen remaining r8-last queries — written r15
+    #   51-67 the seventeen remaining r8-last queries — written r15
     #         leaders (the retire-the-queue discipline): the five
     #         r1-era expression queries, tokenizer trio, mixture
     #         sample, the three SQL-analog joins, the four TPC-H
-    #         machinery picks, and agg_collect_sorted (slid out when
-    #         curation_contamination_attribution's spread took the
-    #         sixth changed-first slot — the
-    #         fuzzy_name_match/window_running_sum precedent; its
-    #         sorted-collect_list machinery stays exercised in-window
-    #         by the triangle adjacency build at position 4).
-    # Positions 1-6: r14 code-changed queries (changed-first rule).
+    #         machinery picks, plus agg_collect_sorted and
+    #         explode_wordcount_topk (slid out when
+    #         curation_contamination_attribution's and
+    #         dedup_snapshot_incremental's spreads took the sixth and
+    #         seventh changed-first slots — the
+    #         fuzzy_name_match/window_running_sum precedent;
+    #         sorted-collect_list stays exercised in-window by the
+    #         triangle adjacency build and split-explode-count by
+    #         text_tfidf_topk).
+    # Positions 1-7: r14 code-changed queries (changed-first rule).
     "curation_lm_report",
     "source_overlap_matrix",
     "corpus_ngram_coverage_curve",
     "curation_contamination_attribution",
+    "dedup_snapshot_incremental",
     "graph_triangle_counts",
     "graph_jaccard_neighbors",
-    # Positions 7-16: the ten r14-queue gates registered this round.
+    # Positions 8-17: the ten r14-queue gates registered this round.
     "lakehouse_vacuum_plan",
     "stats_theil_sen_trend",
     "embedding_binary_recall",
@@ -144,7 +149,7 @@ _CHECK_FIRST = [
     "text_vocab_drift",
     "events_bot_detection",
     "text_encoding_anomalies",
-    # Positions 17-40: twenty-four r8-last queries, machinery-first.
+    # Positions 18-40: twenty-three r8-last queries, machinery-first.
     "streaming_join_agree",
     "streaming_enrich_agree",
     "training_bpe_encode",
@@ -168,7 +173,6 @@ _CHECK_FIRST = [
     "stats_p95_group",
     "window_dist_functions",
     "incremental_new_keys",
-    "explode_wordcount_topk",
     # Positions 41-50: the ten permanent family sentinels (pinned —
     # do not rotate out; restored per the r13 promise).
     "his_extraction_shape",
@@ -181,9 +185,10 @@ _CHECK_FIRST = [
     "text_simhash",
     "merge_upsert_orders",
     "json_extract_stats",
-    # Positions 51-66: the sixteen remaining r8-last queries — written
-    # r15 leaders.
+    # Positions 51-67: the seventeen remaining r8-last queries —
+    # written r15 leaders.
     "agg_collect_sorted",
+    "explode_wordcount_topk",
     "filter_nonempty",
     "first_token",
     "text_tokens",
